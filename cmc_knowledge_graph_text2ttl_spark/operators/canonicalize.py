@@ -1,0 +1,160 @@
+"""Stage 4 — sameAs canonicalization via connected components.
+
+The reference has no explicit canonicalization: identity comes from
+deterministic IRI construction (the ``:iri`` template formatter) and
+rdflib set-union (SURVEY.md §2.4 joins row d). At web scale, entity
+linking emits ``owl:sameAs`` edges between alias IRIs, and every triple
+must be rewritten onto one canonical id per alias cluster — a connected
+components problem on an edge DataFrame (north_rule requirement).
+
+Algorithm: iterative **min-label propagation with pointer jumping**
+(each round combines neighbor-min propagation with comp(comp(u))
+shortcutting, the DataFrame analog of the alternating large-star /
+small-star contraction — converges in O(log d) rounds, driver-checked).
+The canonical representative of a component is its lexicographically
+smallest IRI: deterministic, partition-independent, explainable.
+
+Skew handling: hub aliases (one canonical node with 10^5 edges) make the
+propagation join skewed. AQE skew-join splitting is on by default
+(session.py); `salt_hubs` additionally splits hub neighborhoods into S
+sub-groups with a two-phase min-aggregation (partial min per salt, then
+final min), which keeps no single reducer owning a whole hub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    salt_hubs: int = 0,
+) -> DataFrame:
+    """edges(src,dst) → components(node, component).
+
+    ``component`` is the minimum node id (string order) of the node's
+    connected component. Every node appearing in any edge gets a row.
+    The loop is driver-controlled with an explicit convergence check
+    (`sum(changed) == 0` analog: count of improved labels).
+    """
+    e = (
+        edges.select(F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.repartition("u").persist()
+
+    if salt_hubs and salt_hubs > 1:
+        # Two-phase min: partial min per (u, salt-of-v), then min per u.
+        salted = sym.withColumn("s", F.pmod(F.xxhash64("v"), F.lit(salt_hubs)))
+        partial = salted.groupBy("u", "s").agg(F.min("v").alias("pv"))
+        nbr_min = partial.groupBy("u").agg(F.min("pv").alias("mn"))
+    else:
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+
+    # localCheckpoint each round: materializes the labels AND truncates the
+    # iterative lineage (otherwise every round re-plans the whole history —
+    # the classic iterative-DataFrame trap).
+    comp = nbr_min.select(
+        F.col("u").alias("node"), F.least("u", "mn").alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # Neighbor propagation: min over neighbors' current components.
+        nb = (
+            sym.join(comp.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("component").alias("nb_min"))
+            .withColumnRenamed("u", "node")
+        )
+        # Pointer jumping: component of my component.
+        jump = comp.alias("a").join(
+            comp.select(
+                F.col("node").alias("jnode"), F.col("component").alias("jmp")
+            ),
+            F.col("a.component") == F.col("jnode"),
+            "left",
+        ).select("node", "component", "jmp")
+        new_comp = (
+            jump.join(nb, "node", "left")
+            .select(
+                "node",
+                F.col("component").alias("old_component"),
+                F.least(
+                    "component",
+                    F.coalesce("jmp", "component"),
+                    F.coalesce("nb_min", "component"),
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_comp.filter(F.col("component") < F.col("old_component")).count()
+        comp = new_comp.select("node", "component")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return comp
+
+
+def sameas_edges(triples: DataFrame, pred: str = OWL_SAMEAS) -> DataFrame:
+    """Extract the sameAs edge list from a triples table."""
+    return triples.filter(
+        (F.col("pred") == pred) & (F.col("obj_kind") == "iri")
+    ).select(F.col("subj").alias("src"), F.col("obj_lexical").alias("dst"))
+
+
+def canonicalize_triples(
+    triples: DataFrame,
+    components: DataFrame = None,
+    pred: str = OWL_SAMEAS,
+    drop_sameas: bool = True,
+    broadcast_components: bool = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Rewrite subj/obj IRIs onto their canonical component representative.
+
+    Two left joins against the component map (subject side; object side
+    only for IRI objects). The map is usually tiny relative to the triple
+    table — broadcast it when told to (or let AQE decide from runtime
+    stats otherwise). Output is de-duplicated: distinct aliases collapsing
+    onto one canonical id produce identical triples by design.
+    """
+    if components is None:
+        components = connected_components(sameas_edges(triples, pred), max_iter=max_iter)
+    comp = components
+    if broadcast_components:
+        comp = F.broadcast(comp)
+    t = triples
+    if drop_sameas:
+        t = t.filter(~((F.col("pred") == pred) & (F.col("obj_kind") == "iri")))
+    subj_map = comp.select(
+        F.col("node").alias("subj"), F.col("component").alias("subj_canon")
+    )
+    obj_map = comp.select(
+        F.col("node").alias("obj_lexical"), F.col("component").alias("obj_canon")
+    )
+    out = t.join(subj_map, "subj", "left")
+    # object-side join: only IRI objects can be rewritten
+    out = out.join(obj_map, ["obj_lexical"], "left").withColumn(
+        "obj_canon",
+        F.when(F.col("obj_kind") == "iri", F.col("obj_canon")).otherwise(F.lit(None)),
+    )
+    rewritten = out.select(
+        F.coalesce("subj_canon", "subj").alias("subj"),
+        "pred",
+        "obj_kind",
+        F.coalesce("obj_canon", "obj_lexical").alias("obj_lexical"),
+        "obj_lang",
+        "obj_datatype",
+        *[c for c in triples.columns if c in ("url", "workflow")],
+    )
+    return rewritten.dropDuplicates(
+        ["subj", "pred", "obj_kind", "obj_lexical", "obj_lang", "obj_datatype"]
+        + [c for c in triples.columns if c in ("url", "workflow")]
+    )
