@@ -1,0 +1,339 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's per-document rdflib set semantics, a training-data
+pipeline needs CROSS-document dedup. All operators below are pure
+DataFrame compositions (JVM-side, whole-stage codegen; no Python UDFs):
+
+* exact dedup             — hash-groupBy (one shuffle on the digest)
+* n-gram Jaccard pairs    — shingle explode → shingle-equijoin → ratio
+* MinHash + LSH           — shingle → k minhashes (one grouped agg) →
+                            band buckets → candidate join → exact verify
+* SimHash                 — token-bit weighted sums → per-chunk bucket join
+* embedding near-dup      — cosine over `array<float>` via zip_with/aggregate
+
+Determinism: every hash is derived from md5 (stable everywhere), so the
+DuckDB oracle in __spark_entry__ reproduces the exact same buckets and
+the driver's value-hash comparison holds bit-for-bit.
+
+Scale notes (100 TB): shingle explosion is the dominant cost — it stays
+proportional to corpus size and feeds ONE map-side-combinable groupBy
+per doc for minhash signatures; candidate pairs only materialize within
+LSH buckets (never the quadratic pair space); the final verify join
+touches candidates only. Hot buckets (boilerplate shingles) are bounded
+with `max_bucket` (drop pathological buckets, standard practice) and AQE
+skew-join splitting handles the rest.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Same constants as the oracle SQL in __spark_entry__ — change together.
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+MINHASH_MAX_HASHES = 64
+
+
+def _hash_params(n_hashes: int) -> List[Tuple[int, int]]:
+    """Deterministic (a, b) pairs for the minhash family h_i = (a*x+b) % p.
+
+    Derived from a fixed linear congruence, not an RNG — identical in the
+    SQL oracle. a stays < 2^20 so a*x fits comfortably in int64.
+    """
+    return [(1 + 7 * i + (i * i) % 31, 1_000_003 * (i + 1) % 999_983) for i in range(n_hashes)]
+
+
+def md5_int(col: Column) -> Column:
+    """First 32 bits of md5 as a bigint (stable across Spark and DuckDB:
+    conv(substr(md5(x),1,8),16,10)  ==  ('0x'||substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) — distinct character n-grams per document.
+
+    Built from sequence+transform+substr: stays inside codegen, no UDF.
+    Documents shorter than n yield no shingles.
+    """
+    pos = F.sequence(F.lit(1), F.greatest(F.length(text_col) - n + 1, F.lit(0)))
+    sh = F.explode(F.transform(pos, lambda i: F.col(text_col).substr(i, F.lit(n))))
+    return df.select(F.col(id_col).alias("id"), sh.alias("shingle")).distinct()
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: (content_hash, n_docs, keep_id, doc_ids).
+
+    keep_id = min id per group (deterministic survivor). Only groups with
+    more than one member are duplicates; singletons are kept for the
+    caller to decide (filter n_docs > 1 for the dupe report).
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Exact (no approximation): shingle equijoin computes |A∩B| per pair,
+    per-doc distinct counts give |A|,|B|. Candidate pairs only exist where
+    at least one shingle is shared — already far from quadratic; for
+    web-scale use minhash_lsh_pairs below and keep this as the verifier.
+    """
+    sh = shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash signature via ONE grouped aggregation.
+
+    The k min() aggregates are map-side combinable: each partition reduces
+    its shingles locally before the single shuffle on id.
+    """
+    assert n_hashes <= MINHASH_MAX_HASHES
+    sh = shingles(df, text_col, id_col, shingle_n)
+    x = md5_int(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    verify: bool = True,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, optionally exact-verified.
+
+    rows_per_band = n_hashes // bands; two docs become candidates iff one
+    band of their signatures is identical. Buckets larger than
+    `max_bucket` are dropped (boilerplate guard — at web scale one "empty
+    page" bucket would otherwise create a quadratic blowup).
+    """
+    assert n_hashes % bands == 0
+    rpb = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"h{b * rpb + r}") for r in range(rpb)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    buckets = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    buckets = buckets.join(
+        sizes.filter(F.col("bsz") <= max_bucket).select("bucket"), "bucket"
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sizes_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes_doc.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes_doc.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — token-level SimHash fingerprint, bigint.
+
+    Tokens = lowercase word splits. For each bit position, sum +1/-1 over
+    tokens by that bit of md5(token); the sign gives the fingerprint bit.
+    One explode + one grouped agg with `bits` sums (map-side combinable).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = md5_int(F.col("tok"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else (fp + bit)
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via the chunk pigeonhole:
+    if two fingerprints differ in <= max_hamming bits and we split into
+    `chunks` > max_hamming chunks, at least one chunk is identical —
+    bucket-join on each chunk, then exact popcount verify."""
+    assert chunks > max_hamming
+    fps = simhash(df, text_col, id_col, bits)
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_rows = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(c)),
+                    (F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask))).cast("string"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("chunk"),
+    )
+    cand = (
+        chunk_rows.alias("a")
+        .join(chunk_rows.alias("b"), "chunk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold.
+
+    Scale path: random-hyperplane LSH — the sign pattern of `n_planes`
+    deterministic pseudo-random projections buckets the vectors; only
+    in-bucket pairs get the exact cosine. Plane weights derive from
+    md5(plane,dim) so the partition layout never changes results.
+    """
+    dim_idx = F.posexplode(F.col(vec_col))
+    comps = emb.select(F.col(id_col).alias("id"), dim_idx).toDF("id", "d", "x")
+    # plane weight in [-1, 1): (md5_int(p:d) % 2001 - 1000) / 1000
+    proj = None
+    rows = comps
+    plane_cols = []
+    for p in range(n_planes):
+        w = (md5_int(F.concat_ws(":", F.lit(str(p)), F.col("d").cast("string"))) % 2001 - 1000) / 1000.0
+        plane_cols.append(F.sum(F.col("x") * w).alias(f"p{p}"))
+    signs = rows.groupBy("id").agg(*plane_cols)
+    bucket = F.concat_ws("", *[F.when(F.col(f"p{p}") >= 0, "1").otherwise("0") for p in range(n_planes)])
+    b = signs.select("id", bucket.alias("bucket"))
+    cand = (
+        b.alias("a").join(b.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    withv = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = (
+        cand.join(withv.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(withv.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b_: a.cast("double") * b_.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        pairs.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

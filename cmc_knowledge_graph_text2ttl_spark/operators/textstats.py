@@ -1,0 +1,143 @@
+"""Text-analysis operators: language id, quality scoring, token counts,
+document fingerprints.
+
+All pure column expressions (whole-stage codegen; no UDFs) so the same
+logic is expressible 1:1 in the DuckDB oracle SQL. These run on the
+extracted-text table (or any (id, text) table) and are the building
+blocks of a training-data filter pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+
+# Tiny per-language stopword marker sets (heuristic n-gram/stopword
+# language id — the classic fasttext-free fallback). CJK is detected by
+# character class instead of stopwords.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "los", "las", "una", "es", "que"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "with", "as", "on", "at", "by",
+]
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+# (a practical proxy for subword token counting without a tokenizer dep).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_ws_tokens, n_bpe_tokens)."""
+    t = F.col(text_col)
+    ws_tokens = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars"),
+        ws_tokens.cast("bigint").alias("n_ws_tokens"),
+        _count_matches(t, BPE_TOKEN_RE).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality features + a composite score in [0,1].
+
+    Features follow the usual web-corpus filters: document length, mean
+    word length, stopword ratio, punctuation/symbol ratio, digit ratio,
+    uppercase ratio. The score is a transparent linear combination —
+    callers threshold it (e.g. keep score >= 0.5).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    ).cast("double")
+    stop_pattern = r"(?i)\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    n_stop = _count_matches(t, stop_pattern).cast("double")
+    n_punct = _count_matches(t, r"[^\w\s]").cast("double")
+    n_digit = _count_matches(t, r"[0-9]").cast("double")
+    n_upper = _count_matches(t, r"[A-Z]").cast("double")
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    stop_ratio = safe(n_stop, words)
+    punct_ratio = safe(n_punct, n_chars.cast("double"))
+    digit_ratio = safe(n_digit, n_chars.cast("double"))
+    upper_ratio = safe(n_upper, n_chars.cast("double"))
+    mean_word_len = safe(n_chars.cast("double"), words)
+    len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 3, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio * 4, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        words.cast("bigint").alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred, lang_hits_*) — stopword-marker language guess.
+
+    Scores = count of language-marker word hits; argmax with a fixed
+    en > de > fr tie order (deterministic). 'und' (unknown) when no
+    marker hits at all.
+    """
+    t = F.col(text_col)
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"(?i)\b(" + "|".join(markers) + r")\b"
+        hits[lang] = _count_matches(t, pat).cast("bigint")
+    hits["zh"] = _count_matches(t, r"[一-鿿]").cast("bigint")
+    order = ["zh", "en", "de", "fr", "es"]  # fixed tie order → deterministic
+    pred = F.lit("und")
+    for lang in reversed(order):
+        later = order[order.index(lang) + 1 :]
+        cond = hits[lang] > 0
+        for other in later:
+            cond = cond & (hits[lang] >= hits[other])
+        pred = F.when(cond, lang).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in order],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """(id, fingerprint) — winnowing-style document fingerprint: the
+    minimum md5-derived hash over character shingles (one value per doc;
+    equal fingerprints ⇒ near-identical prefix content sets).
+    Short docs (< shingle_n chars) hash the whole text."""
+    t = F.col(text_col)
+    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - shingle_n + 1, F.lit(1)))
+    shingle_hashes = F.transform(pos, lambda i: md5_int(t.substr(i, F.lit(shingle_n))))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(shingle_hashes).alias("fingerprint"),
+    )

@@ -1,0 +1,274 @@
+"""Tests for the training-data operators: dedup, similarity, text stats,
+multimodal plumbing — verified against pure-Python oracles on testdata.
+"""
+
+import hashlib
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from cmc_knowledge_graph_text2ttl_spark.operators import dedup, similarity, textstats
+from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as mm
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def py_shingles(text, n=5):
+    return {text[i : i + n] for i in range(max(len(text) - n + 1, 0))}
+
+
+def py_jaccard(a, b):
+    i = len(a & b)
+    return i / (len(a) + len(b) - i) if (a or b) else 0.0
+
+
+class TestExactDedup:
+    def test_groups_match_python(self, spark, docs):
+        got = {
+            r.content_hash: (r.n_docs, r.keep_id)
+            for r in dedup.exact_duplicates(docs).collect()
+        }
+        import collections
+
+        expect = collections.defaultdict(list)
+        for r in docs.select("doc_id", "text").collect():
+            expect[hashlib.md5(r.text.encode()).hexdigest()].append(r.doc_id)
+        assert len(got) == len(expect)
+        for h, ids in expect.items():
+            assert got[h] == (len(ids), min(ids))
+
+    def test_injected_duplicates_found(self, spark):
+        rows = [(1, "hello world"), (2, "hello world"), (3, "different")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        d = dedup.exact_duplicates(df).filter("n_docs > 1").collect()
+        assert len(d) == 1 and d[0].keep_id == 1 and d[0].doc_ids == [1, 2]
+
+
+class TestJaccard:
+    def test_pairs_match_python_oracle(self, spark, docs):
+        sample = docs.filter("doc_id < 120")
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(sample, threshold=0.4).collect()
+        }
+        texts = {r.doc_id: r.text for r in sample.collect()}
+        expect = {}
+        ids = sorted(texts)
+        sh = {i: py_shingles(texts[i]) for i in ids}
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    jac = py_jaccard(sh[i], sh[j])
+                    if jac >= 0.4:
+                        expect[(i, j)] = jac
+        assert set(got) == set(expect)
+        for k in expect:
+            assert math.isclose(got[k], expect[k], rel_tol=1e-9)
+
+
+class TestMinHashLSH:
+    def test_verified_pairs_subset_of_exact_with_high_recall(self, spark, docs):
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+        }
+        approx = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                docs, n_hashes=16, bands=4, threshold=0.7
+            ).collect()
+        }
+        # verify=True → precision 1.0 (approx ⊆ exact); banding → high recall
+        assert approx <= exact
+        if exact:
+            assert len(approx) / len(exact) >= 0.8
+
+    def test_signature_matches_python(self, spark):
+        df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+        sig = dedup.minhash_signatures(df, n_hashes=4, shingle_n=5).first()
+        params = dedup._hash_params(4)
+        shingles = py_shingles("abcdefghij", 5)
+        for i, (a, b) in enumerate(params):
+            expect = min(
+                (a * int(hashlib.md5(s.encode()).hexdigest()[:8], 16) + b)
+                % dedup.MINHASH_PRIME
+                for s in shingles
+            )
+            assert sig[f"h{i}"] == expect
+
+
+class TestSimHash:
+    def test_fingerprint_matches_python(self, spark):
+        df = spark.createDataFrame([(1, "Hello hello world")], ["doc_id", "text"])
+        got = dedup.simhash(df, bits=16).first().simhash
+        toks = ["hello", "hello", "world"]
+        fp = 0
+        for b in range(16):
+            s = sum(
+                1 if (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) >> b) & 1 else -1
+                for t in toks
+            )
+            if s > 0:
+                fp |= 1 << b
+        assert got == fp
+
+    def test_near_pairs_identical_docs(self, spark):
+        rows = [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+                (3, "entirely unrelated content zzz")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.simhash_near_pairs(df, bits=32, max_hamming=3).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+        assert pairs[0].hamming == 0
+
+
+class TestEmbeddingOps:
+    def test_brute_force_topk_matches_numpy(self, spark, emb):
+        import numpy as np
+
+        rows = emb.collect()
+        q = np.array(rows[0].embedding, dtype=np.float64)
+        sims = []
+        for r in rows:
+            v = np.array(r.embedding, dtype=np.float64)
+            sims.append((float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), r.vec_id))
+        expect = [vid for s, vid in sorted(sims, key=lambda t: (-t[0], t[1]))[:10]]
+        got = [r.id for r in similarity.cosine_topk(emb, list(map(float, rows[0].embedding)), k=10).collect()]
+        assert got == expect
+
+    def test_ivf_recall(self, spark, emb):
+        rows = emb.limit(5).collect()
+        cents = similarity.make_centroids(emb, 8)
+        assigned = similarity.assign_cells(emb, cents)
+        assigned.cache().count()
+        recalls = []
+        for r in rows:
+            q = [float(x) for x in r.embedding]
+            exact = {x.id for x in similarity.cosine_topk(emb, q, k=10).collect()}
+            approx = {
+                x.id
+                for x in similarity.ivf_topk(
+                    emb, q, k=10, n_probe=4, centroids=cents, assigned=assigned
+                ).collect()
+            }
+            recalls.append(len(exact & approx) / 10)
+        assert sum(recalls) / len(recalls) >= 0.5  # 4/8 cells probed
+
+    def test_embedding_near_dup_finds_planted_pair(self, spark):
+        base = [1.0, 2.0, 3.0, 4.0]
+        near = [1.01, 2.0, 3.0, 4.0]
+        far = [-4.0, 3.0, -2.0, 1.0]
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+        )
+        pairs = dedup.embedding_near_dup_pairs(df, threshold=0.99).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+class TestTextStats:
+    def test_token_counts_match_python(self, spark, docs):
+        import re
+
+        got = {r.id: (r.n_chars, r.n_ws_tokens, r.n_bpe_tokens)
+               for r in textstats.token_counts(docs).collect()}
+        for r in docs.select("doc_id", "text").limit(50).collect():
+            n_ws = len(r.text.strip().split()) if r.text.strip() else 0
+            n_bpe = len(re.findall(textstats.BPE_TOKEN_RE, r.text))
+            assert got[r.doc_id] == (len(r.text), n_ws, n_bpe)
+
+    def test_quality_score_bounds(self, spark, docs):
+        rows = textstats.quality_features(docs).collect()
+        assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+        assert all(r.n_chars == 0 or r.mean_word_len > 0 for r in rows)
+
+    def test_lang_id_on_marked_texts(self, spark):
+        # NOTE: the testdata documents' lang column is a random label over
+        # English-ish word soup, so accuracy is measured on texts that
+        # actually carry language markers.
+        rows = [
+            (1, "the cat and the dog is of interest to all", "en"),
+            (2, "der Hund und die Katze ist nicht allein", "de"),
+            (3, "le chat et la maison est dans les arbres", "fr"),
+            (4, "el perro y los gatos en las casas es que una", "es"),
+            (5, "这是一个中文文档的例子，包含很多汉字内容。", "zh"),
+            (6, "12345 67890 !!!", "und"),
+        ]
+        df = spark.createDataFrame([(i, t) for i, t, _ in rows], ["doc_id", "text"])
+        got = {r.id: r.lang_pred for r in textstats.lang_id(df).collect()}
+        for i, _, expect in rows:
+            assert got[i] == expect, (i, got[i])
+
+    def test_lang_id_deterministic_on_testdata(self, spark, docs):
+        a = sorted((r.id, r.lang_pred) for r in textstats.lang_id(docs).collect())
+        b = sorted(
+            (r.id, r.lang_pred)
+            for r in textstats.lang_id(docs.repartition(13)).collect()
+        )
+        assert a == b
+
+    def test_fingerprint_deterministic_and_matches_python(self, spark):
+        df = spark.createDataFrame([(1, "abcdefghijklmno")], ["doc_id", "text"])
+        got = textstats.fingerprint(df, shingle_n=8).first().fingerprint
+        text = "abcdefghijklmno"
+        expect = min(
+            int(hashlib.md5(text[i : i + 8].encode()).hexdigest()[:8], 16)
+            for i in range(len(text) - 7)
+        )
+        assert got == expect
+
+
+class TestMultimodal:
+    PNG = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 20
+    )
+    WAV = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x00" * 24
+    MP4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16
+
+    def _media_df(self, spark):
+        rows = [
+            ("img1", self.PNG), ("img2", self.PNG), ("aud1", self.WAV),
+            ("vid1", self.MP4), ("bad1", b""), ("unk1", b"garbage-bytes"),
+        ]
+        return spark.createDataFrame(rows, "media_id string, blob binary")
+
+    def test_metadata_sniffing(self, spark):
+        meta = {r.media_id: r for r in mm.media_metadata(self._media_df(spark)).collect()}
+        assert meta["img1"].media_type == "image" and meta["img1"].format == "png"
+        assert (meta["img1"].width, meta["img1"].height) == (640, 480)
+        assert meta["aud1"].media_type == "audio" and meta["aud1"].format == "wav"
+        assert meta["vid1"].media_type == "video" and meta["vid1"].format == "mp4"
+        assert meta["bad1"].error == "empty blob"
+        assert meta["unk1"].media_type == "unknown"
+
+    def test_digest_dedup(self, spark):
+        meta = mm.media_metadata(self._media_df(spark))
+        groups = mm.exact_media_dedup(meta).filter("n_copies > 1").collect()
+        assert len(groups) == 1 and groups[0].keep_id == "img1"
+
+    def test_feature_stub_and_injected_decoder(self, spark):
+        df = self._media_df(spark)
+        stub = mm.extract_features(df)
+        assert {r.feature for r in stub.collect()} == {"decode_unavailable"}
+        fake = lambda data: [("n_bytes", float(len(data))), ("mean", 0.5)]
+        feats = mm.extract_features(df, decoder=fake)
+        rows = {(r.media_id, r.feature): r.value for r in feats.collect()}
+        assert rows[("img1", "n_bytes")] == float(len(self.PNG))
+        assert rows[("unk1", "mean")] == 0.5
+
+    def test_frame_sample_plan(self, spark):
+        meta = mm.media_metadata(self._media_df(spark))
+        plan = mm.frame_sample_plan(meta, every_n_seconds=2.0).collect()
+        assert all(r.media_id == "vid1" for r in plan)
+        assert [r.frame_index for r in plan[:3]] == [0, 50, 100]
