@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship: the full KG pipeline (workflows → best →
+                       triples) over the sf0.001 documents table.
+``queries()``        — one entry per operator family from SURVEY.md §2 +
+                       the training-data ops; each takes (spark, sf_dir).
+``oracle_sql()``     — DuckDB-runnable ANSI SQL equivalents. Every hash,
+                       regex and rounding rule matches the Spark side
+                       bit-for-bit (md5-derived hashing; floor-scaled
+                       floats), so the driver's order-insensitive
+                       value-hash comparison holds exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +16,688 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cmc_knowledge_graph_text2ttl_spark.operators import (
+    explode_triples,
+    run_workflows,
+)
+from cmc_knowledge_graph_text2ttl_spark.operators.best import select_best_workflow
+from cmc_knowledge_graph_text2ttl_spark.operators import dedup as D
+from cmc_knowledge_graph_text2ttl_spark.operators import similarity as SIM
+from cmc_knowledge_graph_text2ttl_spark.operators import textstats as TS
+from cmc_knowledge_graph_text2ttl_spark.operators.canonicalize import (
+    connected_components,
+)
+from cmc_knowledge_graph_text2ttl_spark.workflow.compile import compile_workflow
+
+# ---------------------------------------------------------------------------
+# KG workflows used by the oracle-checked queries. The regexes here are
+# mirrored 1:1 in the DuckDB SQL below.
+
+OPS_PATTERN = r"\b(join|scan|sort|merge|filter|window|hash|agg)\b"
+WIDE_PATTERN = r"\b(customer|batch|row|line|data|value|table|key)\b"
+WORD6_PATTERN = r"\b([a-z]{6,})\b"
+
+WF_OPS = """
+- desc: operator-mention extraction (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b(join|scan|sort|merge|filter|window|hash|agg)\\b'
+  as: op
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:mentions
+      object:
+        iri: ex:op_@{op.1}
+    - subject: ex:op_@{op.1}
+      predicate: prop:label
+      object:
+        text: "@{op.1}"
+        lang: en
+"""
+
+WF_WIDE = """
+- desc: wide-vocabulary mention extraction (best-of competitor)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b(customer|batch|row|line|data|value|table|key)\\b'
+  as: w
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:mentions
+      object:
+        iri: ex:word_@{w.1}
+    - subject: ex:word_@{w.1}
+      predicate: prop:label
+      object:
+        text: "@{w.1}"
+        lang: en
+"""
+
+WF_WORDLEN = """
+- desc: typed-literal emission via set/eval (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b([a-z]{6,})\\b'
+  as: w
+  do:
+    - set: wlen
+      eval: len("@{w.1}")
+    - subject: ex:doc_@{doc}
+      predicate: prop:wordLen_@{w.1}
+      object: "@{wlen}"
+"""
+
+
+def _programs():
+    p0 = compile_workflow(WF_OPS, "wf_ops", index=0)
+    p1 = compile_workflow(WF_WIDE, "wf_wide", index=1)
+    return [p0, p1]
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, ...) → the engine's extracted-pages shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("extract_error"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG pipeline over sf0.001 — workflows → best → triples."""
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    ranked = select_best_workflow(run_workflows(pages, _programs()))
+    return explode_triples(ranked, winners_only=True)
+
+
+# ---------------------------------------------------------------------------
+# Shared column helpers (floor-scaling keeps float compares exact)
+
+
+def _fl(col, scale=10_000):
+    return F.floor(col * scale).cast("bigint")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries()
+
+
+def q_kg_mentions(spark, sf_dir):
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_OPS, "wf_ops")])
+    return explode_triples(res).select(
+        "subj", "pred", "obj_kind", "obj_lexical", "obj_lang"
+    )
+
+
+def q_kg_doc_stats(spark, sf_dir):
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_OPS, "wf_ops")])
+    return res.select(
+        "url",
+        "workflow",
+        "no_matches",
+        "no_triples",
+        "total_match_len",
+        _fl(F.col("score"), 1_000_000).alias("score_scaled"),
+    )
+
+
+def q_kg_best_workflow(spark, sf_dir):
+    pages = _docs_as_pages(spark, sf_dir)
+    ranked = select_best_workflow(run_workflows(pages, _programs()))
+    return ranked.filter("is_best").select(
+        "url", "workflow", "no_matches", "total_match_len"
+    )
+
+
+def q_kg_typed_literals(spark, sf_dir):
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_WORDLEN, "wf_wordlen")])
+    return explode_triples(res).select(
+        "subj", "pred", F.col("obj_lexical"), "obj_datatype"
+    )
+
+
+def q_kg_connected_components(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pad = lambda c: F.lpad(c.cast("string"), 4, "0")
+    e1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("n"), pad(F.col("doc_id"))).alias("src"),
+        F.concat(F.lit("n"), pad(F.col("doc_id") + 1)).alias("dst"),
+    )
+    e2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("n"), pad(F.col("doc_id") + 1)).alias("src"),
+        F.concat(F.lit("n"), pad(F.col("doc_id") + 2)).alias("dst"),
+    )
+    return connected_components(e1.union(e2)).select("node", "component")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir)).select(
+        "content_hash", "n_docs", "keep_id"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.5)
+    return pairs.select("id_a", "id_b", _fl(F.col("jaccard")).alias("jaccard_scaled"))
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_docs(spark, sf_dir), n_hashes=8, shingle_n=5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=8, bands=4, shingle_n=5, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", _fl(F.col("jaccard")).alias("jaccard_scaled"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_text_token_counts(spark, sf_dir):
+    return TS.token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    qf = TS.quality_features(_docs(spark, sf_dir))
+    return qf.select(
+        "id",
+        "n_chars",
+        "n_words",
+        _fl(F.col("stopword_ratio")).alias("stopword_ratio_scaled"),
+        _fl(F.col("punct_ratio")).alias("punct_ratio_scaled"),
+        _fl(F.col("digit_ratio")).alias("digit_ratio_scaled"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    return TS.lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_docs(spark, sf_dir), shingle_n=8)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    top = SIM.cosine_topk(emb, qv, k=10)
+    return top.select("id", _fl(F.col("cosine")).alias("cosine_scaled"))
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # per-row floor-scaling BEFORE the sum: integer sums are exact
+            # and order-independent, so distributed partial aggregation
+            # cannot drift from the oracle's sequential sum
+            F.sum(_fl(F.col("l_quantity"), 100)).alias("sum_qty"),
+            F.sum(_fl(F.col("l_extendedprice"), 100)).alias("sum_base_price"),
+            F.sum(
+                _fl(F.col("l_extendedprice") * (1 - F.col("l_discount")), 100)
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_top_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    agg = (
+        orders.groupBy("o_custkey").agg(
+            F.sum(_fl(F.col("o_totalprice"), 100)).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    joined = (
+        agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_cents", "n_orders")
+    )
+    return joined.orderBy(F.desc("revenue_cents"), F.asc("c_custkey")).limit(10)
+
+
+def q_tpch_first_order_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_fl(F.col("value"), 100)).alias("sum_value_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_events_top_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(_fl(F.col("value"), 100)).alias("total_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_cents"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 5")
+        .select("event_type", "user_id", "total_cents", "rnk")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_mentions": q_kg_mentions,
+        "kg_doc_stats": q_kg_doc_stats,
+        "kg_best_workflow": q_kg_best_workflow,
+        "kg_typed_literals": q_kg_typed_literals,
+        "kg_connected_components": q_kg_connected_components,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_customers": q_tpch_top_customers,
+        "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB equivalents. Hashing/regex/scaling mirror the Spark
+# side exactly (md5 hex → bigint; floor(x*scale)).
+
+
+def _minhash_sql(n_hashes: int, shingle_n: int = 5) -> str:
+    from cmc_knowledge_graph_text2ttl_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _hash_params,
+    )
+
+    params = _hash_params(n_hashes)
+    mins = ",\n    ".join(
+        f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, substr(text, i, {shingle_n}) AS shingle
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - {shingle_n - 1}, 0))) AS i
+  )
+), hx AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh
+)
+SELECT id, {mins} FROM hx GROUP BY id
+"""
+
+
+def _jaccard_pairs_sql(threshold: float, shingle_n: int = 5) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, substr(text, i, {shingle_n}) AS shingle
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - {shingle_n - 1}, 0))) AS i
+  )
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(floor(10000.0 * inter / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_scaled
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
+def _kg_stats_sql(pattern: str, workflow: str, triples_per_match: int) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id, regexp_extract_all(text, '{pattern}') AS ms FROM documents
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       '{workflow}' AS workflow,
+       CAST(length(ms) AS BIGINT) AS no_matches,
+       CAST({triples_per_match} * length(ms) AS BIGINT) AS no_triples,
+       CAST(coalesce(list_aggregate(list_transform(ms, x -> length(x)), 'sum'), 0) AS BIGINT)
+         AS total_match_len,
+       CAST(floor(1000000.0 * coalesce(
+         list_aggregate(list_transform(ms, x -> 1.0 - 1.0 / greatest(length(x), 1)), 'sum'),
+         0.0)) AS BIGINT) AS score_scaled
+FROM m
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_mentions": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '{OPS_PATTERN}')) AS op
+  FROM documents
+)
+SELECT 'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://example.org/prop/mentions' AS pred,
+       'iri' AS obj_kind,
+       'http://example.org/kg/op_' || op AS obj_lexical,
+       CAST(NULL AS VARCHAR) AS obj_lang
+FROM m
+UNION ALL
+-- label triples are deduped PER DOCUMENT (graph set semantics are
+-- per-doc in the engine), so one row per (doc, op) here too
+SELECT 'http://example.org/kg/op_' || op AS subj,
+       'http://example.org/prop/label' AS pred,
+       'literal' AS obj_kind,
+       op AS obj_lexical,
+       'en' AS obj_lang
+FROM m
+""",
+        "kg_doc_stats": _kg_stats_sql(OPS_PATTERN, "wf_ops", 2),
+        "kg_best_workflow": f"""
+WITH s1 AS ({_kg_stats_sql(OPS_PATTERN, "wf_ops", 2)}),
+s2 AS ({_kg_stats_sql(WIDE_PATTERN, "wf_wide", 2)}),
+allr AS (
+  SELECT *, 0 AS wf_idx FROM s1 UNION ALL SELECT *, 1 AS wf_idx FROM s2
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY url
+      ORDER BY no_triples DESC, no_matches DESC, total_match_len DESC, wf_idx ASC
+    ) AS rn
+  FROM allr
+)
+SELECT url, workflow, no_matches, total_match_len FROM ranked WHERE rn = 1
+""",
+        "kg_typed_literals": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '{WORD6_PATTERN}')) AS w
+  FROM documents
+)
+SELECT 'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://example.org/prop/wordLen_' || w AS pred,
+       CAST(length(w) AS VARCHAR) AS obj_lexical,
+       'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype
+FROM m
+""",
+        "kg_connected_components": """
+WITH RECURSIVE edges AS (
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS src,
+         'n' || lpad(CAST(doc_id + 1 AS VARCHAR), 4, '0') AS dst
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'n' || lpad(CAST(doc_id + 1 AS VARCHAR), 4, '0'),
+         'n' || lpad(CAST(doc_id + 2 AS VARCHAR), 4, '0')
+  FROM documents WHERE doc_id % 10 = 0
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": _jaccard_pairs_sql(0.5),
+        "dedup_minhash_signatures": _minhash_sql(8),
+        "dedup_minhash_lsh": None,  # filled below (needs the signature CTE)
+        "dedup_simhash": None,  # filled below
+        "text_token_counts": r"""
+SELECT doc_id AS id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        "text_quality": r"""
+WITH f AS (
+  SELECT doc_id AS id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         length(regexp_extract_all(lower(text),
+           '\b(the|a|an|and|or|of|to|in|is|it|that|this|for|with|as|on|at|by)\b'))
+           AS n_stop,
+         length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         length(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+)
+SELECT id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(floor(10000 * round(CASE WHEN n_words > 0 THEN 1.0 * n_stop / n_words ELSE 0 END, 6)) AS BIGINT) AS stopword_ratio_scaled,
+       CAST(floor(10000 * round(CASE WHEN n_chars > 0 THEN 1.0 * n_punct / n_chars ELSE 0 END, 6)) AS BIGINT) AS punct_ratio_scaled,
+       CAST(floor(10000 * round(CASE WHEN n_chars > 0 THEN 1.0 * n_digit / n_chars ELSE 0 END, 6)) AS BIGINT) AS digit_ratio_scaled
+FROM f
+""",
+        "text_lang_id": None,  # filled below
+        "text_fingerprint": """
+SELECT doc_id AS id,
+       min(('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT) AS fingerprint
+FROM documents, LATERAL (
+  SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+)
+GROUP BY doc_id
+""",
+        "ann_cosine_topk": """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id AS id,
+         list_cosine_similarity(embedding::DOUBLE[], q.qv) AS cosine
+  FROM embeddings, q
+)
+SELECT id, CAST(floor(10000 * cosine) AS BIGINT) AS cosine_scaled
+FROM scored ORDER BY cosine DESC, id ASC LIMIT 10
+""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(floor(100 * l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(sum(floor(100 * l_extendedprice)) AS BIGINT) AS sum_base_price,
+       CAST(sum(floor((l_extendedprice * (1 - l_discount)) * 100)) AS BIGINT) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_top_customers": """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(sum(floor(100 * o_totalprice)) AS BIGINT) AS revenue_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, revenue_cents, n_orders
+FROM agg
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 10
+""",
+        "tpch_first_order_per_customer": """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(floor(100 * value)) AS BIGINT) AS sum_value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        "events_top_users": """
+SELECT event_type, user_id, total_cents, rnk FROM (
+  SELECT event_type, user_id,
+         CAST(sum(floor(100 * value)) AS BIGINT) AS total_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sum(floor(100 * value)) DESC, user_id ASC) AS rnk
+  FROM events GROUP BY event_type, user_id
+) WHERE rnk <= 5
+""",
+    } | _generated_oracles()
+
+
+def _generated_oracles() -> dict[str, str]:
+    from cmc_knowledge_graph_text2ttl_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _hash_params,
+    )
+
+    # -- minhash LSH: signatures → 4 bands of 2 → bucket pairs → verify
+    params = _hash_params(8)
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = ", ".join(
+        f"md5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR)) AS band{b}"
+        for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, '{b}:' || band{b} AS bucket FROM banded" for b in range(4)
+    )
+    lsh = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, substr(text, i, 5) AS shingle
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+  )
+), hx AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh
+), sig AS (
+  SELECT id, {mins} FROM hx GROUP BY id
+), banded AS (
+  SELECT id, {bands} FROM sig
+), buckets AS (
+  {band_union}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(floor(10000.0 * inter / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_scaled
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+    # -- simhash (16 bit)
+    sums = ", ".join(
+        f"sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    simhash = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(text), '\W+')) AS tok
+  FROM documents
+), hx AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS x
+  FROM toks WHERE tok <> ''
+), sums AS (
+  SELECT id, {sums} FROM hx GROUP BY id
+)
+SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+    # -- lang id (mirrors textstats.LANG_MARKERS + tie order)
+    from cmc_knowledge_graph_text2ttl_spark.operators.textstats import LANG_MARKERS
+
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        hit_cols.append(
+            f"CAST(length(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS hits_{lang}"
+        )
+    hit_cols.append(
+        "CAST(length(regexp_extract_all(text, '[\u4e00-\u9fff]')) AS BIGINT) AS hits_zh"
+    )
+    order = ["zh", "en", "de", "fr", "es"]
+    pred = "'und'"
+    for lang in reversed(order):
+        later = order[order.index(lang) + 1 :]
+        conds = [f"hits_{lang} > 0"] + [f"hits_{lang} >= hits_{o}" for o in later]
+        pred = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {pred} END"
+    lang_sql = f"""
+WITH h AS (
+  SELECT doc_id AS id, {', '.join(hit_cols)} FROM documents
+)
+SELECT id, hits_zh, hits_en, hits_de, hits_fr, hits_es, {pred} AS lang_pred FROM h
+"""
+    return {
+        "dedup_minhash_lsh": lsh,
+        "dedup_simhash": simhash,
+        "text_lang_id": lang_sql,
+    }
