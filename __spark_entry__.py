@@ -102,20 +102,32 @@ def _programs():
     return [p0, p1]
 
 
+def _par(spark) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents(doc_id, text, ...) → the engine's extracted-pages shape."""
+    """documents(doc_id, text, ...) → the engine's extracted-pages shape.
+
+    Explicit repartition by url hash (north_rule): the testdata parquet is
+    a single file → one partition → the CPU-heavy workflow stage would run
+    on one core without this."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
         F.lit(None).cast("string").alias("extract_error"),
-    )
+    ).repartition(_par(spark), F.xxhash64("url"))
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(_par(spark))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG pipeline over sf0.001 — workflows → best → triples."""
     pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
-    ranked = select_best_workflow(run_workflows(pages, _programs()))
+    ranked = run_workflows(pages, _programs(), select_best=True)
     return explode_triples(ranked, winners_only=True)
 
 
@@ -125,10 +137,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _fl(col, scale=10_000):
     return F.floor(col * scale).cast("bigint")
-
-
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark, sf_dir):

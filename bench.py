@@ -1,0 +1,168 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+* kg_pipeline   — the engine's core workload: 2 workflows × documents →
+                  best-of selection → winner triples (count action)
+* kg_canonical  — sameAs-style connected components + triple rewrite
+* dedup_minhash — MinHash+LSH near-dup pairs over documents
+* dedup_exact   — md5 groupBy dedup
+* ann_topk      — brute-force cosine top-k over embeddings
+* text_quality  — quality features + lang id (one fused projection scan)
+* tpch_q1       — pricing summary aggregate over lineitem
+* tpch_join_topk— orders⋈customer⋈nation + top-k
+* events_window — hourly tumbling aggregation + per-type top-k window
+
+`value` = total wall seconds of the suite (best of N_RUNS per query after
+a warm-up); extra keys report docs/sec + triples/sec for the KG pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def build_suite(spark, sf_dir):
+    """name -> zero-arg callable executing one benchmark query (an action)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import (
+        dedup as D,
+        explode_triples,
+        run_workflows,
+        similarity as SIM,
+        textstats as TS,
+    )
+    from cmc_knowledge_graph_text2ttl_spark.operators.best import select_best_workflow
+    from cmc_knowledge_graph_text2ttl_spark.operators.canonicalize import (
+        canonicalize_triples,
+        connected_components,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    counters = {}
+
+    def kg_pipeline():
+        pages = E._docs_as_pages(spark, sf_dir)
+        ranked = run_workflows(pages, E._programs(), select_best=True)
+        tri = explode_triples(ranked, winners_only=True)
+        n = tri.count()
+        counters["kg_docs"] = docs.count()
+        counters["kg_triples"] = n
+        return n
+
+    def kg_canonical():
+        pad = lambda c: F.lpad(c.cast("string"), 5, "0")
+        e1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.concat(F.lit("n"), pad(F.col("doc_id"))).alias("src"),
+            F.concat(F.lit("n"), pad(F.col("doc_id") + 1)).alias("dst"),
+        )
+        e2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+            F.concat(F.lit("n"), pad(F.col("doc_id") + 1)).alias("src"),
+            F.concat(F.lit("n"), pad(F.col("doc_id") + 2)).alias("dst"),
+        )
+        return connected_components(e1.union(e2)).count()
+
+    def dedup_minhash():
+        return D.minhash_lsh_pairs(
+            docs, n_hashes=16, bands=4, shingle_n=5, threshold=0.5
+        ).count()
+
+    def dedup_exact():
+        return D.exact_duplicates(docs).count()
+
+    def ann_topk():
+        qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+        return len(SIM.cosine_topk(emb, qv, k=10).collect())
+
+    def text_quality():
+        qf = TS.quality_features(docs)
+        li = TS.lang_id(docs)
+        return qf.join(li, "id").count()
+
+    def tpch_q1():
+        return E.q_tpch_pricing_summary(spark, sf_dir).count()
+
+    def tpch_join_topk():
+        return len(E.q_tpch_top_customers(spark, sf_dir).collect())
+
+    def events_window():
+        return E.q_events_hourly(spark, sf_dir).count() + len(
+            E.q_events_top_users(spark, sf_dir).collect()
+        )
+
+    suite = {
+        "kg_pipeline": kg_pipeline,
+        "kg_canonical": kg_canonical,
+        "dedup_minhash": dedup_minhash,
+        "dedup_exact": dedup_exact,
+        "ann_topk": ann_topk,
+        "text_quality": text_quality,
+        "tpch_q1": tpch_q1,
+        "tpch_join_topk": tpch_join_topk,
+        "events_window": events_window,
+    }
+    return suite, counters
+
+
+def run_bench(master=None, sf_dir=SF_DIR, quiet=True):
+    from cmc_knowledge_graph_text2ttl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="kg-bench",
+        master=master or f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    suite, counters = build_suite(spark, sf_dir)
+    timings = {}
+    kg_seconds = None
+    for name, fn in suite.items():
+        fn()  # warm-up (JIT, file listing, broadcast)
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        if name == "kg_pipeline":
+            kg_seconds = best
+    spark.stop()
+    return timings, counters, kg_seconds
+
+
+def main():
+    timings, counters, kg_seconds = run_bench()
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "kg_docs_per_sec": (
+            round(counters.get("kg_docs", 0) / kg_seconds, 1) if kg_seconds else None
+        ),
+        "kg_triples_per_sec": (
+            round(counters.get("kg_triples", 0) / kg_seconds, 1) if kg_seconds else None
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,8 +58,13 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
     Documents shorter than n yield no shingles.
     """
     pos = F.sequence(F.lit(1), F.greatest(F.length(text_col) - n + 1, F.lit(0)))
-    sh = F.explode(F.transform(pos, lambda i: F.col(text_col).substr(i, F.lit(n))))
-    return df.select(F.col(id_col).alias("id"), sh.alias("shingle")).distinct()
+    # array_distinct BEFORE explode: the per-document dedup happens in-row
+    # inside codegen — zero shuffle (a .distinct() here would shuffle the
+    # full shingle multiset, the dominant cost at corpus scale).
+    sh = F.explode(
+        F.array_distinct(F.transform(pos, lambda i: F.col(text_col).substr(i, F.lit(n))))
+    )
+    return df.select(F.col(id_col).alias("id"), sh.alias("shingle"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -158,7 +163,16 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     rpb = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    # One shingle pass feeds BOTH the signatures and the verify join —
+    # persisting it halves the dominant cost of this operator.
+    sh = shingles(df, text_col, id_col, shingle_n).persist()
+    x = md5_int(F.col("shingle"))
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_hash_params(n_hashes))
+        ]
+    )
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"h{b * rpb + r}") for r in range(rpb)])).alias(
             f"band{b}"
@@ -186,8 +200,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
+        sh.unpersist()
         return cand
-    sh = shingles(df, text_col, id_col, shingle_n)
     sizes_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -62,6 +63,10 @@ RESULTS_SCHEMA = StructType(
     ]
 )
 
+RESULTS_SCHEMA_WITH_BEST = StructType(
+    RESULTS_SCHEMA.fields + [StructField("is_best", BooleanType(), False)]
+)
+
 _WS = re.compile(r"\s+")
 _NON_ASCII = re.compile(r"[^\x20-\x7F]")
 
@@ -82,6 +87,7 @@ def run_workflows(
     graphs: Optional[Dict[str, List[GraphRow]]] = None,
     extra_vars: Optional[Dict[str, str]] = None,
     collect_log: bool = False,
+    select_best: bool = False,
 ) -> DataFrame:
     """extracted(url, text, ...) × broadcast(programs) → results table.
 
@@ -89,6 +95,14 @@ def run_workflows(
     continues, runner.py:335-339); per-(doc,workflow) ProcessorExceptions
     land in the ``error`` column and exclude that row from best-selection
     (the reference drops the result, runner.py:389-394).
+
+    ``select_best=True`` adds the ``is_best`` top-1 flag *inside the UDF*:
+    all candidate rows of one document are produced together in one task,
+    so the best-workflow selection needs NO shuffle at all — the window
+    variant (operators.best) exists for stats re-ranked from checkpoints,
+    but the hot path never moves the triple payloads across the cluster.
+    The tie-break is identical to the reference's stable descending sort
+    (runner.py:402-407): earliest workflow wins ties.
     """
     spark = extracted.sparkSession
     bc = spark.sparkContext.broadcast(
@@ -98,6 +112,7 @@ def run_workflows(
             "extra_vars": extra_vars or {},
         }
     )
+    schema = RESULTS_SCHEMA_WITH_BEST if select_best else RESULTS_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payload = bc.value
@@ -106,7 +121,7 @@ def run_workflows(
         query_fn = make_query_fn(minigraphs) if minigraphs else None
         seed_extra = payload["extra_vars"]
         for pdf in batches:
-            out: Dict[str, list] = {f.name: [] for f in RESULTS_SCHEMA.fields}
+            out: Dict[str, list] = {f.name: [] for f in schema.fields}
             has_err = "extract_error" in pdf.columns
             for row in pdf.itertuples(index=False):
                 if has_err and isinstance(row.extract_error, str) and row.extract_error:
@@ -116,6 +131,7 @@ def run_workflows(
                     continue
                 doc_vars = doc_vars_for_url(row.url)
                 doc_vars.update(seed_extra)
+                doc_results = []
                 for prog in progs:
                     res = run_document(
                         text,
@@ -124,6 +140,21 @@ def run_workflows(
                         query_fn=query_fn,
                         collect_log=collect_log,
                     )
+                    doc_results.append((prog, res))
+                if select_best:
+                    # stable descending sort per runner.py:404 — candidates
+                    # are already in workflow_idx order, errors excluded
+                    ranked = sorted(
+                        (i for i, (_, r) in enumerate(doc_results) if r.error is None),
+                        key=lambda i: (
+                            -doc_results[i][1].no_triples,
+                            -doc_results[i][1].no_matches,
+                            -doc_results[i][1].total_match_len,
+                            i,
+                        ),
+                    )
+                    best_idx = ranked[0] if ranked else None
+                for i, (prog, res) in enumerate(doc_results):
                     out["url"].append(row.url)
                     out["workflow"].append(prog.name)
                     out["workflow_idx"].append(prog.index)
@@ -145,10 +176,103 @@ def run_workflows(
                             for t in res.triples
                         ]
                     )
+                    if select_best:
+                        out["is_best"].append(i == best_idx)
             yield pd.DataFrame(out)
 
     cols = [c for c in ("url", "text", "extract_error") if c in extracted.columns]
-    return extracted.select(*cols).mapInPandas(run, schema=RESULTS_SCHEMA)
+    return extracted.select(*cols).mapInPandas(run, schema=schema)
+
+
+def extract_and_run_workflows(
+    pages: DataFrame,
+    programs: List[WorkflowProgram],
+    graphs: Optional[Dict[str, List[GraphRow]]] = None,
+    extra_vars: Optional[Dict[str, str]] = None,
+    select_best: bool = True,
+) -> DataFrame:
+    """Fused stage: html bytes → text → workflows → stats+triples in ONE
+    ``mapInPandas``. Versus extract_text → run_workflows this removes an
+    Arrow round-trip and a second Python worker per task — the fastest
+    path when no extraction checkpoint is needed (the staged pipeline
+    keeps them separate for resumability; this is the streaming/bench
+    hot path). Results are identical by construction: it calls the same
+    ``extract_one`` + ``run_document`` kernels.
+    """
+    from .extract import extract_one
+
+    spark = pages.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {
+            "programs": programs,
+            "graphs": graphs or {},
+            "extra_vars": extra_vars or {},
+        }
+    )
+    schema = RESULTS_SCHEMA_WITH_BEST if select_best else RESULTS_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payload = bc.value
+        progs: List[WorkflowProgram] = payload["programs"]
+        minigraphs = {k: MiniGraph(v) for k, v in payload["graphs"].items()}
+        query_fn = make_query_fn(minigraphs) if minigraphs else None
+        seed_extra = payload["extra_vars"]
+        for pdf in batches:
+            out: Dict[str, list] = {f.name: [] for f in schema.fields}
+            for url, raw, pre in zip(pdf["url"], pdf["html"], pdf["text"]):
+                if isinstance(pre, str) and pre:
+                    text = pre
+                else:
+                    text, _, err = extract_one(bytes(raw) if raw is not None else None)
+                    if err:
+                        continue
+                doc_vars = doc_vars_for_url(url)
+                doc_vars.update(seed_extra)
+                doc_results = []
+                for prog in progs:
+                    res = run_document(
+                        text, prog, doc_vars=dict(doc_vars), query_fn=query_fn
+                    )
+                    doc_results.append((prog, res))
+                best_idx = None
+                if select_best:
+                    ranked = sorted(
+                        (i for i, (_, r) in enumerate(doc_results) if r.error is None),
+                        key=lambda i: (
+                            -doc_results[i][1].no_triples,
+                            -doc_results[i][1].no_matches,
+                            -doc_results[i][1].total_match_len,
+                            i,
+                        ),
+                    )
+                    best_idx = ranked[0] if ranked else None
+                for i, (prog, res) in enumerate(doc_results):
+                    out["url"].append(url)
+                    out["workflow"].append(prog.name)
+                    out["workflow_idx"].append(prog.index)
+                    out["no_matches"].append(res.no_matches)
+                    out["no_triples"].append(res.no_triples)
+                    out["total_match_len"].append(res.total_match_len)
+                    out["score"].append(res.score)
+                    out["error"].append(res.error)
+                    out["triples"].append(
+                        [
+                            {
+                                "subj": t[0],
+                                "pred": t[1],
+                                "obj_kind": t[2],
+                                "obj_lexical": t[3],
+                                "obj_lang": t[4],
+                                "obj_datatype": t[5],
+                            }
+                            for t in res.triples
+                        ]
+                    )
+                    if select_best:
+                        out["is_best"].append(i == best_idx)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "html", "text").mapInPandas(run, schema=schema)
 
 
 def explode_triples(results: DataFrame, winners_only: bool = False) -> DataFrame:

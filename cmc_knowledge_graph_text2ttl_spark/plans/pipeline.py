@@ -39,7 +39,6 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..operators.best import select_best_workflow
 from ..operators.canonicalize import canonicalize_triples
 from ..operators.extract import extract_text
 from ..operators.run import explode_triples, run_workflows
@@ -218,12 +217,14 @@ class KgPipeline:
                 "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
             ),
         )
-        # Stage 2: workflows + best-workflow selection
+        # Stage 2: workflows + best-workflow selection (is_best computed
+        # inside the UDF — rows of one doc are task-local, so the top-1
+        # needs no shuffle; see run_workflows(select_best=True))
         results = self._run_stage(
             "results",
             extracted,
-            lambda df: select_best_workflow(
-                run_workflows(df, self.programs, graphs=self.graphs)
+            lambda df: run_workflows(
+                df, self.programs, graphs=self.graphs, select_best=True
             ).withColumn(
                 "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
             ),

@@ -210,3 +210,16 @@ class TestSelectOp:
         assert len(out) == 1
         assert str(out[0]["s"]) == "http://x/Aspirin"
         assert str(out[0]["l"]) == "Aspirin"
+
+
+class TestInUdfBestSelection:
+    def test_in_udf_is_best_equals_window(self, spark, fixture_programs):
+        pages = synth_pages_df(spark, 100)
+        ext = extract_text(pages)
+        in_udf = run_workflows(ext, fixture_programs, select_best=True)
+        got = {(r.url, r.workflow) for r in in_udf.filter("is_best").collect()}
+        windowed = select_best_workflow(
+            run_workflows(ext, fixture_programs)
+        )
+        expect = {(r.url, r.workflow) for r in windowed.filter("is_best").collect()}
+        assert got == expect
