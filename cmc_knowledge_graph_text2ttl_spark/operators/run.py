@@ -60,6 +60,21 @@ RESULTS_SCHEMA = StructType(
         StructField("score", DoubleType(), True),
         StructField("error", StringType(), True),
         StructField("triples", ArrayType(TRIPLE_STRUCT), True),
+        # dump:-to-file outputs and save-as: requests (OutputHandler
+        # equivalents, processor.py:780/977 — side outputs become columns)
+        StructField(
+            "texts",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", StringType(), True),
+                        StructField("text", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("saved_as", ArrayType(StringType()), True),
     ]
 )
 
@@ -176,6 +191,10 @@ def run_workflows(
                             for t in res.triples
                         ]
                     )
+                    out["texts"].append(
+                        [{"name": k, "text": v} for k, v in res.texts.items()]
+                    )
+                    out["saved_as"].append(list(res.saved_as))
                     if select_best:
                         out["is_best"].append(i == best_idx)
             yield pd.DataFrame(out)
@@ -268,6 +287,10 @@ def extract_and_run_workflows(
                             for t in res.triples
                         ]
                     )
+                    out["texts"].append(
+                        [{"name": k, "text": v} for k, v in res.texts.items()]
+                    )
+                    out["saved_as"].append(list(res.saved_as))
                     if select_best:
                         out["is_best"].append(i == best_idx)
             yield pd.DataFrame(out)
