@@ -61,20 +61,16 @@ def html_to_xhtml_text(data: bytes) -> str:
 def pdf_to_xhtml_text(data: bytes) -> str:
     """PDF → XHTML with geometric table recognition.
 
-    The real implementation requires PyMuPDF (reference pipeline:
-    extract words → guiding lines → consolidate → borders → tables →
-    cell regions → consolidate cells; text_to_turtle_pdf_to_text.py
-    :385-479). Not installed here: raise so the row becomes an error row;
-    tests monkeypatch a deterministic fake to exercise the dispatch path.
+    The 7-stage recognizer (guiding lines → consolidate → borders →
+    tables → cell regions → consolidate → render) is fully implemented
+    in :mod:`.pdf_tables` as pure geometry; only the PDF *byte decoding*
+    needs PyMuPDF. Without it this raises NotImplementedError and the
+    row becomes an error row (the reference skips such docs too,
+    runner.py:326-339).
     """
-    try:
-        import fitz  # noqa: F401  (PyMuPDF)
-    except ImportError as ex:
-        raise NotImplementedError(
-            "PDF extraction requires PyMuPDF, which is not available in "
-            "this environment"
-        ) from ex
-    raise NotImplementedError("PDF geometric table recognition not ported yet")
+    from .pdf_tables import pdf_bytes_to_xhtml
+
+    return pdf_bytes_to_xhtml(data)
 
 
 def sniff_content_type(data: Optional[bytes]) -> str:
