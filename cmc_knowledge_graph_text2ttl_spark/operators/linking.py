@@ -1,0 +1,137 @@
+"""Entity linking as whole-column DataFrame operators.
+
+The reference's ``mapping``/``map`` ops are per-document dictionary
+lookups inside the interpreter (processor.py:1992-2104). At corpus scale
+the same dictionary becomes a *table*, and linking becomes relational:
+
+* exact surface forms  → **broadcast hash join** (the dict half of the
+  reference's mapping, processor.py:2084 — Catalyst broadcasts the small
+  side, zero shuffle on the big side),
+* ordered regex pairs  → a ``coalesce`` cascade of ``regexp_replace`` /
+  ``regexp_extract`` column expressions, first-match-wins in definition
+  order (processor.py:2095-2101),
+* unmatched mentions   → identity (kept, flagged unlinked).
+
+Dictionaries load from the FIXTURES.md §4 TSV shapes:
+``dictionary.tsv`` (surface_form \\t canonical_iri) and ``patterns.tsv``
+(regex \\t canonical_iri_template, ordered). sameAs edge CSVs feed the
+connected-components canonicalizer.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_dictionary(path_or_text: str, from_text: bool = False) -> List[Tuple[str, str]]:
+    """Read a surface_form→canonical_iri TSV (driver-side, small)."""
+    if from_text:
+        fh = io.StringIO(path_or_text)
+    else:
+        fh = open(path_or_text, "r", encoding="utf8")
+    with fh:
+        rows = []
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            surface, iri = line.split("\t", 1)
+            rows.append((surface, iri))
+        return rows
+
+
+def link_exact(
+    mentions: DataFrame,
+    dictionary: List[Tuple[str, str]],
+    mention_col: str = "mention",
+    ignore_case: bool = True,
+) -> DataFrame:
+    """Exact dictionary linking via broadcast hash join.
+
+    Adds ``canonical_iri`` (null when unlinked). With ``ignore_case`` the
+    join key is lowercased on both sides AND the original-case entry wins
+    over the lowercased copy — mirroring the reference's dict layout
+    (original + lowercased keys, processor.py:2025-2027).
+    """
+    spark = mentions.sparkSession
+    if ignore_case:
+        entries = {}
+        for surface, iri in dictionary:
+            entries.setdefault(surface.lower(), iri)
+        dict_rows = [(k, v) for k, v in entries.items()]
+        key = F.lower(F.col(mention_col))
+    else:
+        dict_rows = dictionary
+        key = F.col(mention_col)
+    dict_df = spark.createDataFrame(dict_rows, ["surface_form", "canonical_iri"])
+    joined = mentions.withColumn("__key", key).join(
+        F.broadcast(dict_df.withColumnRenamed("surface_form", "__key")),
+        "__key",
+        "left",
+    )
+    return joined.drop("__key")
+
+
+def link_patterns(
+    df: DataFrame,
+    patterns: List[Tuple[str, str]],
+    mention_col: str = "mention",
+    out_col: str = "canonical_iri",
+) -> DataFrame:
+    """Ordered regex-pair linking as a first-match-wins coalesce cascade.
+
+    Each pair (regex, iri_template) matches anchored like the reference's
+    ``re.match`` (processor.py:2097); ``$1``-style group refs in the
+    template are supported via ``regexp_replace``. All JVM-side — the
+    cascade compiles into one whole-stage-codegen projection.
+    """
+    cases = []
+    m = F.col(mention_col)
+    for pattern, template in patterns:
+        anchored = pattern if pattern.startswith("^") else "^" + pattern
+        hit = m.rlike(anchored)
+        replaced = F.regexp_replace(m, anchored + "(?s:.*)$", template)
+        cases.append(F.when(hit, replaced))
+    existing = F.col(out_col) if out_col in df.columns else F.lit(None).cast("string")
+    return df.withColumn(out_col, F.coalesce(existing, *cases))
+
+
+def link_mentions(
+    mentions: DataFrame,
+    dictionary: List[Tuple[str, str]],
+    patterns: Optional[List[Tuple[str, str]]] = None,
+    mention_col: str = "mention",
+    ignore_case: bool = True,
+) -> DataFrame:
+    """Full linking: exact broadcast join first, regex cascade on misses,
+    identity (null canonical) otherwise — the reference's mapping
+    application order (processor.py:2067-2104) as a distributed plan."""
+    out = link_exact(mentions, dictionary, mention_col, ignore_case)
+    if patterns:
+        out = link_patterns(out, patterns, mention_col)
+    return out.withColumn("linked", F.col("canonical_iri").isNotNull())
+
+
+def extract_mentions(
+    triples: DataFrame, mention_pred: str
+) -> DataFrame:
+    """Pull mention literals for a predicate out of the triples table."""
+    return triples.filter(
+        (F.col("pred") == mention_pred) & (F.col("obj_kind") == "literal")
+    ).select(
+        F.col("subj").alias("doc_iri"), F.col("obj_lexical").alias("mention")
+    )
+
+
+def load_sameas_csv(spark: SparkSession, path: str) -> DataFrame:
+    """sameas_edges.csv (src_iri,dst_iri) → edges DataFrame."""
+    return (
+        spark.read.option("header", "true")
+        .csv(path)
+        .select(F.col("src_iri").alias("src"), F.col("dst_iri").alias("dst"))
+    )

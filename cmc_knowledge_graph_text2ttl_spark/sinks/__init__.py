@@ -1,4 +1,5 @@
 from .ttl import (
+    export_per_doc_turtle,
     format_nt_term,
     triple_to_ntriples,
     triples_to_nt_lines,
@@ -7,6 +8,7 @@ from .ttl import (
 )
 
 __all__ = [
+    "export_per_doc_turtle",
     "format_nt_term",
     "triple_to_ntriples",
     "triples_to_nt_lines",

@@ -146,3 +146,53 @@ def serialize_turtle(
         parts.append(" ;\n".join(by_subj[subj]) + " .")
         parts.append("")
     return "\n".join(parts)
+
+
+def export_per_doc_turtle(
+    triples: DataFrame,
+    out_dir: str,
+    prefixes: Optional[Dict[str, str]] = None,
+    doc_name_col: str = "url",
+) -> int:
+    """One ``.ttl`` file per document (runner.py:409-410 parity).
+
+    A file-per-document sink is inherently a SMALL-corpus exporter — the
+    distributed primary sink is the triples table itself. Rows stream to
+    the driver grouped per document (one pass, no full collect) and each
+    document's graph serializes with the canonical Turtle writer.
+    Returns the number of files written.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    grouped = (
+        triples.groupBy(doc_name_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "subj", "pred", "obj_kind", "obj_lexical",
+                        "obj_lang", "obj_datatype",
+                    )
+                )
+            ).alias("rows")
+        )
+    )
+    n = 0
+    for row in grouped.toLocalIterator():
+        doc = row[doc_name_col]
+        # doc-name cleanup mirrors runner.py:316-317
+        import re as _re
+
+        clean = _re.sub(r"[^\x20-\x7F]", "-", _re.sub(r"\s+", "-", doc))
+        clean = clean.replace("/", "_").replace(":", "_")
+        rows = [
+            (t.subj, t.pred, t.obj_kind, t.obj_lexical, t.obj_lang, t.obj_datatype)
+            for t in row.rows
+        ]
+        with open(os.path.join(out_dir, f"{clean}.ttl"), "w", encoding="utf8") as fh:
+            fh.write(serialize_turtle(rows, prefixes))
+        n += 1
+    return n

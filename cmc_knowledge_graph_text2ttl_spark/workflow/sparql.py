@@ -68,14 +68,24 @@ def parse_query(where_clause: str) -> Tuple[List[str], List[tuple]]:
     if m is None:
         raise ProcessorException(f"Unsupported query (need SELECT..WHERE{{..}}): {where_clause}")
     sel = [v.lstrip("?") for v in re.split(r"\s+", m.group(1).strip()) if v]
-    patterns = []
-    for stmt in re.split(r"\s*\.\s*", m.group(2).strip()):
-        if not stmt.strip():
-            continue
-        toks = _TERM.findall(stmt)
-        if len(toks) != 3:
-            raise ProcessorException(f"Bad triple pattern: {stmt!r}")
-        patterns.append(tuple(_parse_term(t, prefixes) for t in toks))
+    # Tokenize term-wise instead of splitting on '.' — IRIs and prefixed
+    # names legitimately contain dots; the statement separator is any
+    # bare '.' left between term matches.
+    toks = []
+    for t in _TERM.findall(m.group(2)):
+        # a prefixed name glued to its statement-separator dot
+        if not t.startswith(("<", '"', "?")) and t.endswith("."):
+            t = t[:-1]
+        if t:
+            toks.append(t)
+    if len(toks) % 3 != 0:
+        raise ProcessorException(
+            f"Bad where clause (expected triples of terms): {where_clause!r}"
+        )
+    patterns = [
+        tuple(_parse_term(t, prefixes) for t in toks[i : i + 3])
+        for i in range(0, len(toks), 3)
+    ]
     return sel, patterns
 
 

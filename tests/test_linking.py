@@ -1,0 +1,130 @@
+"""Entity-linking operator tests: broadcast dictionary join, regex
+cascade, fixture TSV loaders, hot-hub sameAs canonicalization, per-doc
+Turtle export, ontology TTL-lite parsing.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cmc_knowledge_graph_text2ttl_spark.operators import linking as L
+from cmc_knowledge_graph_text2ttl_spark.operators.canonicalize import (
+    connected_components,
+)
+from cmc_knowledge_graph_text2ttl_spark.sinks import export_per_doc_turtle
+from cmc_knowledge_graph_text2ttl_spark.workflow.sparql import MiniGraph, parse_ttl
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def dictionary():
+    return L.load_dictionary(f"{FIX}/linking/dictionary.tsv")
+
+
+@pytest.fixture(scope="module")
+def patterns():
+    return L.load_dictionary(f"{FIX}/linking/patterns.tsv")
+
+
+class TestDictionaryLinking:
+    def test_exact_and_case_variants(self, spark, dictionary):
+        mentions = spark.createDataFrame(
+            [("d1", "Aspirin"), ("d2", "ASPIRIN"), ("d3", "acetylsalicylic acid"),
+             ("d4", "NaCl"), ("d5", "unknown compound")],
+            ["doc", "mention"],
+        )
+        out = {r.doc: r.canonical_iri for r in L.link_exact(mentions, dictionary).collect()}
+        assert out["d1"] == "http://example.org/kg/material_Aspirin"
+        assert out["d2"] == "http://example.org/kg/material_Aspirin"
+        assert out["d3"] == "http://example.org/kg/material_Aspirin"
+        assert out["d4"] == "http://example.org/kg/material_SodiumChloride"
+        assert out["d5"] is None
+
+    def test_broadcast_join_in_plan(self, spark, dictionary):
+        mentions = spark.createDataFrame([("d1", "Aspirin")], ["doc", "mention"])
+        plan = L.link_exact(mentions, dictionary)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_regex_cascade_order_and_groups(self, spark, dictionary, patterns):
+        mentions = spark.createDataFrame(
+            [("d1", "LOT-12345"), ("d2", "Aspirin (technical grade)"),
+             ("d3", "CAS 50-78-2"), ("d4", "nothing")],
+            ["doc", "mention"],
+        )
+        out = {
+            r.doc: (r.canonical_iri, r.linked)
+            for r in L.link_mentions(mentions, dictionary, patterns).collect()
+        }
+        assert out["d1"] == ("http://example.org/kg/lot_12345", True)
+        assert out["d2"] == ("http://example.org/kg/material_Aspirin", True)
+        assert out["d3"] == ("http://example.org/kg/cas_number", True)
+        assert out["d4"] == (None, False)
+
+    def test_exact_wins_over_pattern(self, spark, dictionary, patterns):
+        # 'Aspirin' hits the dictionary; the (technical grade) pattern
+        # must not fire for it (first-match-wins order: exact > regex)
+        mentions = spark.createDataFrame([("d", "Aspirin")], ["doc", "mention"])
+        row = L.link_mentions(mentions, dictionary, patterns).first()
+        assert row.canonical_iri == "http://example.org/kg/material_Aspirin"
+
+
+class TestSameAsFixture:
+    def test_hot_hub_components_with_salting(self, spark):
+        edges = L.load_sameas_csv(spark, f"{FIX}/linking/sameas_edges.csv")
+        comp = connected_components(edges, salt_hubs=8)
+        m = {r.node: r.component for r in comp.collect()}
+        # chain c0..c5 collapses to its lexicographic min
+        assert {m[f"http://x/chain_{i}"] for i in range(6)} == {"http://x/chain_0"}
+        # the 1000-edge hub star collapses to the min alias
+        assert m["http://x/hub"] == "http://x/alias_0000"
+        assert m["http://x/alias_0999"] == "http://x/alias_0000"
+        # pairs stay separate
+        assert m["http://x/pb_3"] == "http://x/pa_3"
+        assert len({m[f"http://x/pa_{i}"] for i in range(10)}) == 10
+
+
+class TestOntologyFixture:
+    def test_parse_and_query(self):
+        with open(f"{FIX}/ontology.ttl") as fh:
+            rows = parse_ttl(fh.read())
+        g = MiniGraph(rows)
+        assert len(g) >= 30
+        out = g.query(
+            "SELECT ?m WHERE { ?m <http://example.org/prop/class> "
+            "<http://example.org/kg/class_Solvent> . }"
+        )
+        names = {str(r["m"]) for r in out}
+        assert names == {
+            "http://example.org/kg/material_Ethanol",
+            "http://example.org/kg/material_Acetone",
+        }
+        # two-pattern join: material -> class -> kind
+        out2 = g.query(
+            "SELECT ?m ?c WHERE { ?m <http://example.org/prop/class> ?c . "
+            "?c <http://example.org/prop/kind> <http://example.org/kg/MaterialClass> . }"
+        )
+        assert len(out2) == 9
+
+
+class TestPerDocTurtleExport:
+    def test_one_file_per_doc(self, spark, tmp_path):
+        rows = [
+            ("http://x/s1", "http://x/p", "literal", "v1", None, None, "doc://1"),
+            ("http://x/s1", "http://x/q", "iri", "http://x/o", None, None, "doc://1"),
+            ("http://x/s2", "http://x/p", "literal", "zwei", "de", None, "doc://2"),
+        ]
+        tri = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj_kind string, obj_lexical string,"
+            "obj_lang string, obj_datatype string, url string",
+        )
+        n = export_per_doc_turtle(tri, str(tmp_path), prefixes={"x": "http://x/"})
+        assert n == 2
+        files = sorted(os.listdir(tmp_path))
+        assert files == ["doc___1.ttl", "doc___2.ttl"]
+        content = (tmp_path / "doc___1.ttl").read_text()
+        assert "@prefix x: <http://x/> ." in content
+        assert 'x:p "v1"' in content and "x:q x:o" in content
+        assert '"zwei"@de' in (tmp_path / "doc___2.ttl").read_text()

@@ -223,3 +223,45 @@ class TestInUdfBestSelection:
         )
         expect = {(r.url, r.workflow) for r in windowed.filter("is_best").collect()}
         assert got == expect
+
+
+class TestSkewCorpus:
+    """Skew fixture (1% of hosts own 50% of rows) — correctness must be
+    partition-shape-independent and AQE must keep the job healthy."""
+
+    def test_skewed_equals_oracle_count(self, spark, fixture_programs):
+        skewed = synth_pages_df(spark, 400, n_hosts=100, skew=True)
+        ranked = run_workflows(
+            extract_text(skewed), fixture_programs, select_best=True
+        )
+        tri = explode_triples(ranked, winners_only=True)
+        n = tri.count()
+        # oracle over the same deterministic rows
+        from cmc_knowledge_graph_text2ttl_spark.sources import synth_page_rows
+
+        expect = 0
+        for url, ts, html, _, lang in synth_page_rows(400, n_hosts=100, skew=True):
+            text, ctype, err = extract_one(html)
+            if err:
+                continue
+            best = None
+            for prog in fixture_programs:
+                res = run_document(text, prog, doc_vars=doc_vars_for_url(url))
+                if res.error is None:
+                    key = (res.no_triples, res.no_matches, res.total_match_len)
+                    if best is None or key > best[0]:
+                        best = (key, res)
+            if best:
+                expect += len(best[1].triples)
+        assert n == expect
+
+    def test_hot_host_distribution(self, spark):
+        skewed = synth_pages_df(spark, 2000, n_hosts=100, skew=True)
+        per_host = (
+            skewed.groupBy(F.regexp_extract("url", r"https?://([^/]+)/", 1))
+            .count()
+            .orderBy(F.desc("count"))
+            .collect()
+        )
+        # hottest host owns roughly half the corpus (the fixture contract)
+        assert per_host[0]["count"] > 2000 * 0.4

@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis): interpreter invariants on random
+inputs — literal coercion cascade, template expansion, extraction
+determinism, minhash/jaccard math, and a random-corpus engine-vs-oracle
+sweep over a constrained workflow grammar.
+"""
+
+import hashlib
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from cmc_knowledge_graph_text2ttl_spark.core import XSD
+from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_one
+from cmc_knowledge_graph_text2ttl_spark.workflow import run_document
+from cmc_knowledge_graph_text2ttl_spark.workflow.interpreter import DocInterpreter
+
+from conftest import wf
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=200,
+)
+
+
+class TestLiteralCascadeProperties:
+    @given(st.integers(min_value=-(10**15), max_value=10**15))
+    def test_integers_roundtrip(self, i):
+        interp = DocInterpreter()
+        lit = interp._parse_literal(str(i))
+        assert lit.datatype == XSD.integer and lit.lexical == str(i)
+
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+    def test_floats_coerce(self, f):
+        s = repr(f)
+        interp = DocInterpreter()
+        lit = interp._parse_literal(s)
+        # ints-in-disguise ("1e2" is a float literal; "100.0" too)
+        if lit.datatype == XSD.integer:
+            assert float(lit.lexical) == f
+        else:
+            assert lit.datatype == XSD.float
+            assert float(lit.lexical) == f or (math.isnan(float(lit.lexical)) and math.isnan(f))
+
+    @given(text_st)
+    def test_cascade_total(self, s):
+        """The cascade never raises on plain strings without templates."""
+        if "@{" in s:
+            return
+        interp = DocInterpreter()
+        lit = interp._parse_literal(s)
+        assert lit is not None
+
+    @given(text_st)
+    def test_caret_escape(self, s):
+        if "@{" in s or s.strip() in ("true", "True", "TRUE", "false", "False", "FALSE"):
+            return
+        interp = DocInterpreter()
+        lit = interp._parse_literal("^" + s)
+        # '^'+s: int('^..') always fails, so result is the string s...
+        # unless s itself parses as number after the caret is kept — it
+        # can't: '^' prefix kills int/float parses. Plain literal == s.
+        assert lit.lexical == s and lit.datatype is None
+
+
+class TestTemplateProperties:
+    @given(st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9 ,;.!-]{0,20}", fullmatch=True),
+        max_size=5,
+    ))
+    def test_defined_vars_expand(self, vars_):
+        interp = DocInterpreter(initial_vars=vars_)
+        for name, val in vars_.items():
+            assert interp.expand("@{" + name + "}") == (val or "")
+
+    @given(text_st)
+    def test_no_refs_identity(self, s):
+        if "@{" in s:
+            return
+        interp = DocInterpreter()
+        assert interp.expand(s) == s
+
+    @given(st.from_regex(r"[a-z]{1,8}", fullmatch=True))
+    def test_undefined_var_is_None_literal(self, name):
+        interp = DocInterpreter()
+        assert interp.expand("@{" + name + "}") == "None"
+
+
+class TestExtractionProperties:
+    @given(st.binary(max_size=400))
+    def test_extract_is_pure_and_total(self, data):
+        a = extract_one(data)
+        b = extract_one(data)
+        assert a == b  # deterministic
+        text, ctype, err = a
+        assert (text is None) == (err is not None)
+
+    @given(st.text(max_size=200))
+    def test_first_root_truncation(self, s):
+        if "</html>" in s:
+            return
+        data = (s + "</html>" + s + "</html>").encode("utf-8", "ignore")
+        text, ctype, err = extract_one(data)
+        if err is None:
+            assert text.count("</html>") == 1
+            assert text.endswith("</html>")
+
+
+class TestOracleGrammarSweep:
+    """Random (doc, workflow) pairs from a constrained grammar: the
+    interpreter must never crash the batch (errors are per-doc values)
+    and where it succeeds, stats invariants hold."""
+
+    WORDS = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+
+    @given(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=30),
+        st.sampled_from(WORDS),
+        st.integers(min_value=0, max_value=3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_match_every_invariants(self, doc_words, needle, extra):
+        text = " ".join(doc_words)
+        src = f"""
+- prefix: ex
+  iri: http://x/
+- match-every: '\\b({needle})\\b'
+  as: m
+  do:
+    - subject: ex:doc
+      predicate: ex:hit
+      object: "^@{{m.1}}-@{{m_count}}"
+"""
+        res = run_document(text, wf(src))
+        assert res.error is None
+        n = len(re.findall(rf"\b({needle})\b", text))
+        assert res.no_matches == n
+        assert res.no_triples == n
+        assert len(res.triples) == n  # all distinct (count suffix)
+        assert res.total_match_len == n * len(needle)
+        expected_score = sum(1 - 1 / max(1, len(needle)) for _ in range(n))
+        assert math.isclose(res.score, expected_score)
+
+    @given(st.lists(st.sampled_from(WORDS), min_size=1, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def test_within_scoping_never_leaks(self, doc_words):
+        text = "PRE [" + " ".join(doc_words) + "] POST"
+        src = """
+- within: '\\[(.*)\\]'
+  do:
+    - match: '(PRE|POST)'
+      as: leak
+      do: [{pass: x}]
+- ifdef: leak.1
+  do:
+    - subject: http://x/s
+      predicate: http://x/p
+      object: leaked
+"""
+        res = run_document(text, wf(src))
+        assert res.error is None
+        assert res.triples == []  # PRE/POST invisible inside the scope
