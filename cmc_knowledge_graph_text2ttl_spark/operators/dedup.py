@@ -135,12 +135,14 @@ def minhash_signatures(
     """
     assert n_hashes <= MINHASH_MAX_HASHES
     sh = shingles(df, text_col, id_col, shingle_n)
-    x = md5_int(F.col("shingle"))
+    # project the md5 ONCE per shingle — as an agg-function input it would
+    # be re-evaluated per hash function (n_hashes x md5 per shingle)
+    hx = sh.select("id", md5_int(F.col("shingle")).alias("x"))
     aggs = [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(n_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hx.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -166,10 +168,10 @@ def minhash_lsh_pairs(
     # One shingle pass feeds BOTH the signatures and the verify join —
     # persisting it halves the dominant cost of this operator.
     sh = shingles(df, text_col, id_col, shingle_n).persist()
-    x = md5_int(F.col("shingle"))
-    sig = sh.groupBy("id").agg(
+    hx = sh.select("id", md5_int(F.col("shingle")).alias("x"))
+    sig = hx.groupBy("id").agg(
         *[
-            F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
             for i, (a, b) in enumerate(_hash_params(n_hashes))
         ]
     )
@@ -237,11 +239,13 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = md5_int(F.col("tok"))
-    sums = toks.groupBy("id").agg(
+    hx = toks.select("id", md5_int(F.col("tok")).alias("h"))
+    sums = hx.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"s{b}")
             for b in range(bits)
         ]
