@@ -198,6 +198,37 @@ def q_kg_connected_components(spark, sf_dir):
     return connected_components(e1.union(e2)).select("node", "component")
 
 
+def q_kg_canonicalized_triples(spark, sf_dir):
+    """Full canonicalization path: deterministic sameAs edges + fact
+    triples derived from documents; facts rewritten onto component
+    representatives (subject and IRI-object sides)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.canonicalize import (
+        canonicalize_triples,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pad = lambda c: F.lpad(c.cast("string"), 4, "0")
+    iri = lambda c: F.concat(F.lit("http://x/e"), pad(c))
+    sameas = docs.filter(F.col("doc_id") % 5 == 0).select(
+        iri(F.col("doc_id")).alias("subj"),
+        F.lit("http://www.w3.org/2002/07/owl#sameAs").alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        iri(F.col("doc_id") + 1).alias("obj_lexical"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    facts = docs.select(
+        iri(F.col("doc_id")).alias("subj"),
+        F.lit("http://x/refersTo").alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        iri((F.col("doc_id") + 7) % 500).alias("obj_lexical"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    out = canonicalize_triples(sameas.union(facts))
+    return out.select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).select(
         "content_hash", "n_docs", "keep_id"
@@ -341,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_best_workflow": q_kg_best_workflow,
         "kg_typed_literals": q_kg_typed_literals,
         "kg_connected_components": q_kg_connected_components,
+        "kg_canonicalized_triples": q_kg_canonicalized_triples,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -495,6 +527,34 @@ WITH RECURSIVE edges AS (
   SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
 )
 SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "kg_canonicalized_triples": """
+WITH RECURSIVE edges AS (
+  SELECT 'http://x/e' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS src,
+         'http://x/e' || lpad(CAST(doc_id + 1 AS VARCHAR), 4, '0') AS dst
+  FROM documents WHERE doc_id % 5 = 0
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), facts AS (
+  SELECT 'http://x/e' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS subj,
+         'http://x/refersTo' AS pred,
+         'iri' AS obj_kind,
+         'http://x/e' || lpad(CAST((doc_id + 7) % 500 AS VARCHAR), 4, '0') AS obj_lexical
+  FROM documents
+)
+SELECT DISTINCT
+  coalesce(cs.component, f.subj) AS subj,
+  f.pred, f.obj_kind,
+  coalesce(co.component, f.obj_lexical) AS obj_lexical
+FROM facts f
+LEFT JOIN comp cs ON cs.node = f.subj
+LEFT JOIN comp co ON co.node = f.obj_lexical
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash,
