@@ -1,6 +1,7 @@
 from .ingest import (
     read_pages_stream,
     stream_dedup_pages,
+    stream_host_sessions,
     stream_triples,
     stream_windowed_page_counts,
 )
@@ -8,6 +9,7 @@ from .ingest import (
 __all__ = [
     "read_pages_stream",
     "stream_dedup_pages",
+    "stream_host_sessions",
     "stream_triples",
     "stream_windowed_page_counts",
 ]
