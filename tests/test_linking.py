@@ -128,3 +128,52 @@ class TestPerDocTurtleExport:
         assert "@prefix x: <http://x/> ." in content
         assert 'x:p "v1"' in content and "x:q x:o" in content
         assert '"zwei"@de' in (tmp_path / "doc___2.ttl").read_text()
+
+
+class TestEndpointExporter:
+    def test_batched_post_with_fake_transport(self, spark, tmp_path):
+        import json
+
+        rows = [
+            (f"http://x/s{i}", "http://x/p", "literal", str(i), None, None)
+            for i in range(25)
+        ]
+        tri = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj_kind string, obj_lexical string,"
+            "obj_lang string, obj_datatype string",
+        ).repartition(3)
+        log = str(tmp_path / "posts.log")
+
+        def fake_transport(url, body, headers, _log=log):
+            # executor-side: record each POST to a shared file
+            with open(_log, "a") as fh:
+                fh.write(json.dumps({
+                    "url": url,
+                    "lines": body.decode().count("\n") + 1,
+                    "auth": headers.get("Authorization", ""),
+                }) + "\n")
+            return 200
+
+        from cmc_knowledge_graph_text2ttl_spark.sinks.exporter import export_to_endpoint
+
+        import os
+        os.environ["KG_TEST_PW"] = "sekrit"
+        n = export_to_endpoint(
+            tri, "http://fake-endpoint/db", username="u", password="$KG_TEST_PW",
+            transport=fake_transport, max_batch_lines=10,
+        )
+        with open(log) as fh:
+            posts = [json.loads(l) for l in fh]
+        assert n == len(posts) >= 3
+        assert sum(p["lines"] for p in posts) == 25
+        assert all(p["url"] == "http://fake-endpoint/db" for p in posts)
+        assert all(p["auth"].startswith("Basic ") for p in posts)
+
+    def test_missing_env_credential_raises(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.sinks.exporter import export_to_endpoint
+
+        df = spark.createDataFrame([], "subj string, pred string, obj_kind string,"
+                                   "obj_lexical string, obj_lang string, obj_datatype string")
+        with pytest.raises(ValueError):
+            export_to_endpoint(df, "http://x", username="$NO_SUCH_ENV_VAR")
