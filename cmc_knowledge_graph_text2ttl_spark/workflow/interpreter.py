@@ -87,6 +87,30 @@ _MAX_TEMPLATE_REWRITES = 100_000
 _KEYWORD_PRIORITY = {kw: i for i, kw in enumerate(KEYWORDS)}
 
 
+@lru_cache(maxsize=65536)
+def _parse_template(template: str):
+    """Segment a template into (None, literal) and
+    (True, raw, optional, match_id, group, func) parts; None if no ref."""
+    parts = []
+    pos = 0
+    found = False
+    for m in _TEMPLATE_REF.finditer(template):
+        found = True
+        if m.start(0) > pos:
+            parts.append((None, template[pos : m.start(0)]))
+        gn: Any = int(m.group(4)) if m.group(4) else m.group(5)
+        func = m.group(6)[1:] if m.group(6) is not None else None
+        parts.append(
+            (True, m.group(0), m.group(0).startswith("@{?"), m.group(2), gn, func)
+        )
+        pos = m.end(0)
+    if not found:
+        return None
+    if pos < len(template):
+        parts.append((None, template[pos:]))
+    return tuple(parts)
+
+
 @lru_cache(maxsize=4096)
 def _rx(pattern: str, flags: int) -> re.Pattern:
     """Process-wide compiled-regex cache (amortizes across a whole Arrow
@@ -257,6 +281,14 @@ class DocInterpreter:
         self.result.total_match_len += match_len
 
     # -- template expansion (processor.py:2599-2669) --------------------------
+    #
+    # Strategy: templates are program constants, so their (literal, ref)
+    # segmentation is parsed ONCE (module lru_cache) and refs evaluate
+    # left-to-right in a single pass. If any substitution re-introduces
+    # reference syntax (nesting like @{material-@{row}.1}, or values that
+    # contain "@{"), the joined result is expanded again — converging to
+    # exactly the reference's rewrite-until-no-refs fixpoint
+    # (processor.py:2622-2666) without its per-ref string rebuilding.
 
     def expand(self, template: str) -> str:
         # fast path: no reference syntax at all (common for fixed IRIs)
@@ -265,43 +297,52 @@ class DocInterpreter:
         original = template
         try:
             for _ in range(_MAX_TEMPLATE_REWRITES):
-                m = _TEMPLATE_REF.search(template)
-                if m is None:
+                parts = _parse_template(template)
+                if parts is None:  # contains "@{" but no valid ref
                     return template
-                optional = m.group(0).startswith("@{?")
-                match_id = m.group(2)
-                gn: Any = int(m.group(4)) if m.group(4) else m.group(5)
-                try:
-                    if match_id:
-                        if match_id in self._matches:
-                            ext = self._matches[match_id].group(gn)
+                out = []
+                for part in parts:
+                    if part[0] is None:
+                        out.append(part[1])
+                        continue
+                    _, raw, optional, match_id, gn, func = part
+                    try:
+                        if match_id:
+                            if match_id in self._matches:
+                                ext = self._matches[match_id].group(gn)
+                            else:
+                                if not optional:
+                                    raise ProcessorException(
+                                        f"No match with id {match_id} found when "
+                                        f"looking at template {template}"
+                                    )
+                                ext = ""
                         else:
-                            if not optional:
-                                raise ProcessorException(
-                                    f"No match with id {match_id} found when "
-                                    f"looking at template {template}"
-                                )
-                            ext = ""
-                    else:
-                        # Reference quirk (processor.py:2644): the variable is
-                        # stringified BEFORE the None-check, so an undefined
-                        # variable expands to the literal string "None" and
-                        # the latest-match fallback is unreachable.
-                        ext = str(self._vars.get(gn))
-                except IndexError:
-                    raise ProcessorException(
-                        f"Template expansion: No such group or variable {m.group(0)}"
-                    )
-                func = m.group(6)
-                if func is not None:
-                    func = func[1:]
-                    if func == "iri":
-                        ext = re.sub(r"[^a-zA-Z0-9_-]", "_", ext.strip())
-                    elif func == "trim":
-                        ext = ext.strip()
-                    elif func == "norm":
-                        ext = _html.unescape(re.sub(r"[\n\t\r]+", " ", ext.strip()))
-                template = template[: m.start(0)] + (ext or "") + template[m.end(0) :]
+                            # Reference quirk (processor.py:2644): the variable
+                            # is stringified BEFORE the None-check, so an
+                            # undefined variable expands to the literal string
+                            # "None"; the latest-match fallback is unreachable.
+                            ext = str(self._vars.get(gn))
+                    except IndexError:
+                        raise ProcessorException(
+                            f"Template expansion: No such group or variable {raw}"
+                        )
+                    if func is not None:
+                        if func == "iri":
+                            ext = re.sub(r"[^a-zA-Z0-9_-]", "_", ext.strip())
+                        elif func == "trim":
+                            ext = ext.strip()
+                        elif func == "norm":
+                            ext = _html.unescape(
+                                re.sub(r"[\n\t\r]+", " ", ext.strip())
+                            )
+                    out.append(ext or "")
+                result = "".join(out)
+                if "@{" not in result:
+                    return result
+                if result == template:
+                    return result  # no ref made progress; fixpoint
+                template = result
             raise ProcessorException("template rewrite limit exceeded")
         except Exception as ex:
             raise ProcessorException(f"Failed to expand template: {original}") from ex
