@@ -654,11 +654,15 @@ class DocInterpreter:
             if imps is not None:
                 for mod in re.split(r"\s+", imps):
                     if mod not in self._imports:
-                        importlib.import_module(mod)
-                        self._imports[mod] = True
+                        self._imports[mod] = importlib.import_module(mod)
             expr = self.expand(expr)
+            # DEVIATION: the reference imports the module but does not put
+            # it in eval's globals (processor.py:849-856), so `import: math`
+            # + `eval: math.floor(x)` raises NameError there; exposing the
+            # imported names makes the documented feature actually usable.
+            env = {"vars": self._vars, "matches": self._matches, **self._imports}
             try:
-                value = eval(expr, {"vars": self._vars, "matches": self._matches})
+                value = eval(expr, env)
             except Exception as ex:
                 raise ProcessorException(
                     f"Evaluating expr for setting var {var} failed: {ex}"

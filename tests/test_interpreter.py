@@ -808,3 +808,134 @@ class TestDiagnostics:
     def test_save_as(self):
         res = run("- save-as: out-@{doc}.ttl\n", doc_vars={"doc": "d1"})
         assert res.saved_as == ["out-d1.ttl"]
+
+
+class TestRemainingOpSurface:
+    def test_set_with_import(self):
+        src = """
+- set: v
+  eval: math.floor(3.7)
+  import: math
+- subject: http://e/s
+  predicate: http://e/p
+  object: "@{v}"
+"""
+        assert triples(src)[0][3] == "3"
+
+    def test_call_tilde_match_assertion(self):
+        # with: {key: value}: a value starting with '~' asserts the match
+        # named key[1:] exists (processor.py:1164-1169)
+        src = """
+- procedure: p
+  do:
+    - subject: http://e/s
+      predicate: http://e/p
+      object: "@{m.1}"
+- match: '(xyz)'
+  as: m
+  do:
+    - call: p
+      with:
+        "~m": "~"
+"""
+        assert triples(src, "xyz")[0][3] == "xyz"
+
+    def test_call_tilde_missing_match_raises(self):
+        src = """
+- procedure: p
+  do: [{pass: x}]
+- call: p
+  with:
+    "~nope": "~"
+"""
+        assert "Cannot find match named" in run(src).error
+
+    def test_within_explicit_group(self):
+        src = """
+- within: '(A)(B+)(C)'
+  group: 2
+  do:
+    - match-every: 'B'
+      do:
+        - subject: http://e/s
+          predicate: http://e/p
+          object: "^b@{?n}"
+"""
+        res = run(src, "xABBBCx")
+        # 3 B's matched inside group 2 scope + the within match itself
+        assert res.no_matches == 4
+
+    def test_sequence_of_pattern_list_alternative(self):
+        # an alternative's match: may be a LIST of patterns (first match
+        # wins within the list; processor.py:1517-1518, _try_res)
+        src = """
+- sequence-of: s
+  alternatives:
+    - match:
+        - 'zebra(\\d)'
+        - 'cat(\\d)'
+      as: m
+      do:
+        - subject: http://e/s
+          predicate: http://e/p
+          object: "^got@{m.1}"
+"""
+        assert [r[3] for r in triples(src, "cat1 cat2")] == ["got1", "got2"]
+
+    def test_match_dimensions_three_levels(self):
+        text = (
+            "[sec (r: <a><b>) (r: <c>)]"
+            "[sec (r: <d>)]"
+        )
+        src = """
+- match-dimensions:
+    - '\\[sec (.*?)\\]'
+    - '\\(r: (.*?)\\)'
+    - '<(.*?)>'
+  dimensions: [s, r, c]
+  as: cell
+  do:
+    - subject: http://e/s
+      predicate: http://e/p
+      object: "^@{s}.@{r}.@{c}=@{cell.1}"
+"""
+        t = triples(src, text)
+        assert [r[3] for r in t] == [
+            "1.1.1=a", "1.1.2=b", "1.2.1=c", "2.1.1=d",
+        ]
+
+    def test_select_as_aliasing(self):
+        from cmc_knowledge_graph_text2ttl_spark.workflow.interpreter import DocInterpreter
+        from cmc_knowledge_graph_text2ttl_spark.workflow.sparql import MiniGraph, make_query_fn
+        from cmc_knowledge_graph_text2ttl_spark.workflow import run_document as rd
+
+        graph = MiniGraph([("http://x/a", "http://x/p", "literal", "val", None)])
+        src = """
+- select: o
+  from: g
+  where: "SELECT ?o WHERE { <http://x/a> <http://x/p> ?o . }"
+  as: renamed
+- subject: http://e/s
+  predicate: http://e/p
+  object: "^@{renamed}"
+"""
+        res = rd("", wf(src), query_fn=make_query_fn({"g": graph}))
+        assert res.error is None
+        assert res.triples[0][3] == "val"
+
+    def test_select_no_rows_is_failure(self):
+        from cmc_knowledge_graph_text2ttl_spark.workflow.sparql import MiniGraph, make_query_fn
+        from cmc_knowledge_graph_text2ttl_spark.workflow import run_document as rd
+
+        graph = MiniGraph([])
+        src = """
+- any-of:
+    - select: o
+      from: g
+      where: "SELECT ?o WHERE { <http://x/a> <http://x/p> ?o . }"
+    - subject: http://e/s
+      predicate: http://e/p
+      object: fallback
+"""
+        res = rd("", wf(src), query_fn=make_query_fn({"g": graph}))
+        assert res.error is None and res.triples[0][3] == "fallback"
