@@ -131,6 +131,13 @@ def main():
         return (curve[n] / curve[4 * n]) / 4.0
 
     n = PRIMARY_N
+    # The host is shared and NOISY (its own control efficiency swings
+    # 0.70-0.88 between windows). For the primary gate, interleave the two
+    # levels in time so both see the same load, and keep the per-level min.
+    for _ in range(2):
+        for cores in (n, 4 * n):
+            t, _n = timed_level(cores)
+            engine[cores] = min(engine[cores], t)
     primary = eff(engine, n)
     result = {
         "metric": f"scaling_efficiency_{n}_to_{4*n}",
