@@ -204,10 +204,21 @@ def minhash_lsh_pairs(
     if not verify:
         sh.unpersist()
         return cand
-    sizes_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = cand.persist()  # consumed twice below (id set + pair join)
+    # Verification cost must scale with the CANDIDATES, not the corpus:
+    # restrict the shingle table to candidate ids first (broadcast
+    # semi-join), then intersect within that small slice. Without this the
+    # (id, shingle) equijoin shuffles the full corpus shingle multiset.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "id").persist()
+    sizes_doc = sh_cand.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        cand.join(sh_cand.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh_cand.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
