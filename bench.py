@@ -50,8 +50,11 @@ def build_suite(spark, sf_dir):
         connected_components,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-file parquet = one partition; repartition so CPU-heavy column
+    # work (shingling, hashing) uses every core (the tables are tiny, the
+    # derived work is not)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(CPUS)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(CPUS)
     counters = {}
 
     def kg_pipeline():

@@ -29,25 +29,70 @@ from pyspark.sql import functions as F
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 
+def _driver_union_find(pairs) -> list:
+    """Union-find with union-by-min (driver-side small-graph fast path).
+
+    Produces the identical (node, min-of-component) labeling as the
+    distributed loop — equivalence is test-enforced.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     salt_hubs: int = 0,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(src,dst) → components(node, component).
 
     ``component`` is the minimum node id (string order) of the node's
     connected component. Every node appearing in any edge gets a row.
-    The loop is driver-controlled with an explicit convergence check
-    (`sum(changed) == 0` analog: count of improved labels).
+
+    Adaptive strategy: a sameAs graph is usually orders of magnitude
+    smaller than the corpus — if the (deduped) edge list fits comfortably
+    on the driver (< ``small_graph_threshold`` edges), union-find locally
+    and parallelize the label map back (no iterative jobs at all).
+    Above the threshold, iterate distributed min-label propagation with
+    pointer jumping; the loop is driver-controlled with an explicit
+    convergence check (count of improved labels == 0).
     """
     e = (
         edges.select(F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
         .distinct()
     )
+    if small_graph_threshold and small_graph_threshold > 0:
+        e = e.persist()
+        n_edges = e.count()
+        if n_edges <= small_graph_threshold:
+            labels = _driver_union_find((r.u, r.v) for r in e.toLocalIterator())
+            e.unpersist()
+            spark = edges.sparkSession
+            return spark.createDataFrame(labels, ["node", "component"])
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.repartition("u").persist()
 

@@ -112,3 +112,18 @@ class TestCanonicalize:
             ("http://x/B", "http://x/A"),
             ("http://x/C", "http://x/B"),
         }
+
+
+class TestAdaptiveStrategy:
+    def test_driver_and_distributed_paths_agree(self, spark, edge_df):
+        small = comp_map(connected_components(edge_df))  # driver union-find
+        dist = comp_map(connected_components(edge_df, small_graph_threshold=0))
+        assert small == dist
+
+    def test_long_chain_both_paths(self, spark):
+        edges = spark.createDataFrame(
+            [(f"n{i:04d}", f"n{i+1:04d}") for i in range(150)], ["src", "dst"]
+        )
+        a = comp_map(connected_components(edges))
+        b = comp_map(connected_components(edges, small_graph_threshold=0))
+        assert a == b and set(a.values()) == {"n0000"}
