@@ -89,7 +89,9 @@ def connected_components(
         e = e.persist()
         n_edges = e.count()
         if n_edges <= small_graph_threshold:
-            labels = _driver_union_find((r.u, r.v) for r in e.toLocalIterator())
+            # collect (not toLocalIterator — that runs one job per
+            # partition); memory is bounded by the threshold
+            labels = _driver_union_find((r.u, r.v) for r in e.collect())
             e.unpersist()
             spark = edges.sparkSession
             return spark.createDataFrame(labels, ["node", "component"])
