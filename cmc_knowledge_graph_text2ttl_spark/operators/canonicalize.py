@@ -94,7 +94,9 @@ def connected_components(
             labels = _driver_union_find((r.u, r.v) for r in e.collect())
             e.unpersist()
             spark = edges.sparkSession
-            return spark.createDataFrame(labels, ["node", "component"])
+            return spark.createDataFrame(
+                labels, "node string, component string"  # explicit: may be empty
+            )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.repartition("u").persist()
 

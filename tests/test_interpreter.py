@@ -939,3 +939,53 @@ class TestRemainingOpSurface:
 """
         res = rd("", wf(src), query_fn=make_query_fn({"g": graph}))
         assert res.error is None and res.triples[0][3] == "fallback"
+
+
+class TestMatch1Extras:
+    TABLE = "<tr><td>h1</td><td>h2</td></tr><tr><td>a</td><td>b</td></tr>"
+
+    def test_leading_body_and_leading_as(self):
+        src = """
+- match-1: '<tr>(.*?)</tr>'
+  match-2: '<td>(.*?)</td>'
+  as-1: row
+  as-2: cell
+  leading-as: lead
+  do:
+    - subject: http://e/s
+      predicate: http://e/p
+      object: "^cell-@{cell.1}-lead-@{lead.1}"
+  first: [{pass: header}]
+  leading:
+    - subject: http://e/s
+      predicate: http://e/p
+      object: "^leading-@{cell.1}"
+"""
+        t = triples(src, self.TABLE)
+        # row 2: first cell runs leading:, second runs do: with lead bound
+        assert [r[3] for r in t] == ["leading-a", "cell-b-lead-a"]
+
+
+class TestDumpAndSaveAsVariants:
+    def test_dump_expanded_string(self):
+        res = run("- set: v\n  to: 'xyz'\n- dump: 'val=@{v}'\n  file: out\n")
+        assert res.texts == {"out": "val=xyz"}
+
+    def test_save_as_dict_form(self):
+        res = run("- save-as:\n    file: graph-@{doc}.ttl\n", doc_vars={"doc": "d"})
+        assert res.saved_as == ["graph-d.ttl"]
+
+    def test_within_pattern_list(self):
+        src = """
+- within:
+    - 'AAA(.*?)ZZZ'
+    - 'BBB(.*?)YYY'
+  do:
+    - match: '(inner)'
+      as: m
+      do:
+        - subject: http://e/s
+          predicate: http://e/p
+          object: "@{m.1}"
+"""
+        assert triples(src, "BBB inner YYY")[0][3] == "inner"
