@@ -365,6 +365,45 @@ def q_events_top_users(spark, sf_dir):
     )
 
 
+def q_tpch_rollup(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP nation -> mktsegment)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_fl(F.col("c_acctbal"), 100)).alias("acctbal_cents"),
+        )
+    )
+
+
+def q_orders_without_lineitems(spark, sf_dir):
+    """Anti join: orders with no lineitems (non-empty at sf0.01)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON property extraction from the events props column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
@@ -388,6 +427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
+        "tpch_rollup": q_tpch_rollup,
+        "orders_without_lineitems": q_orders_without_lineitems,
+        "events_json_props": q_events_json_props,
     }
 
 
@@ -655,6 +697,25 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(sum(floor(100 * value)) AS BIGINT) AS sum_value_cents,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1, 2
+""",
+        "tpch_rollup": """
+SELECT n_name, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(floor(100 * c_acctbal)) AS BIGINT) AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+""",
+        "orders_without_lineitems": """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+""",
+        "events_json_props": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
 """,
         "events_top_users": """
 SELECT event_type, user_id, total_cents, rnk FROM (
