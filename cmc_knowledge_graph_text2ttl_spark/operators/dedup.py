@@ -95,9 +95,14 @@ def ngram_jaccard_pairs(
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
     Exact (no approximation): shingle equijoin computes |A∩B| per pair,
-    per-doc distinct counts give |A|,|B|. Candidate pairs only exist where
-    at least one shingle is shared — already far from quadratic; for
-    web-scale use minhash_lsh_pairs below and keep this as the verifier.
+    per-doc distinct counts give |A|,|B|.
+
+    SCALE WARNING: the equijoin materializes sum(df(shingle)^2) rows — on
+    homogeneous corpora (shared boilerplate shingles) that is effectively
+    quadratic; exact all-pairs Jaccard is inherently so. This operator is
+    the small-corpus tool and the VERIFIER for candidates; the web-scale
+    path is minhash_lsh_pairs (candidates only, verification restricted
+    to candidate ids).
     """
     sh = shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
