@@ -81,11 +81,18 @@ def sniff_content_type(data: Optional[bytes]) -> str:
     return "html"
 
 
+# Oversized-document guard: one pathological page must not blow an Arrow
+# batch / executor heap. 64 MB of raw bytes is far beyond any real page.
+MAX_DOC_BYTES = 64 * 1024 * 1024
+
+
 def extract_one(data: Optional[bytes]) -> tuple:
     """(text, content_type, error) for one document's raw bytes."""
     ctype = sniff_content_type(data)
     if ctype == "empty":
         return None, ctype, "empty document"
+    if len(data) > MAX_DOC_BYTES:
+        return None, ctype, f"document exceeds {MAX_DOC_BYTES} bytes ({len(data)})"
     try:
         if ctype == "pdf":
             return pdf_to_xhtml_text(data), ctype, None
