@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--ttl-out", default=None, help="also write canonical N-Triples here")
     ap.add_argument("--per-doc-ttl", default=None, help="small-corpus per-doc .ttl export dir")
+    ap.add_argument(
+        "--define", "-d", action="append", default=[], metavar="NAME=VALUE",
+        help="seed a workflow variable (reference runner's -d; repeatable)",
+    )
     return ap
 
 
@@ -64,6 +68,14 @@ def main(argv=None) -> int:
         for w in prog.warnings:
             print(f"WARNING: {w}", file=sys.stderr)
 
+    extra_vars = {}
+    for d in args.define:
+        if "=" not in d:
+            print(f'invalid --define "{d}"; must be NAME=VALUE', file=sys.stderr)
+            return 2
+        name, value = d.split("=", 1)
+        extra_vars[name] = value
+
     graphs = None
     if args.ontology:
         with open(args.ontology, "r", encoding="utf8") as fh:
@@ -84,6 +96,7 @@ def main(argv=None) -> int:
             n_buckets=args.buckets,
             graphs=graphs,
             canonicalize=not args.no_canonicalize,
+            extra_vars=extra_vars,
         )
         out = pipe.run(pages)
         final = out.get("canonical", out["triples"])

@@ -82,6 +82,7 @@ class KgPipeline:
         n_buckets: int = 16,
         graphs: Optional[dict] = None,
         canonicalize: bool = True,
+        extra_vars: Optional[dict] = None,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -90,6 +91,7 @@ class KgPipeline:
         self.n_buckets = n_buckets
         self.graphs = graphs
         self.canonicalize = canonicalize
+        self.extra_vars = extra_vars
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- lineage -----------------------------------------------------------
@@ -224,7 +226,8 @@ class KgPipeline:
             "results",
             extracted,
             lambda df: run_workflows(
-                df, self.programs, graphs=self.graphs, select_best=True
+                df, self.programs, graphs=self.graphs, select_best=True,
+                extra_vars=self.extra_vars,
             ).withColumn(
                 "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
             ),
