@@ -74,21 +74,29 @@ def assign_cells(
     """IVF cell assignment: nearest centroid per vector (broadcast join).
 
     centroids: (cell_id, centroid: array<float>) — small by construction,
-    so the cross join is a broadcast nested loop over ~sqrt(N) rows,
-    followed by a top-1 window per vector.
+    so the cross join is a broadcast nested loop over ~sqrt(N) rows. The
+    top-1 per vector is a max-struct AGGREGATE, not a window: a window
+    would shuffle all N x n_cells scored rows; the aggregate combines
+    map-side down to one row per vector (each vector's candidate rows are
+    partition-local after the broadcast join), so the shuffle carries N
+    rows. Ties break to the lowest cell_id (deterministic).
     """
-    from pyspark.sql import Window
-
     joined = emb.crossJoin(F.broadcast(centroids))
     sim = _dot(F.col(vec_col), F.col("centroid")) / (
         _norm(F.col(vec_col)) * _norm(F.col("centroid"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell_id"))
-    return (
+    best = (
         joined.withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cell_id")).alias("neg_cell"))
+            ).alias("best"),
+            F.first(vec_col).alias(vec_col),  # constant within the group
+        )
+    )
+    return best.select(
+        id_col, vec_col, (-F.col("best.neg_cell")).cast("int").alias("cell_id")
     )
 
 
