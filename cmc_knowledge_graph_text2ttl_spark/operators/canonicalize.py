@@ -177,6 +177,11 @@ def canonicalize_triples(
     if components is None:
         components = connected_components(sameas_edges(triples, pred), max_iter=max_iter)
     comp = components
+    if broadcast_components is None:
+        # Adaptive: alias maps are usually tiny relative to the triple
+        # table — broadcast when the map is comfortably small, turning
+        # both rewrite joins into zero-shuffle broadcast joins.
+        broadcast_components = comp.limit(5_000_001).count() <= 5_000_000
     if broadcast_components:
         comp = F.broadcast(comp)
     t = triples
@@ -189,21 +194,28 @@ def canonicalize_triples(
         F.col("node").alias("obj_lexical"), F.col("component").alias("obj_canon")
     )
     out = t.join(subj_map, "subj", "left")
-    # object-side join: only IRI objects can be rewritten
-    out = out.join(obj_map, ["obj_lexical"], "left").withColumn(
-        "obj_canon",
-        F.when(F.col("obj_kind") == "iri", F.col("obj_canon")).otherwise(F.lit(None)),
+    # Object-side rewrite applies to IRI objects only: split literals out
+    # BEFORE the join so they never shuffle on obj_lexical.
+    iri_rows = out.filter(F.col("obj_kind") == "iri").join(
+        obj_map, ["obj_lexical"], "left"
     )
-    rewritten = out.select(
-        F.coalesce("subj_canon", "subj").alias("subj"),
-        "pred",
-        "obj_kind",
-        F.coalesce("obj_canon", "obj_lexical").alias("obj_lexical"),
-        "obj_lang",
-        "obj_datatype",
-        *[c for c in triples.columns if c in ("url", "workflow")],
+    lit_rows = out.filter(F.col("obj_kind") != "iri").withColumn(
+        "obj_canon", F.lit(None).cast("string")
     )
+    extra = [c for c in triples.columns if c in ("url", "workflow")]
+    cols = (
+        [
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            F.col("pred"),
+            F.col("obj_kind"),
+            F.coalesce("obj_canon", "obj_lexical").alias("obj_lexical"),
+            F.col("obj_lang"),
+            F.col("obj_datatype"),
+        ]
+        + [F.col(c) for c in extra]
+    )
+    rewritten = iri_rows.select(*cols).unionByName(lit_rows.select(*cols))
     return rewritten.dropDuplicates(
         ["subj", "pred", "obj_kind", "obj_lexical", "obj_lang", "obj_datatype"]
-        + [c for c in triples.columns if c in ("url", "workflow")]
+        + extra
     )
