@@ -119,3 +119,20 @@ def test_different_scope_reprocesses(spark, fixture_programs, pages, tmp_path):
     out = pipe_b.run(pages)
     assert out["triples"].count() > 0
     assert pipe_b.lineage().filter("run_scope='b'").count() > 0
+
+
+def test_bucket_layout_enables_partition_pruning(spark, fixture_programs, pages, tmp_path):
+    """Reading one bucket from a stage checkpoint must prune to that
+    partition directory (PartitionFilters in the scan, not a full scan)."""
+    pipe = KgPipeline(
+        spark, str(tmp_path / "wd"), fixture_programs, run_scope="r", n_buckets=8,
+        canonicalize=False,
+    )
+    pipe.run(pages)
+    tri = spark.read.parquet(str(tmp_path / "wd" / "triples")).filter("bucket = 3")
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan.replace("#", " #").replace(
+        "bucket #", "bucket#"
+    ) or "PartitionFilters: [isnotnull(bucket" in plan
+    # and the data actually comes back bucket-pure
+    assert {r.bucket for r in tri.select("bucket").distinct().collect()} == {3}
