@@ -265,3 +265,23 @@ class TestSkewCorpus:
         )
         # hottest host owns roughly half the corpus (the fixture contract)
         assert per_host[0]["count"] > 2000 * 0.4
+
+
+class TestPretextizedCorpus:
+    def test_prefilled_text_skips_extraction(self, spark, fixture_programs):
+        """FIXTURES.md pages_pretextized variant: rows with text already
+        populated bypass html extraction byte-for-byte."""
+        from pyspark.sql import functions as F
+
+        pages = synth_pages_df(spark, 40)
+        pre = pages.withColumn(
+            "text", F.lit("<html><body><p>Material: Glucose</p></body></html>")
+        ).withColumn("html", F.lit(None).cast("binary"))
+        ext = extract_text(pre)
+        rows = ext.collect()
+        assert all(r.content_type == "pretextized" for r in rows)
+        assert all(r.extract_error is None for r in rows)
+        res = run_workflows(ext, fixture_programs, select_best=True)
+        tri = explode_triples(res, winners_only=True)
+        mats = {r.obj_lexical for r in tri.filter("pred like '%hasMaterial'").collect()}
+        assert mats == {"http://example.org/kg/material_Glucose"}
