@@ -86,6 +86,14 @@ _MAX_TEMPLATE_REWRITES = 100_000
 
 _KEYWORD_PRIORITY = {kw: i for i, kw in enumerate(KEYWORDS)}
 
+# Prepared-attribute cache key. Step dicts come from a broadcast program
+# and are never mutated by execution, so each handler extracts/validates
+# its attributes ONCE per process and stashes the tuple in the step dict
+# itself under this reserved key (invisible to dispatch — not a keyword —
+# and to the do-*-* scans). Python workers are single-threaded per
+# process, so the in-place stash is race-free.
+_PREP = "\x00prep"
+
 
 @lru_cache(maxsize=65536)
 def _parse_template(template: str):
@@ -401,16 +409,23 @@ class DocInterpreter:
         return LitNode(l)
 
     def _parse_structured_literal(self, l: dict):
-        text = self._attr(l, "text", str, optional=True)
-        iri = self._attr(l, "iri", str, optional=True)
-        lang = self._attr(l, "lang", str, optional=True)
-        vint = self._attr(l, "integer", str, optional=True)
-        vfloat = self._attr(l, "float", str, optional=True)
-        vbool = self._attr(l, "bool", str, optional=True)
-        vdate = self._attr(l, "date", str, optional=True)
-        vdtime = self._attr(l, "datetime", str, optional=True)
-        fmt = self._attr(l, "format", str, optional=True)
-        apply_map = self._attr(l, "apply", str, optional=True)
+        prep = l.get(_PREP)
+        if prep is None:
+            prep = (
+                self._attr(l, "text", str, optional=True),
+                self._attr(l, "iri", str, optional=True),
+                self._attr(l, "lang", str, optional=True),
+                self._attr(l, "integer", str, optional=True),
+                self._attr(l, "float", str, optional=True),
+                self._attr(l, "bool", str, optional=True),
+                self._attr(l, "date", str, optional=True),
+                self._attr(l, "datetime", str, optional=True),
+                self._attr(l, "format", str, optional=True),
+                self._attr(l, "apply", str, optional=True),
+            )
+            l[_PREP] = prep
+        (text, iri, lang, vint, vfloat, vbool, vdate, vdtime, fmt,
+         apply_map) = prep
 
         ndef = [a for v, a in (
             (text, "text"), (iri, "iri"), (vint, "integer"),
@@ -530,12 +545,18 @@ class DocInterpreter:
 
     def _op_triple(self, op: dict, implied_subject=None, implied_predicate=None,
                    implied_inverse=None) -> Tuple[bool, Any]:
-        subject = self._attr(op, "subject", str, optional=True)
-        predicate = self._attr(op, "predicate", str, optional=True)
-        obj = self._attr(op, "object", optional=True)
-        predicates = self._attr(op, "predicates", list, optional=True)
-        objects = self._attr(op, "objects", list, optional=True)
-        inverse = self._attr(op, "inverse", str, optional=True)
+        prep = op.get(_PREP)
+        if prep is None:
+            prep = (
+                self._attr(op, "subject", str, optional=True),
+                self._attr(op, "predicate", str, optional=True),
+                self._attr(op, "object", optional=True),
+                self._attr(op, "predicates", list, optional=True),
+                self._attr(op, "objects", list, optional=True),
+                self._attr(op, "inverse", str, optional=True),
+            )
+            op[_PREP] = prep
+        subject, predicate, obj, predicates, objects, inverse = prep
 
         if subject:
             if implied_subject:
@@ -823,10 +844,16 @@ class DocInterpreter:
         return (True, None)
 
     def _op_match(self, op: dict) -> Tuple[bool, Any]:
-        pattern = self._attr(op, "match")
-        ident = self._attr(op, "as", str, optional=True)
-        flags = resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL)
-        body = self._attr(op, "do", list)
+        prep = op.get(_PREP)
+        if prep is None:
+            prep = (
+                self._attr(op, "match"),
+                self._attr(op, "as", str, optional=True),
+                resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL),
+                self._attr(op, "do", list),
+            )
+            op[_PREP] = prep
+        pattern, ident, flags, body = prep
         m = self._search_any(pattern, flags)
         if m is not None:
             self._latest_match = m
@@ -837,13 +864,20 @@ class DocInterpreter:
         return (False, None)
 
     def _op_match_every(self, op: dict) -> Tuple[bool, Any]:
-        pattern = self._attr(op, "match-every")
-        ident = self._attr(op, "as", str, optional=True)
-        flags = resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL)
-        body = self._attr(op, "do", list)
-        do_first = self._attr(op, "first", list, optional=True)
+        prep = op.get(_PREP)
+        if prep is None:
+            pattern = self._attr(op, "match-every")
+            flags = resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL)
+            prep = (
+                _rx(pattern, flags),
+                self._attr(op, "as", str, optional=True),
+                self._attr(op, "do", list),
+                self._attr(op, "first", list, optional=True),
+            )
+            op[_PREP] = prep
+        rx, ident, body, do_first = prep
         count = 1
-        for m in _rx(pattern, flags).finditer(self._text):
+        for m in rx.finditer(self._text):
             self._latest_match = m
             self._stat_match(len(m.group(0)))
             if ident is not None:
@@ -857,11 +891,17 @@ class DocInterpreter:
         return (count > 1, None)
 
     def _op_within(self, op: dict) -> Tuple[bool, Any]:
-        pattern = self._attr(op, "within")
-        group_index = self._attr(op, "group", int, optional=True) or 1
-        flags = resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL)
-        body = self._attr(op, "do", list)
-        ident = self._attr(op, "as", str, optional=True)
+        prep = op.get(_PREP)
+        if prep is None:
+            prep = (
+                self._attr(op, "within"),
+                self._attr(op, "group", int, optional=True) or 1,
+                resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL),
+                self._attr(op, "do", list),
+                self._attr(op, "as", str, optional=True),
+            )
+            op[_PREP] = prep
+        pattern, group_index, flags, body, ident = prep
         m = self._search_any(pattern, flags)
         if m is not None:
             t = m.group(group_index)
@@ -879,14 +919,21 @@ class DocInterpreter:
         return (False, None)
 
     def _op_within_every(self, op: dict) -> Tuple[bool, Any]:
-        pattern = self._attr(op, "within-every")
-        group_index = self._attr(op, "group", int, optional=True) or 1
-        flags = resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL)
-        body = self._attr(op, "do", list)
-        ident = self._attr(op, "as", str, optional=True)
-        do_first = self._attr(op, "first", list, optional=True)
+        prep = op.get(_PREP)
+        if prep is None:
+            pattern = self._attr(op, "within-every")
+            flags = resolve_flags(self._attr(op, "flags", str, optional=True), re.DOTALL)
+            prep = (
+                _rx(pattern, flags),
+                self._attr(op, "group", int, optional=True) or 1,
+                self._attr(op, "do", list),
+                self._attr(op, "as", str, optional=True),
+                self._attr(op, "first", list, optional=True),
+            )
+            op[_PREP] = prep
+        rx, group_index, body, ident, do_first = prep
         count = 1
-        for m in _rx(pattern, flags).finditer(self._text):
+        for m in rx.finditer(self._text):
             self._latest_match = m
             self._stat_match(len(m.group(0)))
             t = m.group(group_index)
