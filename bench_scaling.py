@@ -157,6 +157,19 @@ def main():
         "pass": primary >= 0.8,
     }
     os.makedirs("BENCH", exist_ok=True)
+    # preserve appendix sections (soak, single-node comparison) across
+    # rewrites of the scaling table
+    appendix = ""
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            old = fh.read()
+        for marker in ("## Soak run", "## Single-node comparison"):
+            i = old.find(marker)
+            if i >= 0:
+                appendix = old[i:]
+                break
+    except FileNotFoundError:
+        pass
     lines = [
         "# Scaling evidence — N vs 4N parallelism (sandbox stand-in)",
         "",
@@ -201,6 +214,8 @@ def main():
     ]
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
+        if appendix:
+            fh.write("\n" + appendix)
     print(json.dumps(result))
 
 
