@@ -279,6 +279,18 @@ def q_text_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), shingle_n=8)
 
 
+EMB_DIM = 64  # constant across all testdata scales (asserted in the query)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    assert emb.select(F.size("embedding")).first()[0] == EMB_DIM
+    pairs = D.embedding_near_dup_pairs(
+        emb, threshold=0.25, n_planes=4, dim=EMB_DIM
+    )
+    return pairs.select("id_a", "id_b", _fl(F.col("cosine")).alias("cosine_scaled"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
@@ -422,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_near_dup": q_emb_near_dup,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -825,8 +838,41 @@ WITH h AS (
 )
 SELECT id, hits_zh, hits_en, hits_de, hits_fr, hits_es, {pred} AS lang_pred FROM h
 """
+    # -- embedding near-dup: hyperplane signs from per-row folds with the
+    # SAME literal weights and summation order as the Spark side
+    from cmc_knowledge_graph_text2ttl_spark.operators.dedup import hyperplane_weights
+
+    EMB_DIM, N_PLANES = 64, 4
+    weights = hyperplane_weights(N_PLANES, EMB_DIM)
+
+    def w_list(p):
+        return "[" + ", ".join(repr(w) for w in weights[p]) + "]"
+
+    sign_exprs = " || ".join(
+        f"CASE WHEN list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> embedding[i]::DOUBLE * ({w_list(p)}::DOUBLE[])[i])) >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for p in range(N_PLANES)
+    )
+    emb_near_dup = f"""
+WITH b AS (
+  SELECT vec_id AS id, {sign_exprs} AS bucket FROM embeddings
+), cand AS (
+  SELECT a.id AS id_a, b2.id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, CAST(floor(10000 * cosine) AS BIGINT) AS cosine_scaled
+FROM scored WHERE cosine >= 0.25
+"""
     return {
         "dedup_minhash_lsh": lsh,
         "dedup_simhash": simhash,
         "text_lang_id": lang_sql,
+        "emb_near_dup": emb_near_dup,
     }

@@ -321,32 +321,54 @@ def simhash_near_pairs(
     ).select("id_a", "id_b", "hamming")
 
 
+def hyperplane_weights(n_planes: int, dim: int) -> List[List[float]]:
+    """Deterministic pseudo-random plane weights in [-1, 1): derived from
+    md5(plane:dim-index) — identical formula in the SQL oracle."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold.
 
     Scale path: random-hyperplane LSH — the sign pattern of `n_planes`
-    deterministic pseudo-random projections buckets the vectors; only
-    in-bucket pairs get the exact cosine. Plane weights derive from
-    md5(plane,dim) so the partition layout never changes results.
+    deterministic projections buckets the vectors; only in-bucket pairs
+    get the exact cosine. Projections are PER-ROW array folds against
+    literal weight arrays (zero shuffle, deterministic summation order —
+    required for the bit-exact DuckDB oracle); an explode+groupBy would
+    shuffle rows x dims and sum in nondeterministic order.
     """
-    dim_idx = F.posexplode(F.col(vec_col))
-    comps = emb.select(F.col(id_col).alias("id"), dim_idx).toDF("id", "d", "x")
-    # plane weight in [-1, 1): (md5_int(p:d) % 2001 - 1000) / 1000
-    proj = None
-    rows = comps
-    plane_cols = []
-    for p in range(n_planes):
-        w = (md5_int(F.concat_ws(":", F.lit(str(p)), F.col("d").cast("string"))) % 2001 - 1000) / 1000.0
-        plane_cols.append(F.sum(F.col("x") * w).alias(f"p{p}"))
-    signs = rows.groupBy("id").agg(*plane_cols)
-    bucket = F.concat_ws("", *[F.when(F.col(f"p{p}") >= 0, "1").otherwise("0") for p in range(n_planes)])
-    b = signs.select("id", bucket.alias("bucket"))
+    if dim is None:
+        dim = emb.select(F.size(vec_col).alias("d")).first().d
+    weights = hyperplane_weights(n_planes, dim)
+
+    def proj(p: int):
+        w_arr = F.array(*[F.lit(w) for w in weights[p]])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), w_arr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.concat_ws(
+        "", *[F.when(proj(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
+    )
+    b = emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
     cand = (
         b.alias("a").join(b.alias("b"), "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
