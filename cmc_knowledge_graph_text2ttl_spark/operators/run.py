@@ -7,11 +7,11 @@ documents is interpreted locally on the executor; output is one row per
 (url, workflow) carrying the stats AND the triples as a nested
 ``array<struct>`` column.
 
-Keeping triples nested at this point is deliberate: best-workflow
-selection (stage 3) is a window over exactly these rows, so the winner can
-be picked BEFORE exploding — no join between a stats table and a triples
-table, one shuffle saved (the join the reference's design would imply is
-gone entirely).
+Keeping triples nested at this point is deliberate: all of a document's
+candidate rows are produced together in one task, so best-workflow
+selection happens IN the UDF (``select_best=True``) with zero shuffle —
+no join between a stats table and a triples table exists anywhere, and
+the triple payloads never cross the cluster before the winner filter.
 """
 
 from __future__ import annotations
