@@ -989,3 +989,54 @@ class TestDumpAndSaveAsVariants:
           object: "@{m.1}"
 """
         assert triples(src, "BBB inner YYY")[0][3] == "inner"
+
+
+class TestSmallGaps:
+    def test_append_auto_wraps_scalar(self):
+        src = """
+- set: lst
+  to: 'first'
+- append: lst
+  element: second
+- for-each: lst
+  as: e
+  do:
+    - subject: http://e/s
+      predicate: http://e/p
+      object: "^@{e}"
+"""
+        assert [r[3] for r in triples(src)] == ["first", "second"]
+
+    def test_for_each_non_list_raises(self):
+        src = "- set: v\n  to: 'scalar'\n- for-each: v\n  as: e\n  do: [{pass: x}]\n"
+        assert "is not a list" in run(src).error
+
+    def test_mapping_without_flags_is_case_sensitive(self):
+        src = """
+- mapping: m
+  pairs:
+    - from: Abc
+      to: HIT
+- map: 'abc'
+  apply: m
+  to: out
+- subject: http://e/s
+  predicate: http://e/p
+  object: "^@{out}"
+"""
+        assert triples(src)[0][3] == "abc"  # identity: no IGNORECASE copy
+
+    def test_echo_with_match_groups(self):
+        src = "- match: '(a)(b)'\n  as: m\n  do:\n    - echo: '@{m.2}@{m.1}'\n"
+        res = run(src, "ab", collect_log=True)
+        assert res.log == ["ECHO: ba"]
+
+    def test_sparql_a_keyword(self):
+        from cmc_knowledge_graph_text2ttl_spark.workflow.sparql import MiniGraph
+
+        g = MiniGraph([
+            ("http://x/e1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "iri", "http://x/T", None),
+        ])
+        out = g.query("SELECT ?s WHERE { ?s a <http://x/T> . }")
+        assert [str(r["s"]) for r in out] == ["http://x/e1"]
