@@ -87,7 +87,13 @@ def strip_host_boilerplate(
 
     def clean(pdf: pd.DataFrame) -> pd.DataFrame:
         texts = pdf[text_col].tolist()
-        sample = texts[:max_docs_per_group]
+        # Row order within an applyInPandas group is not deterministic
+        # across runs/retries; sort by url before sampling so the evidence
+        # prefix (and hence the stripped output) is byte-stable.
+        sample = (
+            pdf.sort_values("url", kind="mergesort")[text_col]
+            .tolist()[:max_docs_per_group]
+        )
         boiler = _boilerplate_lines(sample, min_frac, min_docs)
         out_texts = []
         for t in texts:
@@ -122,7 +128,10 @@ def host_boilerplate_stats(
     """Per-host boilerplate report (diagnostics companion)."""
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        texts = pdf[text_col].tolist()[:max_docs_per_group]
+        texts = (
+            pdf.sort_values("url", kind="mergesort")[text_col]
+            .tolist()[:max_docs_per_group]
+        )
         boiler = _boilerplate_lines(texts, min_frac, min_docs)
         total_lines = sum(
             len(t.split("\n")) for t in texts if isinstance(t, str)

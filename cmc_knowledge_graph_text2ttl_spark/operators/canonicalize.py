@@ -23,8 +23,12 @@ final min), which keeps no single reducer owning a whole hub.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
@@ -115,6 +119,7 @@ def connected_components(
         F.col("u").alias("node"), F.least("u", "mn").alias("component")
     ).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iter):
         # Neighbor propagation: min over neighbors' current components.
         nb = (
@@ -148,6 +153,14 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed > 0:
+        # Pointer jumping converges in O(log d) rounds, so hitting the cap
+        # with labels still moving means something pathological; silently
+        # returning partial labels would corrupt canonicalization downstream.
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} "
+            f"iterations ({changed} labels still improving); raise max_iter"
+        )
     return comp
 
 
@@ -178,10 +191,12 @@ def canonicalize_triples(
         components = connected_components(sameas_edges(triples, pred), max_iter=max_iter)
     comp = components
     if broadcast_components is None:
-        # Adaptive: alias maps are usually tiny relative to the triple
-        # table — broadcast when the map is comfortably small, turning
-        # both rewrite joins into zero-shuffle broadcast joins.
-        broadcast_components = comp.limit(5_000_001).count() <= 5_000_000
+        # Adaptive: leave the decision to AQE — the component map is
+        # either a local relation (driver union-find path, exact size
+        # known at planning) or a localCheckpoint'd DataFrame (accurate
+        # runtime stats), so AQE converts the rewrite joins to broadcast
+        # when the map is small WITHOUT spending an extra probe job here.
+        broadcast_components = False
     if broadcast_components:
         comp = F.broadcast(comp)
     t = triples

@@ -67,12 +67,22 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
     return df.select(F.col(id_col).alias("id"), sh.alias("shingle"))
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 1000,
+) -> DataFrame:
     """Exact dedup groups: (content_hash, n_docs, keep_id, doc_ids).
 
     keep_id = min id per group (deterministic survivor). Only groups with
     more than one member are duplicates; singletons are kept for the
     caller to decide (filter n_docs > 1 for the dupe report).
+
+    ``doc_ids`` is capped at the first ``max_ids`` ids (sorted) so a
+    degenerate all-identical corpus (one viral page duplicated 10^8
+    times) can't build an unbounded array in one aggregation buffer;
+    ``n_docs`` stays exact regardless.
     """
     return (
         df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
@@ -80,7 +90,9 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("id").alias("keep_id"),
-            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+            F.slice(
+                F.sort_array(F.collect_list("id")), 1, max_ids
+            ).alias("doc_ids"),
         )
     )
 

@@ -61,7 +61,7 @@ def extract_table_cells(
     df: DataFrame,
     table_pattern: str = r"(?s)<table>(.*?)</table>",
     row_pattern: str = r"(?s)<tr>(.*?)</tr>",
-    cell_pattern: str = r"(?s)<td>(.*?)</td>|(?s)<th>(.*?)</th>",
+    cell_pattern: str = r"(?s)<t[dh]>(.*?)</t[dh]>",
     text_col: str = "text",
     id_col: str = "url",
 ) -> DataFrame:
@@ -86,9 +86,10 @@ def extract_table_cells(
             F.regexp_extract_all(F.col("table_body"), F.lit(row_pattern), 1)
         ).alias("r_idx", "row_body"),
     )
-    # <td>|<th> alternation: group 1 xor group 2 is non-null per match;
-    # extract both and coalesce (group 0 would include the tags)
-    td = F.regexp_extract_all(F.col("row_body"), F.lit(r"(?s)<t[dh]>(.*?)</t[dh]>"), 1)
+    # default pattern covers <td> and <th> via a character class so a
+    # single capture group suffices (an alternation's group-1-xor-group-2
+    # shape doesn't fit regexp_extract_all's one-group extraction)
+    td = F.regexp_extract_all(F.col("row_body"), F.lit(cell_pattern), 1)
     cells = rows.select(
         "id",
         "table_no",

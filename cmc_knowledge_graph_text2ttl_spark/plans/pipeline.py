@@ -6,7 +6,7 @@ North_rule requirements implemented here:
   ``pmod(xxhash64(url), n_buckets)``; every stage processes and persists
   by bucket, so work units are deterministic across runs and clusters;
 * **per-partition lineage** — each completed (stage, bucket) appends a
-  lineage row (url range, row/triple counts, latency, status, ts);
+  lineage row (url range, row/triple counts, stage latency, status, ts);
 * **idempotent resume** — on rerun, completed buckets are skipped via an
   anti-join of the bucket list against the lineage table; outputs are
   written with dynamic partition overwrite, so a re-processed bucket
@@ -17,8 +17,11 @@ layout and commit discipline are identical; swap the writer format).
 
 At the 100 TB design point each stage boundary is a real checkpoint: a
 failed run resumes from the last completed bucket set rather than
-rescanning the corpus. Stage latencies land in lineage, making stragglers
-and skew visible per bucket.
+rescanning the corpus. Skew is visible per bucket through the REAL
+per-bucket row/triple counts; ``latency_ms`` is the whole stage's wall
+time (buckets execute concurrently inside one Spark job, so a true
+per-bucket latency would require serializing them — per-task timing
+lives in the Spark UI/event log, not here).
 """
 
 from __future__ import annotations
@@ -53,6 +56,8 @@ LINEAGE_SCHEMA = StructType(
         StructField("url_max", StringType(), True),
         StructField("n_rows", LongType(), True),
         StructField("n_triples", LongType(), True),
+        # wall time of the whole stage run that completed this bucket
+        # (NOT per-bucket — buckets run concurrently in one job)
         StructField("latency_ms", LongType(), True),
         StructField("status", StringType(), False),
         StructField("ts", TimestampType(), False),

@@ -126,7 +126,12 @@ def serialize_turtle(
     def term(kind, lex, lang, dt):
         if kind == "iri":
             return shorten(lex)
-        esc = lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        esc = (
+            lex.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
         if lang:
             return f'"{esc}"@{lang}'
         if dt:
@@ -153,6 +158,7 @@ def export_per_doc_turtle(
     out_dir: str,
     prefixes: Optional[Dict[str, str]] = None,
     doc_name_col: str = "url",
+    max_docs: int = 100_000,
 ) -> int:
     """One ``.ttl`` file per document (runner.py:409-410 parity).
 
@@ -160,12 +166,21 @@ def export_per_doc_turtle(
     distributed primary sink is the triples table itself. Rows stream to
     the driver grouped per document (one pass, no full collect) and each
     document's graph serializes with the canonical Turtle writer.
-    Returns the number of files written.
+    Refuses corpora above ``max_docs`` documents (a driver-bound loop
+    over millions of files is a misuse of this sink — write the triples
+    table instead). Returns the number of files written.
     """
     import os
 
     from pyspark.sql import functions as F
 
+    n_docs = triples.select(doc_name_col).distinct().limit(max_docs + 1).count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"export_per_doc_turtle is a small-corpus exporter: corpus has "
+            f"> {max_docs} documents; write the triples table (Parquet) or "
+            f"write_ntriples instead"
+        )
     os.makedirs(out_dir, exist_ok=True)
     grouped = (
         triples.groupBy(doc_name_col)

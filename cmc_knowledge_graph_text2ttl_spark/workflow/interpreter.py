@@ -231,6 +231,16 @@ class DocInterpreter:
         handler = self._HANDLERS[kw]
         if kw in ("subject", "predicate", "object"):
             return handler(self, step, **triple_kwargs)
+        if triple_kwargs:
+            # A non-triple step nested under predicates:/objects: is a
+            # workflow authoring error: the reference passes the implied
+            # subject/predicate kwargs to every handler and crashes with a
+            # TypeError (processor.py:711-718). Raise the engine's typed
+            # error instead of silently dropping the implied terms.
+            raise ProcessorException(
+                f"Step {kw!r} is not a triple op but appears inside a "
+                f"predicates:/objects: scope"
+            )
         return handler(self, step)
 
     def _seq(
