@@ -96,6 +96,101 @@ WF_WORDLEN = """
 """
 
 
+WF_SECTIONS = """
+- desc: section-scoped extraction (within-every + within; oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- within-every: 'S(\\d): ([a-z ]*)\\n'
+  group: 2
+  as: sec
+  do:
+    - match-every: '\\b(join|scan|sort|merge)\\b'
+      as: op
+      do:
+        - subject: ex:doc_@{doc}_s@{sec.1}
+          predicate: prop:mentions
+          object:
+            iri: ex:op_@{op.1}
+- within: 'S2: ([a-z ]*)\\n'
+  do:
+    - match-every: '\\b(filter|window)\\b'
+      as: w
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:sec2mention
+          object:
+            iri: ex:op_@{w.1}
+"""
+
+WF_TABLE = """
+- desc: 2-D table extraction via match-dimensions (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-dimensions:
+    - '<tr>(.*?)</tr>'
+    - '<td>(.*?)</td>'
+  dimensions: [row, col]
+  as: cell
+  do:
+    - subject: ex:doc_@{doc}_r@{row}_c@{col}
+      predicate: prop:cell
+      object: "^@{cell.1}"
+"""
+
+WF_SEQUENCE = """
+- desc: token-stream lexing via sequence-of alternatives (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- sequence-of: lexer
+  alternatives:
+    - match: '\\b(join|scan)\\b'
+      as: op
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:op_@{op_count}
+          object: "^@{op.1}"
+    - match: '\\b(table|key)\\b'
+      as: kw
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:kw_@{kw_count}
+          object: "^@{kw.1}"
+"""
+
+WF_MAPPED = """
+- desc: entity-linking dictionary via mapping/map (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- mapping: cat
+  pairs:
+    - from: join
+      to: JoinLike
+    - from: merge
+      to: JoinLike
+    - from: scan
+      to: ScanLike
+    - re: 's(.*)'
+      to: 'S_@{1}'
+- match-every: '\\b(join|merge|scan|sort|filter)\\b'
+  as: op
+  do:
+    - map: '@{op.1}'
+      apply: cat
+      to: category
+    - subject: ex:doc_@{doc}
+      predicate: prop:category
+      object: "^@{category}"
+"""
+
+
 def _programs():
     p0 = compile_workflow(WF_OPS, "wf_ops", index=0)
     p1 = compile_workflow(WF_WIDE, "wf_wide", index=1)
@@ -229,6 +324,62 @@ def q_kg_canonicalized_triples(spark, sf_dir):
     return out.select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+def _pages_with_text(docs, text_col):
+    """documents + a derived text column → the engine's pages shape."""
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        text_col.alias("text"),
+        F.lit(None).cast("string").alias("extract_error"),
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.xxhash64(F.col("doc_id").cast("string")))
+
+
+def q_kg_sections(spark, sf_dir):
+    """within-every / within under the gate: the corpus text is wrapped
+    into two labelled sections; the workflow scopes matching per section
+    (and once more into section 2 only via `within:`)."""
+    docs = _docs(spark, sf_dir)
+    sectioned = F.concat(
+        F.lit("S1: "), F.substring("text", 1, 120),
+        F.lit("\nS2: "), F.substring("text", 121, 120), F.lit("\n"),
+    )
+    pages = _pages_with_text(docs, sectioned)
+    res = run_workflows(pages, [compile_workflow(WF_SECTIONS, "wf_sections")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_table_cells(spark, sf_dir):
+    """match-dimensions under the gate: a 2x2 HTML-ish table built from
+    each document's first four words, walked as (row, col) dimensions."""
+    docs = _docs(spark, sf_dir)
+    ws = F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]+)"), 1)
+    tbl = F.concat(
+        F.lit("<table><tr><td>"), F.element_at(ws, 1),
+        F.lit("</td><td>"), F.element_at(ws, 2),
+        F.lit("</td></tr><tr><td>"), F.element_at(ws, 3),
+        F.lit("</td><td>"), F.element_at(ws, 4),
+        F.lit("</td></tr></table>"),
+    )
+    pages = _pages_with_text(docs.filter(F.size(ws) >= 4), tbl)
+    res = run_workflows(pages, [compile_workflow(WF_TABLE, "wf_table")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_sequence(spark, sf_dir):
+    """sequence-of (alternatives lexer) under the gate: per-type running
+    counters over the interleaved token stream."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_SEQUENCE, "wf_sequence")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_mapped(spark, sf_dir):
+    """mapping/map under the gate: exact-dict hit beats regex pair beats
+    identity fallthrough (the reference's resolution order)."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_MAPPED, "wf_mapped")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).select(
         "content_hash", "n_docs", "keep_id"
@@ -296,6 +447,137 @@ def q_ann_cosine_topk(spark, sf_dir):
     qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
     top = SIM.cosine_topk(emb, qv, k=10)
     return top.select("id", _fl(F.col("cosine")).alias("cosine_scaled"))
+
+
+def _messy_html(spark, sf_dir):
+    """Real-crawl-shaped HTML built from each document's text: uppercase
+    tags, attributes, a DOCTYPE, a comment, script/style DECOYS containing
+    workflow keywords, char/entity refs, an unwrapped span, and trailing
+    garbage after </html>. The oracle reconstructs the exact normalizer
+    output, so any script leakage / attribute survival / escaping bug
+    hash-mismatches."""
+    docs = _docs(spark, sf_dir)
+    html_str = F.concat(
+        F.lit(
+            '<!DOCTYPE html><HTML lang="en"><head>'
+            '<SCRIPT type="text/javascript">var decoy = "join scan sort";</SCRIPT>'
+            "<STYLE>p { color: red }</STYLE><title>Doc &#100;</title></head>"
+            '<BODY class="main"><!-- comment --><P style="x">'
+        ),
+        F.substring("text", 1, 60),
+        F.lit('</p><DIV id="d"><SPAN>'),
+        F.substring("text", 61, 60),
+        F.lit("</SPAN></DIV><br><p>A &amp; B &lt;tag&gt;</p></body></HTML>trailing "),
+        F.substring("text", 121, 30),
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    ).repartition(_par(spark))
+
+
+def q_html_extract_clean(spark, sf_dir):
+    """Tika-style HTML→XHTML normalization under the gate, byte-exact."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import extract_text
+
+    out = extract_text(_messy_html(spark, sf_dir))
+    return out.select("url", "text", "content_type", "extract_error")
+
+
+def q_html_plain_text(spark, sf_dir):
+    """Trafilatura-style HTML→plain-text under the gate, byte-exact."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import html_to_plain_text
+
+    pages = _messy_html(spark, sf_dir).select("url", "html")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "text": [
+                        html_to_plain_text(bytes(b)) for b in pdf["html"]
+                    ],
+                }
+            )
+
+    return pages.mapInPandas(run, schema="url string, text string")
+
+
+IVF_CELLS, IVF_PROBE, IVF_Q = 8, 3, 1_000_000
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-ANN under the gate: md5-seeded centroids + one quantized Lloyd
+    step (integer means — bit-deterministic), probe the n_probe nearest
+    cells, exact top-k inside them. The oracle replicates the whole index
+    build in SQL."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 1").first().embedding]
+    cents = SIM.make_centroids(emb, n_cells=IVF_CELLS, quantize=IVF_Q)
+    top = SIM.ivf_topk(emb, qv, k=10, centroids=cents, n_probe=IVF_PROBE)
+    return top.select("id", _fl(F.col("cosine")).alias("cosine_scaled"))
+
+
+def _synth_media(spark, sf_dir, solid: bool):
+    """Deterministic per-doc media blobs (PNG/GIF/JPEG round-robin when
+    ``solid`` is False; all solid-color PNGs when True)."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 13, 9 + did % 7
+                if solid:
+                    rgb = bytes(((did * 7) % 256, (did * 13) % 256, (did * 29) % 256))
+                    blob = MM.encode_png(w, h, rgb * (w * h), 3)
+                else:
+                    kind = did % 3
+                    if kind == 0:
+                        px = bytes((did + i) % 256 for i in range(w * h * 3))
+                        blob = MM.encode_png(w, h, px, 3)
+                    elif kind == 1:
+                        blob = MM.encode_gif_header(w, h)
+                    else:
+                        blob = MM.encode_jpeg_header(w, h)
+                ids.append(str(did))
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(gen, schema="media_id string, blob binary")
+
+
+def q_media_meta(spark, sf_dir):
+    """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
+    over synthesized blobs; the oracle knows the synthesis formulas."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    meta = MM.media_metadata(_synth_media(spark, sf_dir, solid=False))
+    return meta.select("media_id", "media_type", "format", "width", "height")
+
+
+def q_media_pixels(spark, sf_dir):
+    """REAL PNG decode under the gate: solid-color PNGs round-trip through
+    zlib + unfiltering; exact per-channel means must equal the colors."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    feats = MM.extract_features(_synth_media(spark, sf_dir, solid=True))
+    return feats.select(
+        "media_id",
+        "feature",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_scaled"),
+    )
 
 
 def q_tpch_pricing_summary(spark, sf_dir):
@@ -424,6 +706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_literals": q_kg_typed_literals,
         "kg_connected_components": q_kg_connected_components,
         "kg_canonicalized_triples": q_kg_canonicalized_triples,
+        "html_extract_clean": q_html_extract_clean,
+        "html_plain_text": q_html_plain_text,
+        "kg_sections": q_kg_sections,
+        "kg_table_cells": q_kg_table_cells,
+        "kg_sequence": q_kg_sequence,
+        "kg_mapped": q_kg_mapped,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -434,7 +722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
+        "media_meta": q_media_meta,
+        "media_pixels": q_media_pixels,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -610,6 +901,136 @@ SELECT DISTINCT
 FROM facts f
 LEFT JOIN comp cs ON cs.node = f.subj
 LEFT JOIN comp co ON co.node = f.obj_lexical
+""",
+        "html_extract_clean": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       '<html><head><title>Doc d</title></head><body><p>'
+         || substr(text, 1, 60)
+         || '</p><div>' || substr(text, 61, 60)
+         || '</div><br/><p>A &amp; B &lt;tag&gt;</p></body></html>' AS text,
+       'html' AS content_type,
+       CAST(NULL AS VARCHAR) AS extract_error
+FROM documents
+""",
+        "html_plain_text": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc d'
+         || CASE WHEN trim(substr(text, 1, 60)) <> ''
+                 THEN chr(10) || trim(substr(text, 1, 60)) ELSE '' END
+         || CASE WHEN trim(substr(text, 61, 60)) <> ''
+                 THEN chr(10) || trim(substr(text, 61, 60)) ELSE '' END
+         || chr(10) || 'A & B <tag>'
+         || chr(10) || trim(regexp_replace('trailing ' || substr(text, 121, 30),
+                                           ' +', ' ', 'g')) AS text
+FROM documents
+""",
+        "kg_sections": r"""
+WITH c AS (
+  SELECT doc_id, substr(text, 1, 120) AS s1, substr(text, 121, 120) AS s2
+  FROM documents
+), sec AS (
+  SELECT doc_id, 1 AS sec, unnest(regexp_extract_all(s1, '\b(join|scan|sort|merge)\b')) AS op FROM c
+  UNION ALL
+  SELECT doc_id, 2, unnest(regexp_extract_all(s2, '\b(join|scan|sort|merge)\b')) FROM c
+), s2m AS (
+  SELECT doc_id, unnest(regexp_extract_all(s2, '\b(filter|window)\b')) AS w
+  FROM c WHERE length(s2) > 0
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) || '_s' || CAST(sec AS VARCHAR) AS subj,
+  'http://example.org/prop/mentions' AS pred,
+  'iri' AS obj_kind,
+  'http://example.org/kg/op_' || op AS obj_lexical
+FROM sec
+UNION ALL
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR),
+  'http://example.org/prop/sec2mention',
+  'iri',
+  'http://example.org/kg/op_' || w
+FROM s2m
+""",
+        "kg_table_cells": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM documents
+), cells AS (
+  SELECT doc_id, 1 AS r, 1 AS c, ws[1] AS cell FROM w WHERE length(ws) >= 4
+  UNION ALL SELECT doc_id, 1, 2, ws[2] FROM w WHERE length(ws) >= 4
+  UNION ALL SELECT doc_id, 2, 1, ws[3] FROM w WHERE length(ws) >= 4
+  UNION ALL SELECT doc_id, 2, 2, ws[4] FROM w WHERE length(ws) >= 4
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR)
+    || '_r' || CAST(r AS VARCHAR) || '_c' || CAST(c AS VARCHAR) AS subj,
+  'http://example.org/prop/cell' AS pred,
+  'literal' AS obj_kind,
+  cell AS obj_lexical
+FROM cells
+""",
+        "kg_sequence": r"""
+WITH m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|scan|table|key)\b')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\b(join|scan|table|key)\b'), 1) AS i
+  FROM documents
+), t AS (
+  SELECT doc_id, w,
+         CASE WHEN w IN ('join', 'scan') THEN 'op' ELSE 'kw' END AS typ,
+         row_number() OVER (
+           PARTITION BY doc_id, CASE WHEN w IN ('join', 'scan') THEN 'op' ELSE 'kw' END
+           ORDER BY i
+         ) AS cnt
+  FROM m
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/' || typ || '_' || CAST(cnt AS VARCHAR) AS pred,
+  'literal' AS obj_kind,
+  w AS obj_lexical
+FROM t
+""",
+        "kg_mapped": r"""
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/category' AS pred,
+  'literal' AS obj_kind,
+  CASE w
+    WHEN 'join'  THEN 'JoinLike'
+    WHEN 'merge' THEN 'JoinLike'
+    WHEN 'scan'  THEN 'ScanLike'
+    -- reference quirk (processor.py:2644 via interpreter.expand): a bare
+    -- @{1} in a mapping replacement stringifies an undefined var, so the
+    -- regex pair 's(.*)' -> 'S_@{1}' yields the literal 'S_None'
+    WHEN 'sort'  THEN 'S_None'
+    ELSE w
+  END AS obj_lexical
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|merge|scan|sort|filter)\b')) AS w
+  FROM documents
+)
+""",
+        "media_meta": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS media_type,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+       CAST(16 + doc_id % 13 AS INTEGER) AS width,
+       CAST(9 + doc_id % 7 AS INTEGER) AS height
+FROM documents
+""",
+        "media_pixels": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, f.feature, f.value_scaled
+FROM documents, LATERAL (
+  SELECT unnest(['width', 'height', 'channels', 'mean_c0', 'mean_c1', 'mean_c2']) AS feature,
+         unnest([
+           CAST((16 + doc_id % 13) * 100 AS BIGINT),
+           CAST((9 + doc_id % 7) * 100 AS BIGINT),
+           CAST(300 AS BIGINT),
+           CAST(((doc_id * 7) % 256) * 100 AS BIGINT),
+           CAST(((doc_id * 13) % 256) * 100 AS BIGINT),
+           CAST(((doc_id * 29) % 256) * 100 AS BIGINT)
+         ]) AS value_scaled
+) f
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash,
@@ -870,9 +1291,61 @@ WITH b AS (
 SELECT id_a, id_b, CAST(floor(10000 * cosine) AS BIGINT) AS cosine_scaled
 FROM scored WHERE cosine >= 0.25
 """
+    # -- IVF-ANN: md5-seeded centroids + quantized Lloyd refine (integer
+    # means — order-independent, so bit-identical to the Spark build),
+    # n_probe nearest cells, exact top-k within them.
+    ivf = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell_id,
+         embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+), a0 AS (
+  SELECT e.vec_id, s.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) DESC,
+                    s.cell_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+), ex AS (
+  SELECT a0.cell_id,
+         generate_subscripts(e.embedding, 1) AS d,
+         unnest(e.embedding::DOUBLE[]) AS x
+  FROM a0 JOIN embeddings e ON e.vec_id = a0.vec_id
+  WHERE a0.rn = 1
+), cm AS (
+  SELECT cell_id, d, floor(sum(floor(x * {IVF_Q})) / count(*)) / {IVF_Q} AS m
+  FROM ex GROUP BY cell_id, d
+), cents AS (
+  SELECT cell_id, list(m ORDER BY d) AS centroid FROM cm GROUP BY cell_id
+), a1 AS (
+  SELECT e.vec_id, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                    c.cell_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), probe AS (
+  SELECT c.cell_id FROM cents c, q
+  ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.cell_id ASC
+  LIMIT {IVF_PROBE}
+), pruned AS (
+  SELECT a1.vec_id FROM a1 JOIN probe p ON p.cell_id = a1.cell_id WHERE a1.rn = 1
+)
+SELECT e.vec_id AS id,
+       CAST(floor(10000 * list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) AS BIGINT)
+         AS cosine_scaled
+FROM pruned pr JOIN embeddings e ON e.vec_id = pr.vec_id, q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+LIMIT 10
+"""
     return {
         "dedup_minhash_lsh": lsh,
         "dedup_simhash": simhash,
         "text_lang_id": lang_sql,
         "emb_near_dup": emb_near_dup,
+        "ann_ivf_topk": ivf,
     }

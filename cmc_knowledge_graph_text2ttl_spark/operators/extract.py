@@ -10,6 +10,11 @@ same bytes (tested in tests/test_distributed_equivalence.py).
 
 Semantics preserved from the reference:
 
+* HTML is normalized to Tika-style XHTML text (runner.py:36-115's role):
+  script/style/comment content dropped, attributes dropped, structural
+  tags kept lowercase and balanced, inline/unknown tags unwrapped,
+  entities decoded then minimally re-escaped — pure stdlib
+  ``html.parser``, fully deterministic;
 * only the first ``</html>`` root is kept — Tika can emit trailing roots
   and the runner truncates after the first close tag (runner.py:126-127);
 * PDF extraction is a separate dispatch branch. PyMuPDF is not available
@@ -21,7 +26,9 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from html import escape as _xml_escape
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional
 
 import pandas as pd
 
@@ -46,16 +53,168 @@ EXTRACTED_SCHEMA = StructType(
 
 _HTML_CLOSE = "</html>"
 
+# Structural tags Tika's XHTML output preserves — enough for the table /
+# section / paragraph workflows to keep matching; everything else is
+# unwrapped (content kept, tag dropped).
+_KEEP_TAGS = frozenset(
+    "html head title body h1 h2 h3 h4 h5 h6 p div table thead tbody tfoot "
+    "tr td th ul ol li dl dt dd blockquote pre section article header "
+    "footer nav aside caption a".split()
+)
+# Void elements that survive as self-closed markers.
+_KEEP_VOID = frozenset({"br", "hr"})
+# Elements whose entire CONTENT is dropped (trafilatura/Tika both do).
+_DROP_CONTENT = frozenset({"script", "style", "noscript", "template"})
+
+
+class _XhtmlNormalizer(HTMLParser):
+    """Tika-style HTML → normalized XHTML text (pure stdlib, deterministic).
+
+    * script/style/noscript/template content, comments, doctypes and
+      processing instructions are dropped;
+    * tags in ``_KEEP_TAGS`` are emitted lowercase with attributes
+      stripped, and balanced (stray close tags ignored, open tags closed
+      at EOF) so the output is well-formed;
+    * all other tags are unwrapped — their text content remains;
+    * character/entity references are decoded by the parser and text is
+      re-escaped minimally (&amp; &lt; &gt;).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._out: List[str] = []
+        self._stack: List[str] = []
+        self._skip: Optional[str] = None
+
+    # -- tag events ---------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if self._skip is not None:
+            return
+        if tag in _DROP_CONTENT:
+            self._skip = tag
+            return
+        if tag in _KEEP_VOID:
+            self._out.append(f"<{tag}/>")
+        elif tag in _KEEP_TAGS:
+            self._out.append(f"<{tag}>")
+            self._stack.append(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        if self._skip is not None:
+            return
+        if tag in _KEEP_VOID:
+            self._out.append(f"<{tag}/>")
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if self._skip is not None:
+            if tag == self._skip:
+                self._skip = None
+            return
+        if tag in _KEEP_TAGS and tag in self._stack:
+            # balance: close any unclosed children first
+            while self._stack:
+                top = self._stack.pop()
+                self._out.append(f"</{top}>")
+                if top == tag:
+                    break
+
+    def handle_data(self, data):
+        if self._skip is None and data:
+            self._out.append(_xml_escape(data, quote=False))
+
+    def result(self) -> str:
+        while self._stack:  # close remaining open tags at EOF
+            self._out.append(f"</{self._stack.pop()}>")
+        return "".join(self._out)
+
 
 def html_to_xhtml_text(data: bytes) -> str:
-    """Deterministic HTML→text: UTF-8 decode (strict — malformed bytes are
-    an error row, reference skips such docs at runner.py:333-339) and
-    first-root truncation."""
+    """Deterministic HTML→XHTML text: UTF-8 decode (strict — malformed
+    bytes are an error row, reference skips such docs at
+    runner.py:333-339), Tika-style markup normalization, first-root
+    truncation. Real crawl HTML loses scripts/styles/attributes here, so
+    downstream regex workflows see clean structural text only."""
     text = data.decode("utf-8")
+    norm = _XhtmlNormalizer()
+    norm.feed(text)
+    norm.close()
+    text = norm.result()
     idx = text.find(_HTML_CLOSE)
     if idx >= 0:
         text = text[: idx + len(_HTML_CLOSE)]
     return text
+
+
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li tr table ul ol dl blockquote pre section "
+    "article header footer nav aside br hr td th caption title".split()
+)
+
+
+class _PlainTextExtractor(HTMLParser):
+    """Trafilatura-style HTML → plain text (north_star wording).
+
+    Drops ALL markup; script/style/comment content removed; block-level
+    boundaries become newlines (cells separated by a tab); entities
+    decoded; whitespace normalized per line; empty lines dropped.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._parts: List[str] = []
+        self._skip: Optional[str] = None
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if self._skip is not None:
+            return
+        if tag in _DROP_CONTENT:
+            self._skip = tag
+        elif tag in ("td", "th"):
+            self._parts.append("\t")
+        elif tag in _BLOCK_TAGS:
+            self._parts.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if self._skip is not None:
+            if tag == self._skip:
+                self._skip = None
+            return
+        if tag in _BLOCK_TAGS and tag not in ("td", "th", "br", "hr"):
+            self._parts.append("\n")
+
+    def handle_data(self, data):
+        if self._skip is None and data:
+            # raw tabs in running text are whitespace; the TAB cell
+            # separator is inserted only by the td/th handler above
+            self._parts.append(data.replace("\t", " "))
+
+    def result(self) -> str:
+        lines = []
+        for line in "".join(self._parts).split("\n"):
+            # collapse runs of spaces but keep the tab cell separators
+            cells = [" ".join(c.split()) for c in line.split("\t")]
+            cleaned = "\t".join(cells).strip("\t ").strip()
+            if cleaned:
+                lines.append(cleaned)
+        return "\n".join(lines)
+
+
+def html_to_plain_text(data) -> str:
+    """Markup-free text for the training-data pipeline (dedup/quality/
+    lang-id operate on THIS, not on XHTML). Accepts bytes or str."""
+    text = data.decode("utf-8") if isinstance(data, (bytes, bytearray)) else data
+    p = _PlainTextExtractor()
+    p.feed(text)
+    p.close()
+    return p.result()
 
 
 def pdf_to_xhtml_text(data: bytes) -> str:

@@ -2,11 +2,16 @@
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side contract is real and tested — schemas, batch shapes,
-partitioning, dispatch — while the actual codec work is STUBBED: the
-decode libraries (PIL/ffmpeg/torchaudio) are not in this environment, so
-`decode_image` raises ``NotImplementedError`` unless a deterministic fake
-is injected (tests do exactly that). Swapping in a real decoder changes
-one function, not the pipeline.
+partitioning, dispatch. Codec support is pure-Python/stdlib:
+
+* header sniffing (PNG IHDR / GIF screen / JPEG SOF scan / WAV / MP4)
+  gives type, format and pixel dimensions without decoding payloads;
+* ``decode_image`` is a REAL PNG decoder (stdlib ``zlib`` inflate +
+  scanline unfiltering, 8-bit gray/RGB/RGBA) — no external codec
+  library; other formats raise with a clear message and the
+  ``extract_features`` stage degrades to a marker feature;
+* ``encode_png`` / ``encode_gif_header`` / ``encode_jpeg_header`` build
+  deterministic fixtures for tests and the oracle gate.
 
 Design point for 100 TB of media: bytes stay in the `binary` column until
 the LAST possible stage; metadata-only operations (sniff, size, group,
@@ -19,7 +24,8 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Callable, Iterator, Optional
+import zlib
+from typing import Callable, Iterator, List, Optional, Tuple
 
 import pandas as pd
 
@@ -57,11 +63,45 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _jpeg_dims(data: bytes) -> tuple:
+    """(width, height) from the first SOFn segment, or (None, None).
+
+    Walks the JPEG marker stream: each segment is FF <marker> <len:2be>;
+    SOF0-SOF15 (except DHT/JPG/DAC = C4/C8/CC) carry
+    ``precision:1 height:2 width:2``. Pure byte inspection.
+    """
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1  # filler/garbage tolerance
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers have no length
+            continue
+        if pos + 4 > n:
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 <= n:
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                return (w, h)
+            return (None, None)
+        if marker == 0xDA:  # start of scan — dims would have come before
+            break
+        pos += 2 + seg_len
+    return (None, None)
+
+
 def sniff_media(data: Optional[bytes]) -> tuple:
     """(media_type, format, width, height) from magic bytes + headers.
 
-    Header parsing is pure byte inspection (PNG IHDR / GIF screen / BMP /
-    WAV fmt) — no codec library involved; deterministic.
+    Header parsing is pure byte inspection (PNG IHDR / GIF screen / JPEG
+    SOF scan / WAV fmt) — no codec library involved; deterministic.
     """
     if not data:
         return ("unknown", None, None, None)
@@ -71,7 +111,8 @@ def sniff_media(data: Optional[bytes]) -> tuple:
             w, h = struct.unpack(">II", data[16:24])
         return ("image", "png", w, h)
     if data[:3] == b"\xff\xd8\xff":
-        return ("image", "jpeg", None, None)
+        w, h = _jpeg_dims(data)
+        return ("image", "jpeg", w, h)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         w = h = None
         if len(data) >= 10:
@@ -112,13 +153,137 @@ def media_metadata(
     return df.select(id_col, blob_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+# PNG color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Real pure-Python PNG decode: (width, height, channels, raw pixels).
+
+    stdlib only — zlib inflate of the IDAT stream, then per-scanline
+    reverse filtering (None/Sub/Up/Average/Paeth per the PNG spec §9).
+    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
+    Returns pixels row-major, ``channels`` bytes per pixel.
+    """
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, bitd, ctype, interlace = 8, None, None, None, None, 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctag == b"IHDR":
+            width, height, bitd, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+        pos += 12 + clen  # len + tag + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitd != 8 or ctype not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG bitdepth={bitd} colortype={ctype} interlace={interlace} "
+            "unsupported (8-bit non-interlaced gray/GA/RGB/RGBA only)"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG bad filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return (width, height, ch, bytes(out))
+
+
 def decode_image(data: bytes):
-    """bytes → pixel array. STUB: requires an image codec library that is
-    not available here; inject a fake via `extract_features(decoder=...)`
-    or monkeypatch in tests (the Spark plumbing around it is real)."""
+    """bytes → (width, height, channels, raw pixels). Real for PNG (pure
+    stdlib, see :func:`decode_png`); other formats raise
+    ``NotImplementedError`` — inject a decoder via
+    ``extract_features(decoder=...)`` for codec-library formats."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    mtype, fmt, _, _ = sniff_media(data)
     raise NotImplementedError(
-        "image decoding requires PIL/cv2 (not installed in this environment)"
+        f"no pure-Python decoder for {mtype}/{fmt}; PNG is supported — "
+        "inject decoder= for other codecs"
     )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Deterministic PNG encoder (filter 0, fixed zlib level) — the
+    fixture/oracle counterpart of :func:`decode_png`."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer size mismatch")
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_gif_header(width: int, height: int) -> bytes:
+    """Minimal GIF89a header+trailer (enough for header-level metadata)."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """Minimal JFIF stream with an SOF0 carrying the dimensions."""
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
 def extract_features(
@@ -129,11 +294,28 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract stage (long format: one row per feature).
 
-    `decoder(data: bytes) -> list[(feature, value)]`. With the default
-    stub decoder, every row lands as a ('decode_error', nan)-free error
-    marker feature so the pipeline shape is exercised end-to-end.
+    `decoder(data: bytes) -> list[(feature, value)]`. The default decoder
+    is REAL for PNG (pure-stdlib :func:`decode_png`): it emits width,
+    height, channels and exact per-channel pixel means (integer sums, so
+    deterministic — no float accumulation order issues). Formats without
+    a pure-Python decoder land as a 'decode_unavailable' marker feature
+    so the pipeline shape is exercised end-to-end regardless.
     """
-    dec = decoder or (lambda data: (_ for _ in ()).throw(NotImplementedError("stub")))
+
+    def default_decoder(data: bytes) -> List[tuple]:
+        w, h, ch, px = decode_image(data)
+        feats = [
+            ("width", float(w)),
+            ("height", float(h)),
+            ("channels", float(ch)),
+        ]
+        n = w * h
+        for c in range(ch):
+            s = sum(px[c::ch])  # exact integer sum over the channel plane
+            feats.append((f"mean_c{c}", s / n if n else 0.0))
+        return feats
+
+    dec = decoder or default_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,6 +330,10 @@ def extract_features(
                 except NotImplementedError:
                     ids.append(str(mid))
                     feats.append("decode_unavailable")
+                    vals.append(0.0)
+                except (ValueError, zlib.error):
+                    ids.append(str(mid))
+                    feats.append("decode_error")
                     vals.append(0.0)
             yield pd.DataFrame({"media_id": ids, "feature": feats, "value": vals})
 

@@ -100,16 +100,16 @@ def assign_cells(
     )
 
 
-def make_centroids(
+def seed_centroids(
     emb: DataFrame,
     n_cells: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Deterministic centroid selection: the n_cells vectors with the
-    smallest md5-hash of their id (a seeded sample without an RNG),
-    refined by one Lloyd step (mean of assigned vectors)."""
-    seeds = (
+    """Deterministic seeds: the n_cells vectors with the smallest
+    md5-hash of their id (a seeded sample without an RNG). cell_id is the
+    hash rank — reproducible in any engine that has md5."""
+    return (
         emb.select(
             F.col(id_col).alias("seed_id"),
             F.col(vec_col).alias("centroid"),
@@ -120,12 +120,38 @@ def make_centroids(
         .withColumn("cell_id", F.row_number().over(__import__("pyspark").sql.Window.orderBy("h")) - 1)
         .select("cell_id", "centroid")
     )
+
+
+def make_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: int = 0,
+) -> DataFrame:
+    """Seed centroids refined by one Lloyd step (mean of assigned vectors).
+
+    ``quantize > 0`` makes the refine step bit-deterministic across
+    engines and partitionings: each coordinate is floor-scaled to an
+    integer PER ROW before summing (integer sums are order-independent,
+    float sums are not), and the mean is an integer division —
+    ``floor(sum(floor(x*q)) / n) / q``. Use for reproducible index builds
+    and oracle checking; ``quantize=0`` keeps plain float means.
+    """
+    seeds = seed_centroids(emb, n_cells, vec_col, id_col)
     assigned = assign_cells(emb, seeds, vec_col, id_col)
-    dim = emb.select(F.size(vec_col).alias("d")).first().d
+    per_dim = assigned.select("cell_id", F.posexplode(vec_col).alias("d", "x"))
+    if quantize > 0:
+        q = F.lit(float(quantize))
+        mean_col = (
+            F.floor(F.sum(F.floor(F.col("x").cast("double") * q)) / F.count(F.lit(1)))
+            / q
+        ).alias("m")
+    else:
+        mean_col = F.avg("x").alias("m")
     refined = (
-        assigned.select("cell_id", F.posexplode(vec_col).alias("d", "x"))
-        .groupBy("cell_id", "d")
-        .agg(F.avg("x").alias("m"))
+        per_dim.groupBy("cell_id", "d")
+        .agg(mean_col)
         .groupBy("cell_id")
         .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
         .select(

@@ -5,6 +5,7 @@ multimodal plumbing — verified against pure-Python oracles on testdata.
 import hashlib
 import math
 import struct
+import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -165,6 +166,15 @@ class TestEmbeddingOps:
             recalls.append(len(exact & approx) / 10)
         assert sum(recalls) / len(recalls) >= 0.5  # 4/8 cells probed
 
+    def test_quantized_centroids_partition_invariant(self, spark, emb):
+        """quantize>0 floor-scales per row before integer sums, so the
+        refined centroids are bit-identical under any partitioning."""
+        a = similarity.make_centroids(emb, 8, quantize=10**6)
+        b = similarity.make_centroids(emb.repartition(13), 8, quantize=10**6)
+        ra = sorted((r.cell_id, tuple(r.centroid)) for r in a.collect())
+        rb = sorted((r.cell_id, tuple(r.centroid)) for r in b.collect())
+        assert ra == rb
+
     def test_embedding_near_dup_finds_planted_pair(self, spark):
         base = [1.0, 2.0, 3.0, 4.0]
         near = [1.01, 2.0, 3.0, 4.0]
@@ -257,18 +267,116 @@ class TestMultimodal:
         groups = mm.exact_media_dedup(meta).filter("n_copies > 1").collect()
         assert len(groups) == 1 and groups[0].keep_id == "img1"
 
-    def test_feature_stub_and_injected_decoder(self, spark):
+    def test_feature_default_and_injected_decoder(self, spark):
         df = self._media_df(spark)
-        stub = mm.extract_features(df)
-        assert {r.feature for r in stub.collect()} == {"decode_unavailable"}
+        feats0 = mm.extract_features(df)
+        by_id = {}
+        for r in feats0.collect():
+            by_id.setdefault(r.media_id, set()).add(r.feature)
+        # truncated PNG fixture → real decoder runs but the stream is bad
+        assert by_id["img1"] == {"decode_error"}
+        # non-PNG formats have no pure-Python decoder
+        assert by_id["aud1"] == {"decode_unavailable"}
         fake = lambda data: [("n_bytes", float(len(data))), ("mean", 0.5)]
         feats = mm.extract_features(df, decoder=fake)
         rows = {(r.media_id, r.feature): r.value for r in feats.collect()}
         assert rows[("img1", "n_bytes")] == float(len(self.PNG))
         assert rows[("unk1", "mean")] == 0.5
 
+    def test_default_decoder_real_png_features(self, spark):
+        blob = mm.encode_png(4, 3, bytes([10, 20, 30]) * 12, 3)
+        df = spark.createDataFrame([("p", blob)], "media_id string, blob binary")
+        rows = {r.feature: r.value for r in mm.extract_features(df).collect()}
+        assert rows["width"] == 4.0 and rows["height"] == 3.0
+        assert rows["channels"] == 3.0
+        assert (rows["mean_c0"], rows["mean_c1"], rows["mean_c2"]) == (10.0, 20.0, 30.0)
+
     def test_frame_sample_plan(self, spark):
         meta = mm.media_metadata(self._media_df(spark))
         plan = mm.frame_sample_plan(meta, every_n_seconds=2.0).collect()
         assert all(r.media_id == "vid1" for r in plan)
         assert [r.frame_index for r in plan[:3]] == [0, 50, 100]
+
+
+class TestImageCodec:
+    """Pure-stdlib PNG decode (all five filter types) + JPEG SOF scan."""
+
+    def test_png_roundtrip_all_channel_counts(self):
+        w, h = 7, 5
+        for ch in (1, 2, 3, 4):
+            px = bytes((x * 13 + y * 29 + c * 7) % 256
+                       for y in range(h) for x in range(w) for c in range(ch))
+            dw, dh, dch, out = mm.decode_png(mm.encode_png(w, h, px, ch))
+            assert (dw, dh, dch, out) == (w, h, ch, px)
+
+    @staticmethod
+    def _png_with_filters(width, height, ch, pixels, filters):
+        """Build a PNG applying the given per-scanline filter types."""
+        stride = width * ch
+        raw = bytearray()
+        prev = bytes(stride)
+        for y, ftype in zip(range(height), filters):
+            line = pixels[y * stride:(y + 1) * stride]
+            raw.append(ftype)
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    f = line[i]
+                elif ftype == 1:
+                    f = (line[i] - a) & 0xFF
+                elif ftype == 2:
+                    f = (line[i] - b) & 0xFF
+                elif ftype == 3:
+                    f = (line[i] - ((a + b) >> 1)) & 0xFF
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    f = (line[i] - pred) & 0xFF
+                raw.append(f)
+            prev = line
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def test_png_decode_every_filter_type(self):
+        w, h, ch = 6, 5, 3
+        px = bytes((x * 31 + y * 17 + c * 11) % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+        blob = self._png_with_filters(w, h, ch, px, [0, 1, 2, 3, 4])
+        assert mm.decode_png(blob)[3] == px
+
+    def test_png_rejects_unsupported(self):
+        import pytest
+
+        blob = bytearray(mm.encode_png(2, 2, bytes(12), 3))
+        blob[24] = 16  # bit depth byte inside IHDR
+        # CRC now wrong but the decoder reads fields before verifying
+        with pytest.raises(NotImplementedError):
+            mm.decode_png(bytes(blob))
+
+    def test_jpeg_sof_dims(self):
+        assert mm.sniff_media(mm.encode_jpeg_header(641, 479))[2:] == (641, 479)
+        # SOF2 (progressive) after a fat APP1 segment
+        app1 = b"\xff\xe1" + struct.pack(">H", 102) + b"E" * 100
+        sof2 = (b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", 33, 44) + b"\x01\x11\x00")
+        blob = b"\xff\xd8" + app1 + sof2 + b"\xff\xd9"
+        assert mm.sniff_media(blob) == ("image", "jpeg", 44, 33)
+        # no SOF before SOS → dims unknown
+        sos = b"\xff\xda" + struct.pack(">H", 3) + b"\x00"
+        assert mm.sniff_media(b"\xff\xd8" + app1 + sos)[2:] == (None, None)
+
+    def test_gif_header(self):
+        assert mm.sniff_media(mm.encode_gif_header(320, 200)) == (
+            "image", "gif", 320, 200,
+        )

