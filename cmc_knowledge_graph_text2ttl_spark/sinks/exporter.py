@@ -8,7 +8,10 @@ optional exporter with the same wire shape:
 
 * payload: N-Triples batches (the canonical serialization),
 * auth: basic (user/password via ``$ENV`` indirection like the reference,
-  processor.py:2142-2151),
+  processor.py:2142-2151) OR bearer via an injectable ``token_provider``
+  with refresh-on-401 and backoff-on-5xx retries (the reference's
+  Azure-OAuth/MSAL retry loop, runner.py:434-477 — here the token source
+  is injected so MSAL/any IdP plugs in without a dependency),
 * transport injectable → unit-testable without a network; the real
   transport uses urllib (no hard dependency on ``requests``).
 
@@ -54,21 +57,66 @@ def export_to_endpoint(
     password: Optional[str] = None,
     transport: Optional[Transport] = None,
     max_batch_lines: int = 50_000,
+    token_provider: Optional[Callable[[], str]] = None,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
 ) -> int:
     """POST the triples table as N-Triples batches; returns batch count.
 
     One POST per (partition, chunk). The transport is pickled to the
     executors — inject a fake in tests; leave None for urllib.
+
+    Auth/retry parity with the reference's OAuth loop (runner.py:434-477):
+    when ``token_provider`` is given, requests carry ``Bearer <token>``;
+    a 401/403 refreshes the token ONCE per failure and retries; 5xx
+    retries with exponential backoff up to ``max_retries``. The token is
+    fetched lazily per partition (not per batch).
     """
+    import time as _time
+
     username = _env_indirect(username)
     password = _env_indirect(password)
-    headers = {"Content-Type": "application/n-triples"}
-    if username is not None:
+    base_headers = {"Content-Type": "application/n-triples"}
+    if username is not None and token_provider is None:
         token = base64.b64encode(f"{username}:{password or ''}".encode()).decode()
-        headers["Authorization"] = f"Basic {token}"
+        base_headers["Authorization"] = f"Basic {token}"
     send = transport or _default_transport
 
     def post_partition(rows) -> List[int]:
+        # token fetched lazily on the first actual POST — empty partitions
+        # must not hit the identity provider
+        token_box = {"t": None, "init": False}
+
+        def hdrs() -> dict:
+            if token_provider is not None and not token_box["init"]:
+                token_box["t"] = token_provider()
+                token_box["init"] = True
+            h = dict(base_headers)
+            if token_box["t"]:
+                h["Authorization"] = f"Bearer {token_box['t']}"
+            return h
+
+        def send_with_retry(body: bytes) -> None:
+            delay = backoff_s
+            for attempt in range(max_retries + 1):
+                status = send(endpoint, body, hdrs())
+                if status < 300:
+                    return
+                if (
+                    status in (401, 403)
+                    and token_provider is not None
+                    and attempt < max_retries
+                ):
+                    token_box["t"] = token_provider()  # refresh and retry
+                    continue
+                if 500 <= status < 600 and attempt < max_retries:
+                    _time.sleep(delay)
+                    delay *= 2
+                    continue
+                raise RuntimeError(
+                    f"endpoint returned {status} after {attempt + 1} attempts"
+                )
+
         batch: List[tuple] = []
         sent = 0
         for r in rows:
@@ -76,17 +124,11 @@ def export_to_endpoint(
                 (r.subj, r.pred, r.obj_kind, r.obj_lexical, r.obj_lang, r.obj_datatype)
             )
             if len(batch) >= max_batch_lines:
-                body = "\n".join(triples_to_nt_lines(batch)).encode("utf8")
-                status = send(endpoint, body, headers)
-                if status >= 300:
-                    raise RuntimeError(f"endpoint returned {status}")
+                send_with_retry("\n".join(triples_to_nt_lines(batch)).encode("utf8"))
                 sent += 1
                 batch = []
         if batch:
-            body = "\n".join(triples_to_nt_lines(batch)).encode("utf8")
-            status = send(endpoint, body, headers)
-            if status >= 300:
-                raise RuntimeError(f"endpoint returned {status}")
+            send_with_retry("\n".join(triples_to_nt_lines(batch)).encode("utf8"))
             sent += 1
         return [sent]
 

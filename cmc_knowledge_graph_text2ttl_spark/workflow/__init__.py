@@ -1,5 +1,6 @@
 from .compile import WorkflowProgram, compile_workflow, compile_workflow_file
 from .interpreter import DocInterpreter, DocResult, run_document
+from .remote import fetch_remote_graph, is_remote_graph, resolve_graphs
 
 __all__ = [
     "WorkflowProgram",
@@ -8,4 +9,7 @@ __all__ = [
     "DocInterpreter",
     "DocResult",
     "run_document",
+    "fetch_remote_graph",
+    "is_remote_graph",
+    "resolve_graphs",
 ]
