@@ -380,6 +380,54 @@ def q_kg_mapped(spark, sf_dir):
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+LINK_DICT = [("Join", "http://kb/join_op"), ("scan", "http://kb/scan_op")]
+LINK_PATTERNS = [("s(.*)", "http://kb/s/$1")]
+
+
+def q_entity_link(spark, sf_dir):
+    """Dictionary + pattern entity linking under the gate: exact
+    broadcast-hash-join hit beats the ordered regex cascade beats
+    unlinked-null (ops/linking.py, the distributed analog of mapping/map)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.linking import link_mentions
+
+    docs = _docs(spark, sf_dir)
+    mentions = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"\b(join|merge|scan|sort|filter|window)\b"), 1
+            )
+        ).alias("mention"),
+    ).distinct()
+    out = link_mentions(mentions, LINK_DICT, LINK_PATTERNS, ignore_case=True)
+    return out.select("doc_id", "mention", "canonical_iri", "linked")
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Per-host boilerplate removal under the gate: 10 synthetic hosts,
+    two injected lines present on every page of a host (nav + footer),
+    one unique body line — the grouped applyInPandas operator must strip
+    exactly the shared lines (ops/boilerplate.py)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.boilerplate import (
+        strip_host_boilerplate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("menu home about\n"),
+            F.substring("text", 1, 150),
+            F.lit("\ncopyright footer"),
+        ).alias("text"),
+    )
+    out = strip_host_boilerplate(pages)
+    return out.select("url", "host", "text", "n_boilerplate_lines")
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).select(
         "content_hash", "n_docs", "keep_id"
@@ -712,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_table_cells": q_kg_table_cells,
         "kg_sequence": q_kg_sequence,
         "kg_mapped": q_kg_mapped,
+        "entity_link": q_entity_link,
+        "boilerplate_strip": q_boilerplate_strip,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -1009,6 +1059,30 @@ FROM (
          unnest(regexp_extract_all(text, '\b(join|merge|scan|sort|filter)\b')) AS w
   FROM documents
 )
+""",
+        "entity_link": r"""
+WITH m AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|merge|scan|sort|filter|window)\b')) AS mention
+  FROM documents
+)
+SELECT doc_id, mention,
+       CASE mention
+         WHEN 'join' THEN 'http://kb/join_op'
+         WHEN 'scan' THEN 'http://kb/scan_op'
+         WHEN 'sort' THEN 'http://kb/s/ort'
+         ELSE NULL
+       END AS canonical_iri,
+       CASE WHEN mention IN ('join', 'scan', 'sort') THEN true ELSE false END AS linked
+FROM m
+""",
+        "boilerplate_strip": """
+SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org' AS host,
+       substr(text, 1, 150) AS text,
+       CAST(2 AS BIGINT) AS n_boilerplate_lines
+FROM documents
 """,
         "media_meta": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
