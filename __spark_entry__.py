@@ -478,6 +478,20 @@ def q_text_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), shingle_n=8)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher/FineWeb repetition filters under the gate."""
+    r = TS.repetition_stats(_docs(spark, sf_dir))
+    return r.select(
+        "id",
+        "n_words",
+        "n_distinct_words",
+        _fl(F.col("dup_word_frac")).alias("dup_word_frac_scaled"),
+        _fl(F.col("top_word_frac")).alias("top_word_frac_scaled"),
+        _fl(F.col("top_bigram_frac")).alias("top_bigram_frac_scaled"),
+        "repetitive",
+    )
+
+
 EMB_DIM = 64  # constant across all testdata scales (asserted in the query)
 
 
@@ -771,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1155,6 +1170,44 @@ FROM documents, LATERAL (
   SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
 )
 GROUP BY doc_id
+""",
+        "text_repetition": r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT id, unnest(ws) AS w FROM base
+), uc AS (
+  SELECT id, w, count(*) AS c FROM uni GROUP BY id, w
+), u AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         max(c) AS top_word_count
+  FROM uc GROUP BY id
+), bigr AS (
+  SELECT id, ws[i] || ' ' || ws[i + 1] AS b
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(ws) - 1, 0))) AS i
+  )
+), bc AS (
+  SELECT id, b, count(*) AS c FROM bigr GROUP BY id, b
+), bb AS (
+  SELECT id, max(c) AS top_bigram_count, sum(c) AS n_bigrams FROM bc GROUP BY id
+)
+SELECT u.id, n_words, n_distinct_words,
+       CAST(floor(10000 * (1.0 - CAST(n_distinct_words AS DOUBLE) / n_words)) AS BIGINT)
+         AS dup_word_frac_scaled,
+       CAST(floor(10000 * (CAST(top_word_count AS DOUBLE) / n_words)) AS BIGINT)
+         AS top_word_frac_scaled,
+       CAST(floor(10000 * (CASE WHEN n_bigrams > 0
+             THEN CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             ELSE 0.0 END)) AS BIGINT) AS top_bigram_frac_scaled,
+       ((1.0 - CAST(n_distinct_words AS DOUBLE) / n_words) > 0.3
+        OR (CASE WHEN n_bigrams > 0
+             THEN CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             ELSE 0.0 END) > 0.18) AS repetitive
+FROM u LEFT JOIN bb ON bb.id = u.id
 """,
         "ann_cosine_topk": """
 WITH q AS (

@@ -227,6 +227,22 @@ class TestTextStats:
         )
         assert a == b
 
+    def test_repetition_stats_planted(self, spark):
+        rows = [
+            (1, "spam spam spam spam spam"),                # fully repetitive
+            (2, "the quick brown fox jumps over lazy dog"),  # all distinct
+            (3, "ab cd ab cd ab cd ab cd"),                  # top bigram dominates
+            (4, "one"),                                      # no bigrams
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.id: r for r in textstats.repetition_stats(df).collect()}
+        assert got[1].n_words == 5 and got[1].n_distinct_words == 1
+        assert got[1].dup_word_frac == 0.8 and got[1].repetitive
+        assert got[2].dup_word_frac == 0.0 and not got[2].repetitive
+        # doc 3: bigrams = [ab cd, cd ab] * ... → 'ab cd' 4/7
+        assert abs(got[3].top_bigram_frac - 4 / 7) < 1e-9 and got[3].repetitive
+        assert got[4].top_bigram_frac == 0.0 and got[4].n_words == 1
+
     def test_fingerprint_deterministic_and_matches_python(self, spark):
         df = spark.createDataFrame([(1, "abcdefghijklmno")], ["doc_id", "text"])
         got = textstats.fingerprint(df, shingle_n=8).first().fingerprint
