@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--master", default=None, help="spark master (default: env/local[*])")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--ontology", default=None, help="TTL file for select: lookups")
+    ap.add_argument(
+        "--graph", "-g", action="append", default=[], metavar="NAME=SPEC",
+        help="named select: graph — SPEC is a TTL file path or an "
+        "http(s):// SPARQL endpoint (batch-prefetched once on the driver "
+        "and broadcast; never per-row HTTP); repeatable",
+    )
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--ttl-out", default=None, help="also write canonical N-Triples here")
     ap.add_argument("--per-doc-ttl", default=None, help="small-corpus per-doc .ttl export dir")
@@ -57,6 +63,7 @@ def main(argv=None) -> int:
     from .sinks import export_per_doc_turtle, write_ntriples
     from .sources import read_pages
     from .workflow.compile import compile_workflow_file
+    from .workflow.remote import is_remote_graph, resolve_graphs
     from .workflow.sparql import parse_ttl
 
     wf_paths = sorted(glob.glob(args.workflows))
@@ -76,10 +83,21 @@ def main(argv=None) -> int:
         name, value = d.split("=", 1)
         extra_vars[name] = value
 
-    graphs = None
+    graph_specs = {}
     if args.ontology:
         with open(args.ontology, "r", encoding="utf8") as fh:
-            graphs = {args.ontology: parse_ttl(fh.read())}
+            graph_specs[args.ontology] = parse_ttl(fh.read())
+    for g in args.graph:
+        if "=" not in g:
+            print(f'invalid --graph "{g}"; must be NAME=SPEC', file=sys.stderr)
+            return 2
+        name, spec = g.split("=", 1)
+        if is_remote_graph(spec):
+            graph_specs[name] = spec  # resolve_graphs prefetches it
+        else:
+            with open(spec, "r", encoding="utf8") as fh:
+                graph_specs[name] = fh.read()  # TTL source text
+    graphs = resolve_graphs(graph_specs) if graph_specs else None
 
     spark = get_spark(
         app_name=f"kg-text2ttl:{args.run_scope}",
