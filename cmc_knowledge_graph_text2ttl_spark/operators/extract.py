@@ -217,6 +217,68 @@ def html_to_plain_text(data) -> str:
     return p.result()
 
 
+_DOCX_P = None  # compiled lazily (module import stays cheap)
+
+
+def docx_to_xhtml_text(data: bytes) -> str:
+    """Office (docx) → XHTML text, pure stdlib (zipfile + regex over OOXML).
+
+    Covers the reference's Tika "Office" branch (runner.py:36-115): a
+    .docx is a ZIP whose ``word/document.xml`` carries paragraphs
+    (``<w:p>``), text runs (``<w:t>``), tabs and breaks. Table cells
+    (``<w:tc>``) re-render as ``<table><tr><td>`` like the Tika output
+    the workflows match against. Deterministic; no external parser.
+    """
+    global _DOCX_P
+    import io
+    import re as _re
+    import zipfile
+
+    if _DOCX_P is None:
+        _DOCX_P = {
+            "p": _re.compile(r"<w:p[ >/].*?(?:</w:p>|/>)", _re.S),
+            "t": _re.compile(r"<w:t(?: [^>]*)?>(.*?)</w:t>", _re.S),
+            "tbl": _re.compile(r"<w:tbl>.*?</w:tbl>", _re.S),
+            "tr": _re.compile(r"<w:tr[ >].*?</w:tr>|<w:tr>.*?</w:tr>", _re.S),
+            "tc": _re.compile(r"<w:tc>.*?</w:tc>", _re.S),
+        }
+    import html as _h
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        try:
+            xml = z.read("word/document.xml").decode("utf-8")
+        except KeyError:
+            raise ValueError("ZIP container has no word/document.xml (not a docx)")
+
+    def runs_text(fragment: str) -> str:
+        text = "".join(_DOCX_P["t"].findall(fragment))
+        text = text.replace("<w:tab/>", "\t")
+        return _h.unescape(text)
+
+    parts: List[str] = []
+    pos = 0
+    # tables render as <table>; paragraphs outside tables as <p>
+    for tbl in _DOCX_P["tbl"].finditer(xml):
+        for p in _DOCX_P["p"].finditer(xml, pos, tbl.start()):
+            t = runs_text(p.group(0))
+            if t:
+                parts.append(f"<p>{_xml_escape(t, quote=False)}</p>")
+        rows = []
+        for tr in _DOCX_P["tr"].finditer(tbl.group(0)):
+            cells = [
+                f"<td>{_xml_escape(runs_text(tc.group(0)), quote=False)}</td>"
+                for tc in _DOCX_P["tc"].finditer(tr.group(0))
+            ]
+            rows.append("<tr>" + "".join(cells) + "</tr>")
+        parts.append("<table>" + "".join(rows) + "</table>")
+        pos = tbl.end()
+    for p in _DOCX_P["p"].finditer(xml, pos):
+        t = runs_text(p.group(0))
+        if t:
+            parts.append(f"<p>{_xml_escape(t, quote=False)}</p>")
+    return "<html><body>" + "".join(parts) + "</body></html>"
+
+
 def pdf_to_xhtml_text(data: bytes) -> str:
     """PDF → XHTML with geometric table recognition.
 
@@ -237,6 +299,8 @@ def sniff_content_type(data: Optional[bytes]) -> str:
         return "empty"
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:4] == b"PK\x03\x04":
+        return "docx"  # OOXML ZIP container (validated during extraction)
     return "html"
 
 
@@ -255,6 +319,8 @@ def extract_one(data: Optional[bytes]) -> tuple:
     try:
         if ctype == "pdf":
             return pdf_to_xhtml_text(data), ctype, None
+        if ctype == "docx":
+            return docx_to_xhtml_text(data), ctype, None
         return html_to_xhtml_text(data), ctype, None
     except Exception as ex:
         return None, ctype, f"{type(ex).__name__}: {ex}"

@@ -65,6 +65,61 @@ class TestXhtmlNormalizer:
         assert text is None and err and "UnicodeDecodeError" in err
 
 
+def _make_docx(document_xml: str) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", document_xml)
+    return buf.getvalue()
+
+
+class TestDocx:
+    DOC = (
+        '<?xml version="1.0"?><w:document><w:body>'
+        "<w:p ><w:r><w:t>Batch record 7</w:t></w:r></w:p>"
+        "<w:p ><w:r><w:t xml:space=\"preserve\">Material: </w:t></w:r>"
+        "<w:r><w:t>Aspirin &amp; water</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p ><w:r><w:t>A</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p ><w:r><w:t>B</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+        "<w:p ><w:r><w:t>after table</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+
+    def test_docx_paragraphs_and_table(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.extract import (
+            docx_to_xhtml_text,
+            extract_one,
+            sniff_content_type,
+        )
+
+        blob = _make_docx(self.DOC)
+        assert sniff_content_type(blob) == "docx"
+        got = docx_to_xhtml_text(blob)
+        assert got == (
+            "<html><body><p>Batch record 7</p>"
+            "<p>Material: Aspirin &amp; water</p>"
+            "<table><tr><td>A</td><td>B</td></tr></table>"
+            "<p>after table</p></body></html>"
+        )
+        text, ctype, err = extract_one(blob)
+        assert ctype == "docx" and err is None and text == got
+
+    def test_non_docx_zip_is_error_row(self):
+        import io
+        import zipfile
+
+        from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_one
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("data.txt", "not a docx")
+        text, ctype, err = extract_one(buf.getvalue())
+        assert ctype == "docx" and text is None and "not a docx" in err
+
+
 class TestPlainText:
     def test_messy_crawl_page(self):
         assert html_to_plain_text(MESSY) == "T & t\nHello world <3\na\tb\ntail\njunk"
