@@ -51,16 +51,15 @@ def _mp_regex_work(n):
     return c
 
 
-def machine_curve(levels):
-    """Pure-multiprocessing control: the host's own scaling, no Spark."""
-    out = {}
-    for procs in levels:
-        with mp.Pool(procs) as pool:
-            pool.map(_mp_regex_work, [10] * procs)  # warm
-            t0 = time.time()
-            pool.map(_mp_regex_work, [400] * 512)
-            out[procs] = time.time() - t0
-    return out
+def host_level(procs: int) -> float:
+    """One pure-multiprocessing control run: the host's own ceiling at
+    this process count, no Spark. Run back-to-back with the engine level
+    so both see the same shared-box load (noise pairing)."""
+    with mp.Pool(procs) as pool:
+        pool.map(_mp_regex_work, [10] * procs)  # warm
+        t0 = time.time()
+        pool.map(_mp_regex_work, [400] * 512)
+        return time.time() - t0
 
 
 def materialize_corpus():
@@ -116,28 +115,34 @@ def timed_level(cores: int):
 
 def main():
     materialize_corpus()
-    mc = machine_curve(LEVELS)
-    engine = {}
+    # The host is shared and NOISY (its own control efficiency swings
+    # 0.55-0.85 between windows — round-2 profiling measured the SAME
+    # binary at 8→32 efficiency 0.55 and 0.73 in different windows). So
+    # EVERY level interleaves host control and engine back-to-back, twice,
+    # keeping per-level minimums: both curves see the same load.
+    mc: dict = {}
+    engine: dict = {}
     triples = None
-    for cores in LEVELS:
-        t, n = timed_level(cores)
-        engine[cores] = t
-        if triples is None:
-            triples = n
-        else:
-            assert n == triples, f"output mismatch at {cores} cores: {n} vs {triples}"
+    for _pass in range(2):
+        for cores in LEVELS:
+            h = host_level(cores)
+            mc[cores] = min(mc.get(cores, float("inf")), h)
+            t, n = timed_level(cores)
+            engine[cores] = min(engine.get(cores, float("inf")), t)
+            if triples is None:
+                triples = n
+            else:
+                assert n == triples, f"output mismatch at {cores} cores: {n} vs {triples}"
 
     def eff(curve, n):
         return (curve[n] / curve[4 * n]) / 4.0
 
     n = PRIMARY_N
-    # The host is shared and NOISY (its own control efficiency swings
-    # 0.70-0.88 between windows). For the primary gate, interleave the two
-    # levels in time so both see the same load, and keep the per-level min.
-    for _ in range(2):
-        for cores in (n, 4 * n):
-            t, _n = timed_level(cores)
-            engine[cores] = min(engine[cores], t)
+    # extra paired pass on the primary gate levels
+    for cores in (n, 4 * n):
+        mc[cores] = min(mc[cores], host_level(cores))
+        t, _n = timed_level(cores)
+        engine[cores] = min(engine[cores], t)
     primary = eff(engine, n)
     result = {
         "metric": f"scaling_efficiency_{n}_to_{4*n}",
@@ -163,7 +168,11 @@ def main():
     try:
         with open("BENCH/BASELINE.md") as fh:
             old = fh.read()
-        for marker in ("## Soak run", "## Single-node comparison"):
+        for marker in (
+            "## 8→32 residual decomposition",
+            "## Soak run",
+            "## Single-node comparison",
+        ):
             i = old.find(marker)
             if i >= 0:
                 appendix = old[i:]
@@ -184,7 +193,10 @@ def main():
         "oversubscribed/shared box (busy-spin: per-core throughput drops to "
         "~71% with all 32 cores busy), so engine efficiency is judged "
         "against the host curve, and the primary gate is evaluated at "
-        f"N={PRIMARY_N} (4N inside the host's linear region).",
+        f"N={PRIMARY_N} (4N inside the host's linear region). Host and "
+        "engine runs are INTERLEAVED back-to-back at every level (two "
+        "passes, per-level minimum) so both curves see the same "
+        "shared-box load.",
         "",
         "| cores | engine wall s | engine docs/s | engine triples/s | host control s |",
         "| --- | --- | --- | --- | --- |",
@@ -196,11 +208,14 @@ def main():
         )
     lines += [
         "",
-        "| N → 4N | engine efficiency | host-control efficiency |",
-        "| --- | --- | --- |",
+        "| N → 4N | engine efficiency | host-control efficiency | engine/host |",
+        "| --- | --- | --- | --- |",
     ]
     for m in (2, 4, 8):
-        lines.append(f"| {m} → {4*m} | {eff(engine, m):.3f} | {eff(mc, m):.3f} |")
+        lines.append(
+            f"| {m} → {4*m} | {eff(engine, m):.3f} | {eff(mc, m):.3f} "
+            f"| {eff(engine, m) / eff(mc, m):.2f} |"
+        )
     lines += [
         "",
         f"corpus: {N_PAGES} pages (deterministic seed), {triples} winner "
@@ -208,9 +223,10 @@ def main():
         "",
         f"**Primary gate: scaling efficiency (T_{n} / T_{4*n}) / 4 = "
         f"{primary:.3f}** (gate >= 0.8: {'PASS' if primary >= 0.8 else 'FAIL'}). "
-        "At larger N the engine tracks the host's own ceiling "
-        "(engine-vs-host efficiency ratio stays ~1), i.e. the residual "
-        "non-scaling is the machine, not the plan.",
+        f"At the highest pair the engine reaches {eff(engine, 8) / eff(mc, 8):.2f} "
+        "of the host's own 8→32 ceiling — the residual decomposition below "
+        "attributes the high-core loss to shared-box oversubscription "
+        "(one local[32] job runs ~64 busy threads), not to the plan.",
     ]
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
