@@ -191,6 +191,33 @@ WF_MAPPED = """
 """
 
 
+WF_CONTROLFLOW = """
+- desc: control-flow composite (append/for-each/if/ifndef; oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b(join|scan)\\b'
+  as: op
+  do:
+    - append: ops
+      element: '@{op.1}'
+- for-each: ops
+  as: o
+  do:
+    - if: '@{o_count} <= 3'
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:first_@{o_count}
+          object: "^@{o}"
+- ifndef: stopflag
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:marker
+      object: "^none"
+"""
+
+
 def _programs():
     p0 = compile_workflow(WF_OPS, "wf_ops", index=0)
     p1 = compile_workflow(WF_WIDE, "wf_wide", index=1)
@@ -377,6 +404,15 @@ def q_kg_mapped(spark, sf_dir):
     identity fallthrough (the reference's resolution order)."""
     pages = _docs_as_pages(spark, sf_dir)
     res = run_workflows(pages, [compile_workflow(WF_MAPPED, "wf_mapped")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_controlflow(spark, sf_dir):
+    """append/for-each/if/ifndef under the gate: matches accumulate into
+    a list variable, the loop re-emits the first three with per-iteration
+    counters, and an ifndef marker fires for every document."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_CONTROLFLOW, "wf_controlflow")])
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
@@ -774,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_table_cells": q_kg_table_cells,
         "kg_sequence": q_kg_sequence,
         "kg_mapped": q_kg_mapped,
+        "kg_controlflow": q_kg_controlflow,
         "entity_link": q_entity_link,
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_exact": q_dedup_exact,
@@ -1074,6 +1111,24 @@ FROM (
          unnest(regexp_extract_all(text, '\b(join|merge|scan|sort|filter)\b')) AS w
   FROM documents
 )
+""",
+        "kg_controlflow": r"""
+WITH m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|scan)\b')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\b(join|scan)\b'), 1) AS i
+  FROM documents
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/first_' || CAST(i AS VARCHAR) AS pred,
+  'literal' AS obj_kind,
+  w AS obj_lexical
+FROM m WHERE i <= 3
+UNION ALL
+SELECT 'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR),
+       'http://example.org/prop/marker', 'literal', 'none'
+FROM documents
 """,
         "entity_link": r"""
 WITH m AS (
