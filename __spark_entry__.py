@@ -407,6 +407,72 @@ def q_kg_mapped(spark, sf_dir):
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+WF_PROC_REPLACE = """
+- desc: replace + procedure/call composite (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- procedure: emit
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:norm
+      object: "^@{val}"
+- replace: '\\bjoin\\b'
+  with: 'joinop'
+- match-every: '\\b(joinop|scan)\\b'
+  as: t
+  do:
+    - call: emit
+      with:
+        val: '@{t.1}'
+"""
+
+WF_TABLE_HEADERS = """
+- desc: deprecated 2-D matcher with header rebinding (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-1: '<tr>(.*?)</tr>'
+  match-2: '<td>(.*?)</td>'
+  as-1: row
+  as-2: cell
+  header-as: hdr
+  first: [{pass: header-row}]
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:kv
+      object: "^@{hdr.1}=@{cell.1}"
+"""
+
+
+def q_kg_proc_replace(spark, sf_dir):
+    """replace (current-text mutation) + procedure/call (copy-in scope,
+    expanded args) under the gate."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_PROC_REPLACE, "wf_proc")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_table_headers(spark, sf_dir):
+    """match-1/match-2 (deprecated 2-D matcher) under the gate: first:
+    swallows the header row, header-as rebinds each data cell to its
+    column header — emits header=value pairs."""
+    docs = _docs(spark, sf_dir)
+    ws = F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]+)"), 1)
+    tbl = F.concat(
+        F.lit("<table><tr><td>"), F.element_at(ws, 1),
+        F.lit("</td><td>"), F.element_at(ws, 2),
+        F.lit("</td></tr><tr><td>"), F.element_at(ws, 3),
+        F.lit("</td><td>"), F.element_at(ws, 4),
+        F.lit("</td></tr></table>"),
+    )
+    pages = _pages_with_text(docs.filter(F.size(ws) >= 4), tbl)
+    res = run_workflows(pages, [compile_workflow(WF_TABLE_HEADERS, "wf_hdr")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_kg_controlflow(spark, sf_dir):
     """append/for-each/if/ifndef under the gate: matches accumulate into
     a list variable, the loop re-emits the first three with per-iteration
@@ -811,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sequence": q_kg_sequence,
         "kg_mapped": q_kg_mapped,
         "kg_controlflow": q_kg_controlflow,
+        "kg_proc_replace": q_kg_proc_replace,
+        "kg_table_headers": q_kg_table_headers,
         "entity_link": q_entity_link,
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_exact": q_dedup_exact,
@@ -1110,6 +1178,36 @@ FROM (
   SELECT doc_id,
          unnest(regexp_extract_all(text, '\b(join|merge|scan|sort|filter)\b')) AS w
   FROM documents
+)
+""",
+        "kg_proc_replace": r"""
+WITH t2 AS (
+  SELECT doc_id, regexp_replace(text, '\bjoin\b', 'joinop', 'g') AS text2
+  FROM documents
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/norm' AS pred,
+  'literal' AS obj_kind,
+  w AS obj_lexical
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(text2, '\b(joinop|scan)\b')) AS w
+  FROM t2
+)
+""",
+        "kg_table_headers": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM documents
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/kv' AS pred,
+  'literal' AS obj_kind,
+  kv AS obj_lexical
+FROM (
+  SELECT doc_id, ws[1] || '=' || ws[3] AS kv FROM w WHERE length(ws) >= 4
+  UNION ALL
+  SELECT doc_id, ws[2] || '=' || ws[4] FROM w WHERE length(ws) >= 4
 )
 """,
         "kg_controlflow": r"""
