@@ -447,6 +447,43 @@ WF_TABLE_HEADERS = """
 """
 
 
+WF_SIDEOUT = """
+- desc: side-output composite (any-of + dump + save-as; oracle-checked)
+- any-of:
+    - match: 'qqqqzz'
+      do: [{pass: never}]
+    - match: '\\b(scan|join)\\b'
+      as: m
+      do:
+        - dump: 'seen @{m.1}'
+          file: 'hits_@{doc}'
+- dump: _
+  file: raw
+- save-as: out_@{doc}.ttl
+"""
+
+
+def q_kg_sideoutputs(spark, sf_dir):
+    """any-of first-success + dump-to-file (texts column) + save-as
+    (saved_as column) under the gate — the OutputHandler side channels
+    become ordinary columns and are compared like any other value."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_SIDEOUT, "wf_side")])
+    texts = res.select("url", F.explode("texts").alias("t")).select(
+        "url",
+        F.lit("text").alias("kind"),
+        F.col("t.name").alias("name"),
+        F.col("t.text").alias("value"),
+    )
+    saved = res.select("url", F.explode("saved_as").alias("name")).select(
+        "url",
+        F.lit("saved").alias("kind"),
+        "name",
+        F.lit(None).cast("string").alias("value"),
+    )
+    return texts.unionByName(saved)
+
+
 def q_kg_proc_replace(spark, sf_dir):
     """replace (current-text mutation) + procedure/call (copy-in scope,
     expanded args) under the gate."""
@@ -879,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_controlflow": q_kg_controlflow,
         "kg_proc_replace": q_kg_proc_replace,
         "kg_table_headers": q_kg_table_headers,
+        "kg_sideoutputs": q_kg_sideoutputs,
         "entity_link": q_entity_link,
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_exact": q_dedup_exact,
@@ -1179,6 +1217,18 @@ FROM (
          unnest(regexp_extract_all(text, '\b(join|merge|scan|sort|filter)\b')) AS w
   FROM documents
 )
+""",
+        "kg_sideoutputs": r"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'text' AS kind,
+       'hits_' || CAST(doc_id AS VARCHAR) AS name,
+       'seen ' || regexp_extract(text, '\b(scan|join)\b') AS value
+FROM documents WHERE regexp_matches(text, '\b(scan|join)\b')
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR), 'text', 'raw', text FROM documents
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR), 'saved',
+       'out_' || CAST(doc_id AS VARCHAR) || '.ttl', NULL
+FROM documents
 """,
         "kg_proc_replace": r"""
 WITH t2 AS (
