@@ -463,6 +463,39 @@ WF_SIDEOUT = """
 """
 
 
+WF_WITHSET = """
+- desc: with/set/clear composite (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- set: snippet
+  to: 'alpha @{doc} omega'
+- with: '@{snippet}'
+  do:
+    - match: 'alpha (\\d+) omega'
+      as: w
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:withdoc
+          object: "^@{w.1}"
+- clear: snippet
+- ifdef: snippet
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:bug
+      object: "^cleared var still defined"
+"""
+
+
+def q_kg_withset(spark, sf_dir):
+    """set (template expansion) + with (current-text swap) + clear under
+    the gate; the ifdef after clear must never fire."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_WITHSET, "wf_withset")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_kg_sideoutputs(spark, sf_dir):
     """any-of first-success + dump-to-file (texts column) + save-as
     (saved_as column) under the gate — the OutputHandler side channels
@@ -917,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_proc_replace": q_kg_proc_replace,
         "kg_table_headers": q_kg_table_headers,
         "kg_sideoutputs": q_kg_sideoutputs,
+        "kg_withset": q_kg_withset,
         "entity_link": q_entity_link,
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_exact": q_dedup_exact,
@@ -1217,6 +1251,13 @@ FROM (
          unnest(regexp_extract_all(text, '\b(join|merge|scan|sort|filter)\b')) AS w
   FROM documents
 )
+""",
+        "kg_withset": """
+SELECT 'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://example.org/prop/withdoc' AS pred,
+       'literal' AS obj_kind,
+       CAST(doc_id AS VARCHAR) AS obj_lexical
+FROM documents
 """,
         "kg_sideoutputs": r"""
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'text' AS kind,
