@@ -575,6 +575,28 @@ def q_entity_link(spark, sf_dir):
     return out.select("doc_id", "mention", "canonical_iri", "linked")
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization under the gate: messy synthesized URLs
+    (uppercase scheme/host, default port, tracking params, unsorted
+    query, fragment, trailing slash) must collapse to the expected
+    canonical form the oracle derives from the synthesis formula."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.urls import canonicalize_urls
+
+    docs = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".ORG:443/Path/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_campaign=c&z=26&a="), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&fbclid=f")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    out = canonicalize_urls(docs.select("doc_id", messy.alias("url")))
+    return out.select(
+        F.col("doc_id").alias("id"), "canonical_url", "host", "registered_domain"
+    )
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """Per-host boilerplate removal under the gate: 10 synthetic hosts,
     two injected lines present on every page of a host (nav + footer),
@@ -952,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sideoutputs": q_kg_sideoutputs,
         "kg_withset": q_kg_withset,
         "entity_link": q_entity_link,
+        "url_canonical": q_url_canonical,
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1334,6 +1357,15 @@ SELECT doc_id, mention,
        END AS canonical_iri,
        CASE WHEN mention IN ('join', 'scan', 'sort') THEN true ELSE false END AS linked
 FROM m
+""",
+        "url_canonical": """
+SELECT doc_id AS id,
+       'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.org/Path/'
+         || CAST(doc_id AS VARCHAR)
+         || '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&z=26' AS canonical_url,
+       'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS host,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS registered_domain
+FROM documents
 """,
         "boilerplate_strip": """
 SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'

@@ -254,6 +254,46 @@ class TestTextStats:
         assert got == expect
 
 
+class TestUrlCanonicalization:
+    def _canon(self, spark, urls):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import canonicalize_urls
+
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        return {r.url: r for r in canonicalize_urls(df).collect()}
+
+    def test_rules(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "HTTP://Ex.COM:80/a/",
+                "https://ex.com:443/a?b=2&a=1#frag",
+                "https://ex.com",
+                "https://ex.com/p?utm_source=x&gclid=1",
+                "http://ex.com:8080/q",
+                "https://sub.deep.ex.com/x",
+            ],
+        )
+        assert got["HTTP://Ex.COM:80/a/"].canonical_url == "http://ex.com/a"
+        assert got["https://ex.com:443/a?b=2&a=1#frag"].canonical_url == "https://ex.com/a?a=1&b=2"
+        assert got["https://ex.com"].canonical_url == "https://ex.com/"
+        assert got["https://ex.com/p?utm_source=x&gclid=1"].canonical_url == "https://ex.com/p"
+        # non-default port survives
+        assert got["http://ex.com:8080/q"].canonical_url == "http://ex.com:8080/q"
+        assert got["https://sub.deep.ex.com/x"].registered_domain == "ex.com"
+
+    def test_url_duplicates_collapse(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import url_duplicates
+
+        urls = [
+            "HTTPS://A.com/x/?utm_source=1",
+            "https://a.COM:443/x",
+            "https://a.com/y",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        groups = {r.canonical_url: r.n_urls for r in url_duplicates(df).collect()}
+        assert groups == {"https://a.com/x": 2, "https://a.com/y": 1}
+
+
 class TestMultimodal:
     PNG = (
         b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"

@@ -96,6 +96,21 @@ class TestExtractionProperties:
         text, ctype, err = a
         assert (text is None) == (err is not None)
 
+    @given(st.text(max_size=300))
+    def test_normalizer_idempotent(self, s):
+        """Normalized XHTML re-normalizes to itself: output contains only
+        whitelisted tags, balanced, with escaped text — a fixpoint."""
+        from cmc_knowledge_graph_text2ttl_spark.operators.extract import (
+            html_to_xhtml_text,
+        )
+
+        try:
+            once = html_to_xhtml_text(s.encode("utf-8"))
+        except Exception:
+            return  # malformed inputs are error rows, not this property
+        twice = html_to_xhtml_text(once.encode("utf-8"))
+        assert twice == once
+
     @given(st.text(max_size=200))
     def test_first_root_truncation(self, s):
         # two complete roots in the input → at most one survives, and the
