@@ -131,17 +131,58 @@ class _XhtmlNormalizer(HTMLParser):
         return "".join(self._out)
 
 
+# Fast-path token: plain text without markup metacharacters, or a bare
+# lowercase attribute-free tag. Anything else falls through to the parser.
+_FAST_TOKEN = __import__("re").compile(r"[^<>&]+|<(/?)([a-z]+[1-6]?)(/?)>")
+
+
+def _already_canonical(text: str) -> bool:
+    """True iff the parser would emit ``text`` unchanged: only whitelisted
+    lowercase attribute-free tags, exactly nested, no entities/stray
+    ``<>&`` — the shape of already-normalized (or recrawl-clean) input.
+    One C-speed regex scan + a tag stack; any doubt returns False."""
+    pos = 0
+    stack: List[str] = []
+    for m in _FAST_TOKEN.finditer(text):
+        if m.start() != pos:
+            return False  # stray <, > or &
+        pos = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # plain text run
+        closing, selfclose = m.group(1) == "/", m.group(3) == "/"
+        if selfclose:
+            if closing or name not in _KEEP_VOID:
+                return False
+            continue
+        if closing:
+            if not stack or stack[-1] != name:
+                return False  # parser would re-balance → output differs
+            stack.pop()
+        elif name in _KEEP_TAGS:
+            stack.append(name)
+        else:
+            return False  # void-without-slash, droppable or unknown tag
+    return pos == len(text) and not stack
+
+
 def html_to_xhtml_text(data: bytes) -> str:
     """Deterministic HTML→XHTML text: UTF-8 decode (strict — malformed
     bytes are an error row, reference skips such docs at
     runner.py:333-339), Tika-style markup normalization, first-root
     truncation. Real crawl HTML loses scripts/styles/attributes here, so
-    downstream regex workflows see clean structural text only."""
+    downstream regex workflows see clean structural text only.
+
+    Already-canonical input (exactly what the normalizer itself emits —
+    the normalizer is a fixpoint, property-tested) takes a single-scan
+    fast path and skips the parser: recrawl/pretextized corpora pay no
+    parse cost, messy crawl HTML gets the full treatment."""
     text = data.decode("utf-8")
-    norm = _XhtmlNormalizer()
-    norm.feed(text)
-    norm.close()
-    text = norm.result()
+    if not _already_canonical(text):
+        norm = _XhtmlNormalizer()
+        norm.feed(text)
+        norm.close()
+        text = norm.result()
     idx = text.find(_HTML_CLOSE)
     if idx >= 0:
         text = text[: idx + len(_HTML_CLOSE)]

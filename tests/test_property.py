@@ -96,6 +96,37 @@ class TestExtractionProperties:
         text, ctype, err = a
         assert (text is None) == (err is not None)
 
+    @given(
+        st.lists(
+            st.sampled_from(
+                [
+                    "hello world", "a & b", "<p>", "</p>", "<div>", "</div>",
+                    "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+                    "<br/>", "<br>", "<B>", "</B>", "<span>", "</span>",
+                    "<script>x()</script>", "&amp;", "<html>", "</html>",
+                    "<p class='x'>", "plain", "< 3", "2 > 1",
+                ]
+            ),
+            max_size=12,
+        )
+    )
+    def test_fast_path_equals_parser(self, pieces):
+        """The already-canonical fast path must be byte-equivalent to the
+        full parser whenever it claims applicability."""
+        from cmc_knowledge_graph_text2ttl_spark.operators.extract import (
+            _XhtmlNormalizer,
+            _already_canonical,
+            html_to_xhtml_text,
+        )
+
+        text = "".join(pieces)
+        if not _already_canonical(text):
+            return
+        norm = _XhtmlNormalizer()
+        norm.feed(text)
+        norm.close()
+        assert norm.result() == text
+
     @given(st.text(max_size=300))
     def test_normalizer_idempotent(self, s):
         """Normalized XHTML re-normalizes to itself: output contains only
