@@ -162,6 +162,14 @@ def parse_query(where_clause: str):
     sel = [v.lstrip("?") for v in re.split(r"\s+", m.group(1).strip()) if v]
     required, opt_bodies, filter_srcs = _extract_blocks(m.group(2))
     patterns = _parse_patterns(required, prefixes, where_clause)
+    for ob in opt_bodies:
+        # the pattern tokenizer skips unknown words, so an unsupported
+        # construct inside OPTIONAL must fail loudly, not vanish
+        if re.search(r"(?i)\b(FILTER|OPTIONAL|UNION)\b", ob):
+            raise ProcessorException(
+                "FILTER/OPTIONAL/UNION inside an OPTIONAL group is not "
+                f"supported by the mini evaluator: {ob!r}"
+            )
     optionals = [_parse_patterns(ob, prefixes, where_clause) for ob in opt_bodies]
     filters = [_parse_filter(fs, prefixes) for fs in filter_srcs]
     return sel, patterns, optionals, filters

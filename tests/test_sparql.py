@@ -98,6 +98,13 @@ class TestFilter:
         with pytest.raises(ProcessorException):
             GRAPH.query("SELECT ?s WHERE { ?s <http://x/name> ?n . FILTER (?n ~ 3) }")
 
+    def test_filter_inside_optional_raises_not_silently_ignored(self):
+        with pytest.raises(ProcessorException, match="inside an OPTIONAL"):
+            GRAPH.query(
+                "SELECT ?s WHERE { ?s <http://x/name> ?n . "
+                'OPTIONAL { ?s <http://x/nick> ?k FILTER (?k = "Al") } }'
+            )
+
 
 class TestOptional:
     def test_left_join_keeps_unmatched(self):
