@@ -72,14 +72,29 @@ def _parse_term(tok: str, prefixes: Dict[str, str]):
 def _parse_patterns(body: str, prefixes: Dict[str, str], where_clause: str) -> List[tuple]:
     """Tokenize a pattern block term-wise (IRIs and prefixed names
     legitimately contain dots; the statement separator is any bare '.'
-    left between term matches)."""
+    left between term matches). Anything the tokenizer cannot match —
+    other than whitespace and separator dots — is an error, never
+    silently dropped."""
     toks = []
-    for t in _TERM.findall(body):
+    pos = 0
+    for m in _TERM.finditer(body):
+        gap = body[pos : m.start()]
+        if gap.strip(" \t\r\n."):
+            raise ProcessorException(
+                f"Unparseable where-clause content {gap.strip()!r} in: {where_clause!r}"
+            )
+        pos = m.end()
+        t = m.group(1)
         # a prefixed name glued to its statement-separator dot
         if not t.startswith(("<", '"', "?")) and t.endswith("."):
             t = t[:-1]
         if t:
             toks.append(t)
+    tail = body[pos:]
+    if tail.strip(" \t\r\n."):
+        raise ProcessorException(
+            f"Unparseable where-clause content {tail.strip()!r} in: {where_clause!r}"
+        )
     if len(toks) % 3 != 0:
         raise ProcessorException(
             f"Bad where clause (expected triples of terms): {where_clause!r}"
