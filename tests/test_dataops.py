@@ -227,6 +227,19 @@ class TestTextStats:
         )
         assert a == b
 
+    def test_repetition_plan_shape(self, spark, docs):
+        """Scale contract: partial aggregation before every exchange (the
+        shuffle carries per-doc vocabulary, not the token stream) and no
+        Python UDF anywhere."""
+        plan = (
+            textstats.repetition_stats(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial_count" in plan
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
     def test_repetition_stats_planted(self, spark):
         rows = [
             (1, "spam spam spam spam spam"),                # fully repetitive
@@ -280,6 +293,16 @@ class TestUrlCanonicalization:
         # non-default port survives
         assert got["http://ex.com:8080/q"].canonical_url == "http://ex.com:8080/q"
         assert got["https://sub.deep.ex.com/x"].registered_domain == "ex.com"
+
+    def test_url_canonicalization_plan_is_pure_projection(self, spark):
+        """No exchange, no Python: the whole rule set is one codegen
+        projection over the scan."""
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import canonicalize_urls
+
+        df = spark.createDataFrame([("https://a.com/x",)], ["url"])
+        plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
     def test_url_duplicates_collapse(self, spark):
         from cmc_knowledge_graph_text2ttl_spark.operators.urls import url_duplicates
