@@ -197,7 +197,12 @@ def run_workflows(
                     out["saved_as"].append(list(res.saved_as))
                     if select_best:
                         out["is_best"].append(i == best_idx)
-            yield pd.DataFrame(out)
+            # An all-skipped batch must yield NOTHING: an empty
+            # pd.DataFrame gives its columns default dtypes that Arrow
+            # cannot convert to array<struct> (NumPyConverter error) —
+            # hit when a partition contains only malformed documents.
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     cols = [c for c in ("url", "text", "extract_error") if c in extracted.columns]
     return extracted.select(*cols).mapInPandas(run, schema=schema)
@@ -293,7 +298,8 @@ def extract_and_run_workflows(
                     out["saved_as"].append(list(res.saved_as))
                     if select_best:
                         out["is_best"].append(i == best_idx)
-            yield pd.DataFrame(out)
+            if out["url"]:  # see run_workflows: empty batches break Arrow
+                yield pd.DataFrame(out)
 
     return pages.select("url", "html", "text").mapInPandas(run, schema=schema)
 

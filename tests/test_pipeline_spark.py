@@ -154,6 +154,26 @@ class TestDistributedEquivalence:
         assert a == b == c
         assert len(a) > 0
 
+    def test_all_malformed_partition_writes(self, spark, fixture_programs, tmp_path):
+        """Regression: a partition containing ONLY malformed documents
+        made the UDF yield an empty pandas frame whose default column
+        dtypes broke the Arrow array<struct> conversion at WRITE time
+        (NumPyConverter error, surfaced first under spark-submit)."""
+        from cmc_knowledge_graph_text2ttl_spark.sources.pages import PAGES_SCHEMA
+
+        rows = [
+            ("https://h/ok", None, b"<html><body><p>Material: Aspirin</p></body></html>", None, "en"),
+            ("https://h/bad", None, b"\xff\xfe<html><oops", None, "en"),
+        ]
+        # 4 partitions, 2 rows → at least one partition holds only the
+        # malformed doc (and some are fully empty)
+        pages = spark.createDataFrame(rows, PAGES_SCHEMA).repartition(4)
+        ranked = run_workflows(extract_text(pages), fixture_programs, select_best=True)
+        out = str(tmp_path / "res")
+        ranked.write.mode("overwrite").parquet(out)  # must not raise
+        back = spark.read.parquet(out)
+        assert back.select("url").distinct().count() == 1  # only the good doc
+
     def test_extraction_byte_identity(self, spark):
         pages = synth_pages_df(spark, 60, slices=2)
         got = {
