@@ -153,18 +153,28 @@ class TestEmbeddingOps:
         cents = similarity.make_centroids(emb, 8)
         assigned = similarity.assign_cells(emb, cents)
         assigned.cache().count()
-        recalls = []
-        for r in rows:
-            q = [float(x) for x in r.embedding]
-            exact = {x.id for x in similarity.cosine_topk(emb, q, k=10).collect()}
-            approx = {
-                x.id
-                for x in similarity.ivf_topk(
-                    emb, q, k=10, n_probe=4, centroids=cents, assigned=assigned
-                ).collect()
-            }
-            recalls.append(len(exact & approx) / 10)
-        assert sum(recalls) / len(recalls) >= 0.5  # 4/8 cells probed
+
+        def recall(n_probe):
+            vals = []
+            for r in rows:
+                q = [float(x) for x in r.embedding]
+                exact = {x.id for x in similarity.cosine_topk(emb, q, k=10).collect()}
+                approx = {
+                    x.id
+                    for x in similarity.ivf_topk(
+                        emb, q, k=10, n_probe=n_probe, centroids=cents, assigned=assigned
+                    ).collect()
+                }
+                vals.append(len(exact & approx) / 10)
+            return sum(vals) / len(vals)
+
+        # Uniform-random embeddings are IVF's WORST case (no cluster
+        # structure to exploit), so thresholds are calibrated to that:
+        # measured ~0.84 at probe=4, ~0.88 at probe=6 on this fixture.
+        r4, r6 = recall(4), recall(6)
+        assert r4 >= 0.5
+        assert r6 >= 0.8
+        assert r6 >= r4  # probing more cells never hurts recall
 
     def test_quantized_centroids_partition_invariant(self, spark, emb):
         """quantize>0 floor-scales per row before integer sums, so the
