@@ -938,6 +938,17 @@ def q_orders_without_lineitems(spark, sf_dir):
     ).select("o_orderkey", "o_orderstatus")
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min) over the events stream —
+    window lag/cumsum + one aggregation, mirrored 1:1 in SQL."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_no", "session_start", "session_end", "n_events"
+    )
+
+
 def q_events_json_props(spark, sf_dir):
     """JSON property extraction from the events props column."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -999,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": q_tpch_rollup,
         "orders_without_lineitems": q_orders_without_lineitems,
         "events_json_props": q_events_json_props,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -1553,6 +1565,24 @@ SELECT event_type,
        CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
        CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
+""",
+        "events_sessions": """
+WITH numbered AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+  )
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_no
 """,
         "events_top_users": """
 SELECT event_type, user_id, total_cents, rnk FROM (

@@ -277,6 +277,47 @@ class TestTextStats:
         assert got == expect
 
 
+class TestSessionize:
+    def test_gap_splits_and_numbering(self, spark):
+        import datetime as dt
+
+        from cmc_knowledge_graph_text2ttl_spark.operators.sessions import sessionize
+
+        t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+        def at(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        rows = [
+            ("u1", at(0)), ("u1", at(10)), ("u1", at(50)),   # gap 40 > 30 → split
+            ("u1", at(55)),
+            ("u2", at(0)), ("u2", at(30)),                    # gap == 30 → SAME session
+            ("u2", at(61)),                                    # gap 31 → split
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        got = {
+            (r.user_id, r.session_no): (r.n_events, r.session_start, r.session_end)
+            for r in sessionize(df, gap_minutes=30).collect()
+        }
+        assert got[("u1", 1)] == (2, at(0), at(10))
+        assert got[("u1", 2)] == (2, at(50), at(55))
+        assert got[("u2", 1)] == (2, at(0), at(30))
+        assert got[("u2", 2)] == (1, at(61), at(61))
+
+    def test_single_shuffle_plan(self, spark):
+        """Window and aggregation share the user_id partitioning — the
+        plan must contain exactly one exchange."""
+        import datetime as dt
+
+        from cmc_knowledge_graph_text2ttl_spark.operators.sessions import sessionize
+
+        df = spark.createDataFrame(
+            [("u", dt.datetime(2025, 1, 1))], "user_id string, ts timestamp"
+        )
+        plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
 class TestUrlCanonicalization:
     def _canon(self, spark, urls):
         from cmc_knowledge_graph_text2ttl_spark.operators.urls import canonicalize_urls
