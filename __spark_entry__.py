@@ -320,6 +320,34 @@ def q_kg_connected_components(spark, sf_dir):
     return connected_components(e1.union(e2)).select("node", "component")
 
 
+def q_kg_cc_distributed(spark, sf_dir):
+    """The DISTRIBUTED connected-components path under the gate: the
+    driver union-find fast path is disabled (small_graph_threshold=0) so
+    min-label propagation + pointer jumping + the two-phase salted min
+    run for real; the oracle is the same recursive SQL as the fast-path
+    query — both paths must agree bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    pad = lambda c: F.lpad(c.cast("string"), 4, "0")
+    e1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("n"), pad(F.col("doc_id"))).alias("src"),
+        F.concat(F.lit("n"), pad(F.col("doc_id") + 1)).alias("dst"),
+    )
+    e2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("n"), pad(F.col("doc_id") + 1)).alias("src"),
+        F.concat(F.lit("n"), pad(F.col("doc_id") + 2)).alias("dst"),
+    )
+    # star edges onto one hub exercise the salted two-phase min
+    hub = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.lit("n0000").alias("src"),
+        F.concat(F.lit("n"), pad(F.col("doc_id") + 3)).alias("dst"),
+    )
+    return connected_components(
+        e1.union(e2).union(hub),
+        small_graph_threshold=0,
+        salt_hubs=4,
+    ).select("node", "component")
+
+
 def q_kg_canonicalized_triples(spark, sf_dir):
     """Full canonicalization path: deterministic sameAs edges + fact
     triples derived from documents; facts rewritten onto component
@@ -972,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_best_workflow": q_kg_best_workflow,
         "kg_typed_literals": q_kg_typed_literals,
         "kg_connected_components": q_kg_connected_components,
+        "kg_cc_distributed": q_kg_cc_distributed,
         "kg_canonicalized_triples": q_kg_canonicalized_triples,
         "html_extract_clean": q_html_extract_clean,
         "html_plain_text": q_html_plain_text,
@@ -1144,6 +1173,28 @@ WITH RECURSIVE edges AS (
   FROM documents WHERE doc_id % 10 = 0
 ), sym AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
+        "kg_cc_distributed": """
+WITH RECURSIVE edges AS (
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS src,
+         'n' || lpad(CAST(doc_id + 1 AS VARCHAR), 4, '0') AS dst
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'n' || lpad(CAST(doc_id + 1 AS VARCHAR), 4, '0'),
+         'n' || lpad(CAST(doc_id + 2 AS VARCHAR), 4, '0')
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'n0000', 'n' || lpad(CAST(doc_id + 3 AS VARCHAR), 4, '0')
+  FROM documents WHERE doc_id % 25 = 0
+), sym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION SELECT dst, src FROM edges WHERE src <> dst
 ), reach(node, r) AS (
   SELECT src, src FROM sym
   UNION
