@@ -700,6 +700,17 @@ def q_text_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), shingle_n=8)
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The end-to-end keep/drop verdict (quality + repetition + lang)
+    with machine-readable reasons — the corpus-curation composition."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.filtering import corpus_filter
+
+    out = corpus_filter(_docs(spark, sf_dir))
+    return out.select(
+        "id", "n_words", "keep", F.array_join("reasons", ",").alias("reasons_str")
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher/FineWeb repetition filters under the gate."""
     r = TS.repetition_stats(_docs(spark, sf_dir))
@@ -1026,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "corpus_filter": q_corpus_filter,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1826,10 +1838,67 @@ FROM pruned pr JOIN embeddings e ON e.vec_id = pr.vec_id, q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
 LIMIT 10
 """
+    # -- corpus filter: quality score + repetition + lang verdict with
+    # sorted reason tags (mirrors operators/filtering.py thresholds)
+    score_sql = r"""
+round(
+  0.3 * least(n_chars / 500.0, 1.0)
+  + 0.3 * least((CASE WHEN n_words > 0 THEN 1.0 * n_stop / n_words ELSE 0 END) * 3, 1.0)
+  + 0.2 * (1.0 - least((CASE WHEN n_chars > 0 THEN 1.0 * n_punct / n_chars ELSE 0 END) * 4, 1.0))
+  + 0.2 * (1.0 - least((CASE WHEN n_chars > 0 THEN 1.0 * n_digit / n_chars ELSE 0 END) * 4, 1.0)),
+  6)"""
+    corpus_filter = rf"""
+WITH f AS (
+  SELECT doc_id AS id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         length(regexp_extract_all(lower(text),
+           '\b(the|a|an|and|or|of|to|in|is|it|that|this|for|with|as|on|at|by)\b'))
+           AS n_stop,
+         length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         length(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+), qv AS (
+  SELECT id, n_words, {score_sql} AS quality_score FROM f
+), toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS w
+  FROM documents
+), uc AS (
+  SELECT id, w, count(*) AS c FROM toks GROUP BY id, w
+), rep AS (
+  SELECT id, 1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS dup_word_frac
+  FROM uc GROUP BY id
+), lang AS (
+  SELECT id, {{pred}} AS lang_pred FROM (
+    SELECT doc_id AS id, {{hits}} FROM documents
+  )
+), j AS (
+  SELECT qv.id, qv.n_words, qv.quality_score, rep.dup_word_frac, lang.lang_pred
+  FROM qv LEFT JOIN rep ON rep.id = qv.id LEFT JOIN lang ON lang.id = qv.id
+), verdict AS (
+  SELECT id, CAST(n_words AS BIGINT) AS n_words,
+         list_sort(list_filter([
+           CASE WHEN n_words < 20 THEN 'too_short' END,
+           CASE WHEN dup_word_frac > 0.5 THEN 'repetitive' END,
+           CASE WHEN quality_score < 0.3 THEN 'low_quality' END,
+           CASE WHEN lang_pred = 'und' THEN 'bad_lang' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM j
+)
+SELECT id, n_words, length(reasons) = 0 AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS reasons_str
+FROM verdict
+"""
+    corpus_filter = corpus_filter.replace("{pred}", pred).replace(
+        "{hits}", ", ".join(hit_cols)
+    )
     return {
         "dedup_minhash_lsh": lsh,
         "dedup_simhash": simhash,
         "text_lang_id": lang_sql,
         "emb_near_dup": emb_near_dup,
         "ann_ivf_topk": ivf,
+        "corpus_filter": corpus_filter,
     }

@@ -1,0 +1,65 @@
+"""Corpus-level keep/drop filtering — the composition layer of the
+training-data pipeline (FineWeb/Gopher-style): quality + repetition +
+language decide per document, with machine-readable reasons.
+
+Each signal is its own gated operator (quality_features,
+repetition_stats, lang_id); this joins the three per-doc tables —
+all freshly aggregated/projected on ``id``, so Catalyst plans
+broadcast/co-partitioned joins — and derives:
+
+* ``reasons``: sorted array of failed-rule tags (empty = clean)
+* ``keep``: reasons is empty
+
+Thresholds are parameters; defaults follow the usual web-corpus
+filters. Reasons stay data (not logs) so downstream can audit drop
+rates per rule — the standard corpus-curation report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import lang_id, quality_features, repetition_stats
+
+
+def corpus_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_dup_word_frac: float = 0.5,
+    min_quality: float = 0.3,
+    allowed_langs: tuple = (),
+) -> DataFrame:
+    """(id, n_words, keep, reasons) — the per-document filter verdict.
+
+    ``allowed_langs`` empty means only 'und' (no language signal at all)
+    is rejected; otherwise the prediction must be in the allow-list.
+    """
+    q = quality_features(docs, text_col, id_col).select(
+        "id", "n_words", "quality_score"
+    )
+    r = repetition_stats(docs, text_col, id_col).select("id", "dup_word_frac")
+    l = lang_id(docs, text_col, id_col).select("id", "lang_pred")
+    j = q.join(r, "id", "left").join(l, "id", "left")
+    if allowed_langs:
+        bad_lang = ~F.col("lang_pred").isin(list(allowed_langs))
+    else:
+        bad_lang = F.col("lang_pred") == "und"
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_words") < min_words, F.lit("too_short")),
+            F.when(
+                F.col("dup_word_frac") > max_dup_word_frac, F.lit("repetitive")
+            ),
+            F.when(F.col("quality_score") < min_quality, F.lit("low_quality")),
+            F.when(bad_lang, F.lit("bad_lang")),
+        )
+    )
+    return j.select(
+        "id",
+        "n_words",
+        F.sort_array(reasons).alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

@@ -277,6 +277,37 @@ class TestTextStats:
         assert got == expect
 
 
+class TestCorpusFilter:
+    def test_reasons_and_keep(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.filtering import corpus_filter
+
+        rows = [
+            (1, "the cat sat on the mat and then it ran off to the big red barn near the lake today"),  # clean-ish
+            (2, "tiny doc"),                                     # too_short
+            (3, "spam " * 40),                                   # repetitive (+short score ok)
+            (4, "12345 67890 !!!"),                              # bad_lang + too_short + low quality-ish
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.id: r for r in corpus_filter(df).collect()}
+        assert got[1].keep and got[1].reasons == []
+        assert "too_short" in got[2].reasons and not got[2].keep
+        assert "repetitive" in got[3].reasons
+        assert "bad_lang" in got[4].reasons and "too_short" in got[4].reasons
+        assert got[4].reasons == sorted(got[4].reasons)
+
+    def test_allowed_langs(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.filtering import corpus_filter
+
+        df = spark.createDataFrame(
+            [(1, "der Hund und die Katze ist nicht allein im Haus heute und morgen wieder da " * 2)],
+            ["doc_id", "text"],
+        )
+        out = corpus_filter(df, allowed_langs=("en",)).first()
+        assert "bad_lang" in out.reasons  # de not allowed
+        out2 = corpus_filter(df, allowed_langs=("en", "de")).first()
+        assert "bad_lang" not in out2.reasons
+
+
 class TestSessionize:
     def test_gap_splits_and_numbering(self, spark):
         import datetime as dt
