@@ -656,6 +656,14 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Test-set decontamination under the gate: docs sharing any 13-gram
+    with the synthetic 'benchmark' (doc_id < 5) are flagged."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 5)
+    return D.decontaminate(docs, bench, n=13)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.5)
     return pairs.select("id_a", "id_b", _fl(F.col("jaccard")).alias("jaccard_scaled"))
@@ -1028,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_exact": q_dedup_exact,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1477,6 +1486,24 @@ SELECT md5(text) AS content_hash,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+""",
+        "dedup_decontaminate": """
+WITH bsh AS (
+  SELECT DISTINCT substr(text, i, 13) AS shingle
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 12, 0))) AS i
+  ) WHERE doc_id < 5
+), csh AS (
+  SELECT DISTINCT doc_id AS id, substr(text, i, 13) AS shingle
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 12, 0))) AS i
+  )
+), hits AS (
+  SELECT DISTINCT id FROM csh WHERE shingle IN (SELECT shingle FROM bsh)
+)
+SELECT d.doc_id AS id,
+       (hits.id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits ON hits.id = d.doc_id
 """,
         "dedup_ngram_jaccard": _jaccard_pairs_sql(0.5),
         "dedup_minhash_signatures": _minhash_sql(8),

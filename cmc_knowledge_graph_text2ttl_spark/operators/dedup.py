@@ -251,6 +251,37 @@ def minhash_lsh_pairs(
     return out
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """(id, contaminated) — GPT-3/Pile-style test-set decontamination:
+    a training document is contaminated iff it shares at least one
+    character ``n``-gram with ANY benchmark document.
+
+    Shape: the benchmark shingle set is tiny next to the corpus, so the
+    overlap test is a LEFT SEMI join of corpus shingles against the
+    (deduplicated) benchmark shingles — broadcast by AQE when small —
+    followed by a distinct on id. The corpus side reuses the in-row
+    ``array_distinct`` shingling (no shuffle of the raw multiset).
+    """
+    corpus_sh = shingles(df, text_col, id_col, n)
+    bench_sh = (
+        shingles(benchmark, bench_text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = corpus_sh.join(bench_sh, "shingle", "left_semi").select("id").distinct()
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(
+        hits.withColumn("contaminated", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
