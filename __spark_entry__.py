@@ -657,11 +657,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_decontaminate(spark, sf_dir):
-    """Test-set decontamination under the gate: docs sharing any 13-gram
-    with the synthetic 'benchmark' (doc_id < 5) are flagged."""
+    """Test-set decontamination under the gate: docs sharing any 13-WORD
+    gram (GPT-3/Pile recipe) with the synthetic 'benchmark' (doc_id < 5)
+    are flagged. The benchmark side is passed text-only to prove no id
+    column is required of it."""
     docs = _docs(spark, sf_dir)
-    bench = docs.filter(F.col("doc_id") < 5)
-    return D.decontaminate(docs, bench, n=13)
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    return D.decontaminate(docs, bench, n=13, unit="word")
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1487,16 +1489,25 @@ SELECT md5(text) AS content_hash,
        min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
 """,
-        "dedup_decontaminate": """
-WITH bsh AS (
-  SELECT DISTINCT substr(text, i, 13) AS shingle
-  FROM documents, LATERAL (
-    SELECT unnest(generate_series(1, greatest(length(text) - 12, 0))) AS i
-  ) WHERE doc_id < 5
+        "dedup_decontaminate": r"""
+WITH btoks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 5
+), bsh AS (
+  SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS shingle
+  FROM btoks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(toks) - 12, 0))) AS i
+  )
+), ctoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     t -> t <> '') AS toks
+  FROM documents
 ), csh AS (
-  SELECT DISTINCT doc_id AS id, substr(text, i, 13) AS shingle
-  FROM documents, LATERAL (
-    SELECT unnest(generate_series(1, greatest(length(text) - 12, 0))) AS i
+  SELECT DISTINCT id, array_to_string(toks[i:i+12], ' ') AS shingle
+  FROM ctoks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(toks) - 12, 0))) AS i
   )
 ), hits AS (
   SELECT DISTINCT id FROM csh WHERE shingle IN (SELECT shingle FROM bsh)

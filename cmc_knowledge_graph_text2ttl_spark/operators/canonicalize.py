@@ -103,6 +103,11 @@ def connected_components(
             )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.repartition("u").persist()
+    # the size-probe persist on e is only needed until sym materializes;
+    # leaving it cached would leak executor storage in long-lived sessions
+    if small_graph_threshold and small_graph_threshold > 0:
+        sym.count()  # materialize sym before dropping its parent cache
+        e.unpersist()
 
     if salt_hubs and salt_hubs > 1:
         # Two-phase min: partial min per (u, salt-of-v), then min per u.

@@ -51,13 +51,22 @@ def md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def _positions(n_windows: Column) -> Column:
+    """[1..n_windows], or EMPTY when n_windows < 1. Spark's
+    sequence(1, 0) counts DOWN to [1, 0] (unlike DuckDB's empty
+    generate_series), so short inputs need the explicit empty branch."""
+    return F.when(
+        n_windows >= 1, F.sequence(F.lit(1), n_windows)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
     """(id, shingle) — distinct character n-grams per document.
 
     Built from sequence+transform+substr: stays inside codegen, no UDF.
     Documents shorter than n yield no shingles.
     """
-    pos = F.sequence(F.lit(1), F.greatest(F.length(text_col) - n + 1, F.lit(0)))
+    pos = _positions(F.length(text_col) - n + 1)
     # array_distinct BEFORE explode: the per-document dedup happens in-row
     # inside codegen — zero shuffle (a .distinct() here would shuffle the
     # full shingle multiset, the dominant cost at corpus scale).
@@ -65,6 +74,33 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
         F.array_distinct(F.transform(pos, lambda i: F.col(text_col).substr(i, F.lit(n))))
     )
     return df.select(F.col(id_col).alias("id"), sh.alias("shingle"))
+
+
+def word_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, shingle) — distinct word ``n``-grams per document.
+
+    GPT-3/Pile-style decontamination units: tokens are ``\\W+`` splits
+    (lowercased by default), shingles are n-token windows joined by a
+    single space. Pure higher-order-function columns (split / filter /
+    sequence / transform / slice / array_join) — stays in codegen, and
+    ``array_distinct`` before the explode keeps per-doc dedup in-row.
+    """
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(F.split(txt, r"\W+"), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    pos = _positions(F.size("toks") - n + 1)
+    sh = F.explode(
+        F.array_distinct(
+            F.transform(pos, lambda i: F.array_join(F.slice("toks", i, n), " "))
+        )
+    )
+    return base.select("id", sh.alias("shingle"))
 
 
 def exact_duplicates(
@@ -79,21 +115,34 @@ def exact_duplicates(
     more than one member are duplicates; singletons are kept for the
     caller to decide (filter n_docs > 1 for the dupe report).
 
-    ``doc_ids`` is capped at the first ``max_ids`` ids (sorted) so a
-    degenerate all-identical corpus (one viral page duplicated 10^8
-    times) can't build an unbounded array in one aggregation buffer;
-    ``n_docs`` stays exact regardless.
+    ``doc_ids`` holds the ``max_ids`` smallest ids per group, and the cap
+    is applied BEFORE the array aggregation (row_number over a window
+    partitioned by content_hash, filtered <= max_ids): a degenerate
+    all-identical corpus (one viral page duplicated 10^8 times) never
+    builds an unbounded array in any aggregation buffer. ``n_docs`` stays
+    exact regardless (count over the unfiltered window). The groupBy
+    reuses the window's hash partitioning on content_hash, so this is
+    still a single shuffle.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    ranked = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    ).select(
+        "id",
+        "content_hash",
+        F.row_number().over(w.orderBy("id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_docs"),
+    )
     return (
-        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
-        .groupBy("content_hash")
+        ranked.filter(F.col("rn") <= max_ids)
+        .groupBy("content_hash", "n_docs")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
             F.min("id").alias("keep_id"),
-            F.slice(
-                F.sort_array(F.collect_list("id")), 1, max_ids
-            ).alias("doc_ids"),
+            F.sort_array(F.collect_list("id")).alias("doc_ids"),
         )
+        .select("content_hash", "n_docs", "keep_id", "doc_ids")
     )
 
 
@@ -258,10 +307,20 @@ def decontaminate(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     n: int = 13,
+    unit: str = "word",
 ) -> DataFrame:
     """(id, contaminated) — GPT-3/Pile-style test-set decontamination:
     a training document is contaminated iff it shares at least one
-    character ``n``-gram with ANY benchmark document.
+    ``n``-gram with ANY benchmark document.
+
+    ``unit='word'`` (default) matches the published GPT-3/Pile recipe:
+    13 lowercase word-grams. ``unit='char'`` is the character-gram
+    variant — far more aggressive (a 13-character overlap is ~2 English
+    words, shared by nearly all same-language documents), kept only for
+    callers that explicitly want substring-level matching.
+
+    The benchmark side needs only ``bench_text_col`` — no id column is
+    read from it, so benchmark tables with any (or no) id schema work.
 
     Shape: the benchmark shingle set is tiny next to the corpus, so the
     overlap test is a LEFT SEMI join of corpus shingles against the
@@ -269,9 +328,17 @@ def decontaminate(
     followed by a distinct on id. The corpus side reuses the in-row
     ``array_distinct`` shingling (no shuffle of the raw multiset).
     """
-    corpus_sh = shingles(df, text_col, id_col, n)
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    mk = word_shingles if unit == "word" else shingles
+    corpus_sh = mk(df, text_col, id_col, n)
     bench_sh = (
-        shingles(benchmark, bench_text_col, id_col, n)
+        mk(
+            benchmark.select(F.lit(0).alias("__bench_id"), F.col(bench_text_col)),
+            bench_text_col,
+            "__bench_id",
+            n,
+        )
         .select("shingle")
         .distinct()
     )

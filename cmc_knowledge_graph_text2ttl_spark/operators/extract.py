@@ -220,7 +220,17 @@ class _PlainTextExtractor(HTMLParser):
             self._parts.append("\n")
 
     def handle_startendtag(self, tag, attrs):
-        self.handle_starttag(tag, attrs)
+        # A self-closed <script/> has no content and never delivers an end
+        # tag (html.parser stays out of CDATA mode for it), so entering
+        # skip mode here would silently drop the rest of the document.
+        # Mirror _XhtmlNormalizer: never skip, only emit block boundaries.
+        tag = tag.lower()
+        if self._skip is not None or tag in _DROP_CONTENT:
+            return
+        if tag in ("td", "th"):
+            self._parts.append("\t")
+        elif tag in _BLOCK_TAGS:
+            self._parts.append("\n")
 
     def handle_endtag(self, tag):
         tag = tag.lower()

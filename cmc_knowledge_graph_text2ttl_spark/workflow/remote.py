@@ -32,7 +32,13 @@ Transport = Callable[[str, str], dict]
 
 _REMOTE_URL = re.compile(r"(?i)^https?://")
 
-DEFAULT_DUMP_QUERY = "SELECT ?s ?p ?o WHERE {{ ?s ?p ?o }} LIMIT {limit} OFFSET {offset}"
+# ORDER BY makes LIMIT/OFFSET paging well-defined: SPARQL endpoints give
+# no stable order across separate queries, so an unordered dump can
+# overlap or miss triples between pages.
+DEFAULT_DUMP_QUERY = (
+    "SELECT ?s ?p ?o WHERE {{ ?s ?p ?o }} "
+    "ORDER BY ?s ?p ?o LIMIT {limit} OFFSET {offset}"
+)
 
 
 def is_remote_graph(graph_id: str) -> bool:

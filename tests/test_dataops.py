@@ -56,6 +56,78 @@ class TestExactDedup:
         d = dedup.exact_duplicates(df).filter("n_docs > 1").collect()
         assert len(d) == 1 and d[0].keep_id == 1 and d[0].doc_ids == [1, 2]
 
+    def test_max_ids_caps_before_aggregation(self, spark):
+        """A viral-page group keeps n_docs exact while doc_ids holds only
+        the max_ids smallest ids — and the cap is applied BEFORE the
+        collect_list (row_number filter), so no agg buffer ever holds the
+        full group."""
+        rows = [(i, "same page") for i in range(1, 51)] + [(99, "other")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.keep_id: r for r in dedup.exact_duplicates(df, max_ids=3).collect()}
+        big = out[1]
+        assert big.n_docs == 50
+        assert big.doc_ids == [1, 2, 3]
+        assert out[99].n_docs == 1 and out[99].doc_ids == [99]
+        # plan shape: the collect_list must sit above the row_number filter
+        plan = dedup.exact_duplicates(df, max_ids=3)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.index("collect_list") < plan.index("row_number")  # agg above window
+
+
+class TestDecontaminate:
+    BENCH_TEXT = "the quick brown fox jumps over the lazy dog near the old riverbank today"
+
+    def test_word_gram_hit_and_miss(self, spark):
+        # 13+ shared consecutive words → contaminated; <13 → clean
+        words = self.BENCH_TEXT.split()
+        hit = "intro words then " + " ".join(words[:13]) + " and trailing content"
+        miss = "intro words then " + " ".join(words[:12]) + " and trailing content"
+        corpus = spark.createDataFrame(
+            [(1, hit), (2, miss), (3, "totally unrelated text here")],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(self.BENCH_TEXT,)], ["text"])
+        got = {r.id: r.contaminated for r in dedup.decontaminate(corpus, bench).collect()}
+        assert got == {1: True, 2: False, 3: False}
+
+    def test_benchmark_needs_no_id_column(self, spark):
+        corpus = spark.createDataFrame([(1, self.BENCH_TEXT)], ["doc_id", "text"])
+        bench = spark.createDataFrame(
+            [(self.BENCH_TEXT, "odd-schema")], ["passage", "whatever"]
+        )
+        got = dedup.decontaminate(corpus, bench, bench_text_col="passage").collect()
+        assert got[0].contaminated is True
+
+    def test_case_and_punct_insensitive(self, spark):
+        shouting = self.BENCH_TEXT.upper().replace(" ", ",  ")
+        corpus = spark.createDataFrame([(1, shouting)], ["doc_id", "text"])
+        bench = spark.createDataFrame([(self.BENCH_TEXT,)], ["text"])
+        assert dedup.decontaminate(corpus, bench).collect()[0].contaminated is True
+
+    def test_char_unit_still_available(self, spark):
+        corpus = spark.createDataFrame([(1, "abcdefghijklm tail")], ["doc_id", "text"])
+        bench = spark.createDataFrame([("xx abcdefghijklm yy",)], ["text"])
+        assert (
+            dedup.decontaminate(corpus, bench, n=13, unit="char").collect()[0].contaminated
+            is True
+        )
+        with pytest.raises(ValueError):
+            dedup.decontaminate(corpus, bench, unit="token")
+
+
+class TestShortDocShingles:
+    def test_docs_shorter_than_n_yield_no_shingles(self, spark):
+        """Regression: Spark's sequence(1, 0) counts DOWN ([1, 0]), so
+        short docs used to emit spurious position-0 shingles."""
+        df = spark.createDataFrame([(1, "abc"), (2, "abcdef")], ["doc_id", "text"])
+        got = dedup.shingles(df, "text", "doc_id", n=5).collect()
+        assert {r.id for r in got} == {2}
+        assert {r.shingle for r in got} == {"abcde", "bcdef"}
+        wdf = spark.createDataFrame([(1, "only four words here")], ["doc_id", "text"])
+        assert dedup.word_shingles(wdf, "text", "doc_id", n=13).count() == 0
+        assert dedup.word_shingles(wdf, "text", "doc_id", n=4).collect()[0].shingle == (
+            "only four words here"
+        )
+
 
 class TestJaccard:
     def test_pairs_match_python_oracle(self, spark, docs):

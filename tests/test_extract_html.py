@@ -139,3 +139,14 @@ class TestPlainText:
 
     def test_plain_string_passthrough(self):
         assert html_to_plain_text("just words") == "just words"
+
+    def test_self_closed_script_does_not_swallow_document(self):
+        """Regression: a self-closing <script/> must not enter skip mode —
+        html.parser never delivers a matching end tag for it, so content
+        after it was silently dropped."""
+        for tag in ("script", "style", "noscript", "template"):
+            got = html_to_plain_text(f"<p>before</p><{tag}/><p>after</p>")
+            assert got == "before\nafter", (tag, got)
+        # self-closed block tags still emit boundaries, real scripts still skip
+        assert html_to_plain_text("a<br/>b<script>x()</script>c") == "a\nbc"
+        assert html_to_plain_text("<table><tr><td/>x</tr></table>") == "x"
