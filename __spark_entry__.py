@@ -524,6 +524,58 @@ def q_kg_withset(spark, sf_dir):
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+# Broadcast ontology for kg_select_union: op instances typed through TWO
+# different predicates (rdf:type vs ex:altType — the UNION exercises both
+# arms) and a subClassOf chain the rdfs:subClassOf* path walks up.
+_ONT = "http://example.org/kg/"
+_RDFS_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SELECT_UNION_GRAPH = [
+    (_ONT + "op_join", _RDF_TYPE, "iri", _ONT + "JoinOp", None),
+    (_ONT + "op_scan", _RDF_TYPE, "iri", _ONT + "ScanOp", None),
+    (_ONT + "op_merge", _RDF_TYPE, "iri", _ONT + "MergeOp", None),
+    (_ONT + "op_sort", _ONT + "altType", "iri", _ONT + "SortOp", None),
+    (_ONT + "JoinOp", _RDFS_SUB, "iri", _ONT + "RelationalOp", None),
+    (_ONT + "SortOp", _RDFS_SUB, "iri", _ONT + "RelationalOp", None),
+    (_ONT + "ScanOp", _RDFS_SUB, "iri", _ONT + "AccessOp", None),
+    (_ONT + "RelationalOp", _RDFS_SUB, "iri", _ONT + "Operator", None),
+    (_ONT + "AccessOp", _RDFS_SUB, "iri", _ONT + "Operator", None),
+]
+
+WF_SELECT_UNION = """
+- desc: ontology classification via select UNION + subClassOf* path (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b(join|scan|sort|merge)\\b'
+  as: op
+  do:
+    - select: cls
+      from: ont
+      where: 'PREFIX ex: <http://example.org/kg/> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> SELECT ?cls WHERE { { ex:op_@{op.1} a ?t } UNION { ex:op_@{op.1} ex:altType ?t } ?t rdfs:subClassOf* ?cls }'
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:classifiedAs
+          object:
+            iri: '@{cls}'
+"""
+
+
+def q_kg_select_union(spark, sf_dir):
+    """select: with a two-arm UNION (rdf:type vs ex:altType) and an
+    rdfs:subClassOf* property path over a broadcast ontology, under the
+    gate — the canonical ontology-lookup shape the reference delegates
+    to rdflib (processor.py:174-198)."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(
+        pages,
+        [compile_workflow(WF_SELECT_UNION, "wf_selu")],
+        graphs={"ont": SELECT_UNION_GRAPH},
+    )
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_kg_sideoutputs(spark, sf_dir):
     """any-of first-success + dump-to-file (texts column) + save-as
     (saved_as column) under the gate — the OutputHandler side channels
@@ -1034,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_table_headers": q_kg_table_headers,
         "kg_sideoutputs": q_kg_sideoutputs,
         "kg_withset": q_kg_withset,
+        "kg_select_union": q_kg_select_union,
         "entity_link": q_entity_link,
         "url_canonical": q_url_canonical,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1367,6 +1420,29 @@ SELECT 'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
        'literal' AS obj_kind,
        CAST(doc_id AS VARCHAR) AS obj_lexical
 FROM documents
+""",
+        # the op→class rows are the hand-computed UNION + subClassOf*
+        # closure of SELECT_UNION_GRAPH; the Spark side derives them by
+        # actually evaluating the SPARQL against the broadcast graph
+        "kg_select_union": r"""
+WITH m AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|scan|sort|merge)\b')) AS op
+  FROM documents
+), cls AS (
+  SELECT * FROM (VALUES
+    ('join', 'JoinOp'), ('join', 'RelationalOp'), ('join', 'Operator'),
+    ('scan', 'ScanOp'), ('scan', 'AccessOp'), ('scan', 'Operator'),
+    ('sort', 'SortOp'), ('sort', 'RelationalOp'), ('sort', 'Operator'),
+    ('merge', 'MergeOp')
+  ) AS t(op, cls)
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/classifiedAs' AS pred,
+  'iri' AS obj_kind,
+  'http://example.org/kg/' || cls AS obj_lexical
+FROM m JOIN cls USING (op)
 """,
         "kg_sideoutputs": r"""
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'text' AS kind,

@@ -1,4 +1,4 @@
-"""Minimal SPARQL-BGP evaluation for the ``select:`` workflow op.
+"""Mini-SPARQL evaluation for the ``select:`` workflow op.
 
 The reference hands ``where:`` clauses to rdflib's full SPARQL engine for
 local graphs, or to a Stardog HTTP endpoint (text_to_turtle_processor.py
@@ -8,25 +8,36 @@ once on the driver, broadcast, and ``select:`` becomes an in-UDF lookup
 against it (the relational equivalent: an equi-join against a broadcast
 dimension table).
 
-Supported query subset (sufficient for workflow-style lookups):
+Supported query subset (sufficient for workflow-style ontology lookups):
 
 * ``PREFIX pfx: <iri>`` headers
-* ``SELECT ?a ?b WHERE { triple-patterns }``
+* ``SELECT ?a ?b WHERE { group }``
 * triple patterns ``s p o .`` with terms: ``?var``, ``<iri>``,
-  ``pfx:name``, ``"literal"`` / ``"literal"@lang``
-* conjunctive patterns joined on shared variables
-* ``OPTIONAL { triple-patterns }`` — single level, SPARQL left-join
-  semantics (all extensions if any; otherwise the binding survives with
-  the optional vars unbound)
+  ``pfx:name``, ``"literal"`` / ``"literal"@lang``, ``a``
+* property paths in the predicate position: sequence ``p1/p2``,
+  alternation ``p1|p2``, inverse ``^p``, grouping ``(...)``, and the
+  closures ``p*`` / ``p+`` / ``p?``. Closure/inverse modifiers must be
+  glued to their element (no whitespace) — ``p ?o`` is a pattern with a
+  variable object, ``p? o`` would be ambiguous and is not written in
+  practice. Zero-length paths (``*``/``?``) match a bound endpoint to
+  itself even when the term does not occur in the graph (SPARQL
+  zero-length semantics); with both endpoints unbound they range over
+  the graph's terms.
+* groups compose recursively: ``OPTIONAL { group }`` at any depth
+  (SPARQL left-join: all extensions if any, else the binding survives
+  with the optional vars unbound), ``{ group } UNION { group }`` chains,
+  and bare nested ``{ group }``
 * ``FILTER ( expr )`` — comparisons ``= != < <= > >=`` (numeric when
   both sides parse as numbers, lexical otherwise), ``regex(?v, "pat")``
   / ``regex(?v, "pat", "i")``, combined with ``&&``, ``||``, ``!`` and
   parentheses; an unbound variable makes the filter false (SPARQL error
-  semantics). Filters apply after the group's patterns and OPTIONALs,
-  matching SPARQL's end-of-group filter scope.
+  semantics). Filters scope over their ENCLOSING group and apply at the
+  end of that group — a FILTER inside an OPTIONAL decides whether the
+  optional extension survives, exactly as in SPARQL.
 
-No property paths / UNION / subqueries — workflows needing those should
-pre-materialize the lookup as mapping pairs instead.
+Still unsupported (raises, never silently drops): subqueries, BIND,
+VALUES, MINUS, negated property sets ``!(...)``. Workflows needing those
+should pre-materialize the lookup as mapping pairs instead.
 """
 
 from __future__ import annotations
@@ -40,11 +51,9 @@ from ..core.terms import IriNode, LitNode
 # A graph row: (subj, pred, obj_kind, obj_lexical, obj_lang)
 GraphRow = Tuple[str, str, str, str, Optional[str]]
 
-_PREFIX_DECL = re.compile(r"(?im)^\s*PREFIX\s+([A-Za-z][\w-]*)\s*:\s*<([^>]*)>")
+# not line-anchored: SPARQL allows PREFIX decls to share a line
+_PREFIX_DECL = re.compile(r"(?i)\bPREFIX\s+([A-Za-z][\w-]*)\s*:\s*<([^>]*)>")
 _SELECT_WHERE = re.compile(r"(?is)SELECT\s+(.+?)\s+WHERE\s*\{(.*)\}")
-_TERM = re.compile(
-    r"""\s*(\?[A-Za-z_][\w-]*|<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+)?|[A-Za-z][\w-]*:[\w./#-]+|a)\s*""",
-)
 
 
 def _parse_term(tok: str, prefixes: Dict[str, str]):
@@ -69,125 +78,239 @@ def _parse_term(tok: str, prefixes: Dict[str, str]):
     raise ProcessorException(f"Cannot parse where-clause term: {tok}")
 
 
-def _parse_patterns(body: str, prefixes: Dict[str, str], where_clause: str) -> List[tuple]:
-    """Tokenize a pattern block term-wise (IRIs and prefixed names
-    legitimately contain dots; the statement separator is any bare '.'
-    left between term matches). Anything the tokenizer cannot match —
-    other than whitespace and separator dots — is an error, never
-    silently dropped."""
-    toks = []
-    pos = 0
-    for m in _TERM.finditer(body):
-        gap = body[pos : m.start()]
-        if gap.strip(" \t\r\n."):
+# ---------------------------------------------------------------------------
+# WHERE-group parsing: recursive descent (groups, UNION, OPTIONAL, paths)
+
+class _Group:
+    """A SPARQL group-graph-pattern: ordered elements + end-of-group
+    filters. Element kinds: ('bgp', [pattern...]), ('optional', _Group),
+    ('group', _Group), ('union', [_Group...])."""
+
+    __slots__ = ("elements", "filters")
+
+    def __init__(self, elements: List[tuple], filters: List[tuple]) -> None:
+        self.elements = elements
+        self.filters = filters
+
+
+_TERM_AT = re.compile(
+    r"""\?[A-Za-z_][\w-]*|<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+)?"""
+    r"""|[A-Za-z][\w-]*:[\w./#-]+|a(?![\w:-])"""
+)
+# Path elements exclude '/', '|' and the closure chars from prefixed-name
+# members so path operators tokenize; full IRIs <...> may contain anything.
+_PATH_IRI_AT = re.compile(r"<[^>]*>|[A-Za-z][\w-]*:[\w.#-]+|a(?![\w:-])")
+_KW_AT = {
+    kw: re.compile(rf"(?i){kw}(?![\w:-])") for kw in ("OPTIONAL", "FILTER", "UNION")
+}
+_UNSUPPORTED_KW = re.compile(r"(?i)^(BIND|VALUES|MINUS|SELECT|GRAPH|SERVICE)(?![\w:-])")
+
+
+class _Cur:
+    """Cursor over a WHERE body; ``ctx`` is the full query for errors."""
+
+    __slots__ = ("s", "i", "ctx")
+
+    def __init__(self, s: str, ctx: str) -> None:
+        self.s, self.i, self.ctx = s, 0, ctx
+
+    def ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i] in " \t\r\n":
+            self.i += 1
+
+    def peek(self) -> str:
+        self.ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def try_ch(self, ch: str) -> bool:
+        if self.peek() == ch:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, ch: str) -> None:
+        if not self.try_ch(ch):
             raise ProcessorException(
-                f"Unparseable where-clause content {gap.strip()!r} in: {where_clause!r}"
+                f"Expected {ch!r} near {self.s[self.i:self.i + 30]!r} in: {self.ctx!r}"
             )
-        pos = m.end()
-        t = m.group(1)
+
+    def try_kw(self, kw: str) -> bool:
+        self.ws()
+        m = _KW_AT[kw].match(self.s, self.i)
+        if m:
+            self.i = m.end()
+            return True
+        return False
+
+    def term(self) -> str:
+        self.ws()
+        m = _UNSUPPORTED_KW.match(self.s[self.i:])
+        if m:
+            raise ProcessorException(
+                f"Unsupported SPARQL construct {m.group(1)!r} in: {self.ctx!r} — "
+                "pre-materialize the lookup as mapping pairs instead"
+            )
+        m = _TERM_AT.match(self.s, self.i)
+        if m is None:
+            raise ProcessorException(
+                f"Cannot parse where-clause term near "
+                f"{self.s[self.i:self.i + 30]!r} in: {self.ctx!r}"
+            )
+        tok = m.group(0)
+        self.i = m.end()
         # a prefixed name glued to its statement-separator dot
-        if not t.startswith(("<", '"', "?")) and t.endswith("."):
-            t = t[:-1]
-        if t:
-            toks.append(t)
-    tail = body[pos:]
-    if tail.strip(" \t\r\n."):
-        raise ProcessorException(
-            f"Unparseable where-clause content {tail.strip()!r} in: {where_clause!r}"
-        )
-    if len(toks) % 3 != 0:
-        raise ProcessorException(
-            f"Bad where clause (expected triples of terms): {where_clause!r}"
-        )
-    return [
-        tuple(_parse_term(t, prefixes) for t in toks[i : i + 3])
-        for i in range(0, len(toks), 3)
-    ]
+        while tok.endswith(".") and not tok.startswith(("<", '"')):
+            tok = tok[:-1]
+            self.i -= 1
+        return tok
 
 
-_OPTIONAL_KW = re.compile(r"(?i)\bOPTIONAL\s*\{")
-_FILTER_KW = re.compile(r"(?i)\bFILTER\s*\(")
+def _parse_path_elt(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
+    if cur.try_ch("^"):
+        return ("inv", _parse_path_elt(cur, prefixes))
+    if cur.try_ch("("):
+        node = _parse_path(cur, prefixes)
+        cur.expect(")")
+    else:
+        cur.ws()
+        m = _PATH_IRI_AT.match(cur.s, cur.i)
+        if m is None:
+            raise ProcessorException(
+                f"Cannot parse property-path element near "
+                f"{cur.s[cur.i:cur.i + 30]!r} in: {cur.ctx!r}"
+            )
+        tok = m.group(0)
+        cur.i = m.end()
+        while tok.endswith("."):
+            tok = tok[:-1]
+            cur.i -= 1
+        node = ("pred", _parse_term(tok, prefixes)[1])
+    # closure modifiers must be GLUED to the element: after whitespace a
+    # '?' starts the object variable of the pattern, not a modifier
+    if cur.i < len(cur.s) and cur.s[cur.i] in "*+?":
+        mod = {"*": "star", "+": "plus", "?": "maybe"}[cur.s[cur.i]]
+        cur.i += 1
+        node = (mod, node)
+    return node
 
 
-def _extract_blocks(body: str) -> Tuple[str, List[str], List[str]]:
-    """Split a WHERE body into (required-pattern text, optional bodies,
-    filter expression strings). OPTIONAL groups are single-level (no
-    nested braces); FILTER parens are balanced-counted so regex("...")
-    calls nest fine."""
-    optionals: List[str] = []
-    filters: List[str] = []
+def _parse_path_seq(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
+    elts = [_parse_path_elt(cur, prefixes)]
+    while cur.try_ch("/"):
+        elts.append(_parse_path_elt(cur, prefixes))
+    return elts[0] if len(elts) == 1 else ("seq", elts)
 
-    def take_optionals(s: str) -> str:
-        out = []
-        pos = 0
-        while True:
-            m = _OPTIONAL_KW.search(s, pos)
-            if m is None:
-                out.append(s[pos:])
-                return "".join(out)
-            out.append(s[pos : m.start()])
-            close = s.find("}", m.end())
-            if close < 0:
-                raise ProcessorException(f"Unterminated OPTIONAL group in: {s!r}")
-            optionals.append(s[m.end() : close])
-            pos = close + 1
 
-    def take_filters(s: str) -> str:
-        out = []
-        pos = 0
-        while True:
-            m = _FILTER_KW.search(s, pos)
-            if m is None:
-                out.append(s[pos:])
-                return "".join(out)
-            out.append(s[pos : m.start()])
-            depth, i = 1, m.end()
-            in_str = False
-            while i < len(s) and depth:
-                ch = s[i]
-                if in_str:
-                    if ch == "\\":
-                        i += 1
-                    elif ch == '"':
-                        in_str = False
-                elif ch == '"':
-                    in_str = True
-                elif ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
+def _parse_path(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
+    arms = [_parse_path_seq(cur, prefixes)]
+    while cur.try_ch("|"):
+        arms.append(_parse_path_seq(cur, prefixes))
+    return arms[0] if len(arms) == 1 else ("alt", arms)
+
+
+def _parse_predicate(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
+    if cur.peek() == "?":
+        return _parse_term(cur.term(), prefixes)
+    node = _parse_path(cur, prefixes)
+    if node[0] == "pred":
+        return ("iri", node[1])  # plain predicate keeps the index fast path
+    return ("path", node)
+
+
+def _scan_filter(cur: _Cur) -> str:
+    """Consume '( ... )' with balanced parens (string-aware) and return
+    the inner expression source."""
+    cur.expect("(")
+    s, i = cur.s, cur.i
+    depth, in_str = 1, False
+    while i < len(s) and depth:
+        ch = s[i]
+        if in_str:
+            if ch == "\\":
                 i += 1
-            if depth:
-                raise ProcessorException(f"Unterminated FILTER in: {s!r}")
-            filters.append(s[m.end() : i - 1])
-            pos = i
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ProcessorException(f"Unterminated FILTER in: {cur.ctx!r}")
+    src = s[cur.i : i - 1]
+    cur.i = i
+    return src
 
-    required = take_filters(take_optionals(body))
-    return required, optionals, filters
+
+def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
+    elements: List[tuple] = []
+    filters: List[tuple] = []
+    pats: List[tuple] = []
+
+    def flush() -> None:
+        if pats:
+            elements.append(("bgp", list(pats)))
+            pats.clear()
+
+    while True:
+        ch = cur.peek()
+        if ch == "" or ch == "}":
+            break
+        if ch == ".":
+            cur.i += 1
+            continue
+        if cur.try_kw("OPTIONAL"):
+            flush()
+            cur.expect("{")
+            g = _parse_group(cur, prefixes)
+            cur.expect("}")
+            elements.append(("optional", g))
+            continue
+        if cur.try_kw("FILTER"):
+            filters.append(_parse_filter(_scan_filter(cur), prefixes))
+            continue
+        if ch == "{":
+            flush()
+            cur.i += 1
+            arms = [_parse_group(cur, prefixes)]
+            cur.expect("}")
+            while cur.try_kw("UNION"):
+                cur.expect("{")
+                arms.append(_parse_group(cur, prefixes))
+                cur.expect("}")
+            elements.append(
+                ("union", arms) if len(arms) > 1 else ("group", arms[0])
+            )
+            continue
+        s = _parse_term(cur.term(), prefixes)
+        p = _parse_predicate(cur, prefixes)
+        o = _parse_term(cur.term(), prefixes)
+        pats.append((s, p, o))
+        cur.try_ch(".")
+    flush()
+    return _Group(elements, filters)
 
 
 def parse_query(where_clause: str):
-    """Parse a SELECT query → (selected vars, required patterns,
-    optional pattern groups, compiled filter expressions)."""
+    """Parse a SELECT query → (selected vars, group AST)."""
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_DECL.finditer(where_clause)}
     body = _PREFIX_DECL.sub("", where_clause)
     m = _SELECT_WHERE.search(body)
     if m is None:
-        raise ProcessorException(f"Unsupported query (need SELECT..WHERE{{..}}): {where_clause}")
+        raise ProcessorException(
+            f"Unsupported query (need SELECT..WHERE{{..}}): {where_clause}"
+        )
     sel = [v.lstrip("?") for v in re.split(r"\s+", m.group(1).strip()) if v]
-    required, opt_bodies, filter_srcs = _extract_blocks(m.group(2))
-    patterns = _parse_patterns(required, prefixes, where_clause)
-    for ob in opt_bodies:
-        # the pattern tokenizer skips unknown words, so an unsupported
-        # construct inside OPTIONAL must fail loudly, not vanish
-        if re.search(r"(?i)\b(FILTER|OPTIONAL|UNION)\b", ob):
-            raise ProcessorException(
-                "FILTER/OPTIONAL/UNION inside an OPTIONAL group is not "
-                f"supported by the mini evaluator: {ob!r}"
-            )
-    optionals = [_parse_patterns(ob, prefixes, where_clause) for ob in opt_bodies]
-    filters = [_parse_filter(fs, prefixes) for fs in filter_srcs]
-    return sel, patterns, optionals, filters
+    cur = _Cur(m.group(2), where_clause)
+    group = _parse_group(cur, prefixes)
+    if cur.peek() != "":
+        raise ProcessorException(
+            f"Trailing where-clause content {cur.s[cur.i:].strip()!r} "
+            f"in: {where_clause!r}"
+        )
+    return sel, group
 
 
 # ---------------------------------------------------------------------------
@@ -366,11 +489,20 @@ def _try_eval(node, binding):
         return None
 
 
+def _term_key(t):
+    """Deterministic sort key for term sets (path results are sets; the
+    engine's output must be byte-stable across runs and executors)."""
+    if isinstance(t, IriNode):
+        return (0, t.value, "")
+    return (1, t.lexical, t.lang or "")
+
+
 class MiniGraph:
-    """An in-memory triple set with conjunctive BGP evaluation.
+    """An in-memory triple set with group-graph-pattern evaluation.
 
     Small by construction (it is broadcast), so evaluation is a simple
-    binding-propagating nested-loop join with a predicate index.
+    binding-propagating nested-loop join with a predicate index; property
+    paths BFS over the same index.
     """
 
     def __init__(self, rows: Iterable[GraphRow]) -> None:
@@ -378,6 +510,7 @@ class MiniGraph:
         self._by_pred: Dict[str, List[GraphRow]] = {}
         for r in self.rows:
             self._by_pred.setdefault(r[1], []).append(r)
+        self._nodes_cache: Optional[List[object]] = None
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -405,52 +538,192 @@ class MiniGraph:
             )
         return True  # var
 
+    @staticmethod
+    def _const_term(spec):
+        if spec[0] == "iri":
+            return IriNode(spec[1])
+        return LitNode(spec[1], lang=spec[2])
+
+    # -- property paths ------------------------------------------------------
+    def _all_nodes(self) -> List[object]:
+        if self._nodes_cache is None:
+            ns = {IriNode(r[0]) for r in self.rows}
+            ns.update(self._term_of(r, 2) for r in self.rows)
+            self._nodes_cache = sorted(ns, key=_term_key)
+        return self._nodes_cache
+
+    def _path_fwd(self, ast, start) -> set:
+        """All terms reachable from ``start`` via ``ast``."""
+        k = ast[0]
+        if k == "pred":
+            if not isinstance(start, IriNode):
+                return set()
+            return {
+                self._term_of(r, 2)
+                for r in self._by_pred.get(ast[1], ())
+                if r[0] == start.value
+            }
+        if k == "inv":
+            return self._path_bwd(ast[1], start)
+        if k == "seq":
+            cur = {start}
+            for sub in ast[1]:
+                if not cur:
+                    break
+                cur = set().union(*(self._path_fwd(sub, t) for t in cur))
+            return cur
+        if k == "alt":
+            return set().union(*(self._path_fwd(sub, start) for sub in ast[1]))
+        if k == "maybe":
+            return {start} | self._path_fwd(ast[1], start)
+        # star / plus — BFS to fixpoint over the sub-path
+        reach: set = set()
+        frontier = {start}
+        while frontier:
+            step = set().union(*(self._path_fwd(ast[1], t) for t in frontier))
+            frontier = step - reach
+            reach |= step
+        return reach | {start} if k == "star" else reach
+
+    def _path_bwd(self, ast, end) -> set:
+        """All terms that reach ``end`` via ``ast`` (mirror of _path_fwd)."""
+        k = ast[0]
+        if k == "pred":
+            return {
+                IriNode(r[0])
+                for r in self._by_pred.get(ast[1], ())
+                if self._term_of(r, 2) == end
+            }
+        if k == "inv":
+            return self._path_fwd(ast[1], end)
+        if k == "seq":
+            cur = {end}
+            for sub in reversed(ast[1]):
+                if not cur:
+                    break
+                cur = set().union(*(self._path_bwd(sub, t) for t in cur))
+            return cur
+        if k == "alt":
+            return set().union(*(self._path_bwd(sub, end) for sub in ast[1]))
+        if k == "maybe":
+            return {end} | self._path_bwd(ast[1], end)
+        reach: set = set()
+        frontier = {end}
+        while frontier:
+            step = set().union(*(self._path_bwd(ast[1], t) for t in frontier))
+            frontier = step - reach
+            reach |= step
+        return reach | {end} if k == "star" else reach
+
+    def _eval_path_pattern(self, pat, bindings):
+        s_spec, p_spec, o_spec = pat
+        ast = p_spec[1]
+        out: List[Dict[str, object]] = []
+        for b in bindings:
+            s_t = b.get(s_spec[1]) if s_spec[0] == "var" else self._const_term(s_spec)
+            o_free = o_spec[0] == "var" and b.get(o_spec[1]) is None
+            if s_t is not None:
+                for e in sorted(self._path_fwd(ast, s_t), key=_term_key):
+                    if o_free:
+                        nb = dict(b)
+                        nb[o_spec[1]] = e
+                        out.append(nb)
+                    elif o_spec[0] == "var":
+                        if b[o_spec[1]] == e:
+                            out.append(dict(b))
+                    elif self._matches(o_spec, e):
+                        out.append(dict(b))
+            elif not o_free:
+                o_t = (
+                    b[o_spec[1]] if o_spec[0] == "var" else self._const_term(o_spec)
+                )
+                for st in sorted(self._path_bwd(ast, o_t), key=_term_key):
+                    nb = dict(b)
+                    nb[s_spec[1]] = st
+                    out.append(nb)
+            else:
+                # both endpoints unbound: range over the graph's terms
+                for n in self._all_nodes():
+                    for e in sorted(self._path_fwd(ast, n), key=_term_key):
+                        nb = dict(b)
+                        nb[s_spec[1]] = n
+                        nb[o_spec[1]] = e
+                        out.append(nb)
+        return out
+
+    # -- pattern / group evaluation ------------------------------------------
+    def _eval_simple_pattern(self, pat, bindings):
+        new_bindings: List[Dict[str, object]] = []
+        # Narrow the scan through the predicate index when bound.
+        cand = self._by_pred.get(pat[1][1], []) if pat[1][0] == "iri" else self.rows
+        for b in bindings:
+            for row in cand:
+                nb = dict(b)
+                ok = True
+                for pos in range(3):
+                    spec = pat[pos]
+                    term = self._term_of(row, pos)
+                    if spec[0] == "var":
+                        prev = nb.get(spec[1])
+                        if prev is None:
+                            nb[spec[1]] = term
+                        elif prev != term:
+                            ok = False
+                            break
+                    elif not self._matches(spec, term):
+                        ok = False
+                        break
+                if ok:
+                    new_bindings.append(nb)
+        return new_bindings
+
     def _eval_bgp(
         self, patterns: List[tuple], bindings: List[Dict[str, object]]
     ) -> List[Dict[str, object]]:
         for pat in patterns:
-            new_bindings: List[Dict[str, object]] = []
-            # Narrow the scan through the predicate index when bound.
-            cand = self._by_pred.get(pat[1][1], []) if pat[1][0] == "iri" else self.rows
-            for b in bindings:
-                for row in cand:
-                    nb = dict(b)
-                    ok = True
-                    for pos in range(3):
-                        spec = pat[pos]
-                        term = self._term_of(row, pos)
-                        if spec[0] == "var":
-                            prev = nb.get(spec[1])
-                            if prev is None:
-                                nb[spec[1]] = term
-                            elif prev != term:
-                                ok = False
-                                break
-                        elif not self._matches(spec, term):
-                            ok = False
-                            break
-                    if ok:
-                        new_bindings.append(nb)
-            bindings = new_bindings
+            if pat[1][0] == "path":
+                bindings = self._eval_path_pattern(pat, bindings)
+            else:
+                bindings = self._eval_simple_pattern(pat, bindings)
             if not bindings:
                 break
         return bindings
 
-    def query(self, where_clause: str) -> List[Dict[str, object]]:
-        selected, patterns, optionals, filters = parse_query(where_clause)
-        bindings = self._eval_bgp(patterns, [{}])
-        # OPTIONAL = left join: every extension if any, else the binding
-        # survives with the optional vars unbound.
-        for opt in optionals:
-            extended: List[Dict[str, object]] = []
-            for b in bindings:
-                ext = self._eval_bgp(opt, [b])
-                extended.extend(ext if ext else [b])
-            bindings = extended
+    def _eval_group(self, group: _Group, bindings):
+        for el in group.elements:
+            kind = el[0]
+            if kind == "bgp":
+                bindings = self._eval_bgp(el[1], bindings)
+            elif kind == "optional":
+                # OPTIONAL = left join: every extension if any, else the
+                # binding survives with the optional vars unbound
+                extended: List[Dict[str, object]] = []
+                for b in bindings:
+                    ext = self._eval_group(el[1], [b])
+                    extended.extend(ext if ext else [b])
+                bindings = extended
+            elif kind == "group":
+                nxt: List[Dict[str, object]] = []
+                for b in bindings:
+                    nxt.extend(self._eval_group(el[1], [b]))
+                bindings = nxt
+            else:  # union — concatenation of the arms' extensions
+                nxt = []
+                for b in bindings:
+                    for arm in el[1]:
+                        nxt.extend(self._eval_group(arm, [b]))
+                bindings = nxt
+            if not bindings:
+                break
         # FILTERs scope over the whole group (post-OPTIONAL); an unbound
         # var in a filter is a SPARQL error → binding dropped.
-        for f in filters:
+        for f in group.filters:
             bindings = [b for b in bindings if _try_eval(f, b)]
+        return bindings
+
+    def query(self, where_clause: str) -> List[Dict[str, object]]:
+        selected, group = parse_query(where_clause)
+        bindings = self._eval_group(group, [{}])
         return [{v: b.get(v) for v in selected} for b in bindings]
 
 

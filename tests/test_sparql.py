@@ -98,12 +98,22 @@ class TestFilter:
         with pytest.raises(ProcessorException):
             GRAPH.query("SELECT ?s WHERE { ?s <http://x/name> ?n . FILTER (?n ~ 3) }")
 
-    def test_filter_inside_optional_raises_not_silently_ignored(self):
-        with pytest.raises(ProcessorException, match="inside an OPTIONAL"):
-            GRAPH.query(
-                "SELECT ?s WHERE { ?s <http://x/name> ?n . "
-                'OPTIONAL { ?s <http://x/nick> ?k FILTER (?k = "Al") } }'
-            )
+    def test_filter_inside_optional_scopes_to_the_optional(self):
+        # SPARQL: the filter decides whether the optional EXTENSION
+        # survives; the outer binding always does.
+        out = GRAPH.query(
+            "SELECT ?n ?k WHERE { ?s <http://x/name> ?n . "
+            'OPTIONAL { ?s <http://x/nick> ?k FILTER (?k != "Al") } }'
+        )
+        got = {str(r["n"]): (None if r["k"] is None else str(r["k"])) for r in out}
+        # alice HAS a nick, but it fails the inner filter → k unbound
+        assert got == {"Alice": None, "Bob": None, "carol": None}
+        out2 = GRAPH.query(
+            "SELECT ?n ?k WHERE { ?s <http://x/name> ?n . "
+            'OPTIONAL { ?s <http://x/nick> ?k FILTER (?k = "Al") } }'
+        )
+        got2 = {str(r["n"]): (None if r["k"] is None else str(r["k"])) for r in out2}
+        assert got2 == {"Alice": "Al", "Bob": None, "carol": None}
 
 
 class TestOptional:
@@ -131,6 +141,187 @@ class TestOptional:
         )
         by_name = {str(r["n"]): r for r in out}
         assert str(by_name["Bob"]["a"]) == "7" and by_name["Bob"]["k"] is None
+
+
+SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+# small taxonomy: aspirin -type-> Nsaid -sub-> Analgesic -sub-> Drug
+TAX = MiniGraph(
+    [
+        ("http://o/aspirin", TYPE, "iri", "http://o/Nsaid", None),
+        ("http://o/Nsaid", SUBCLASS, "iri", "http://o/Analgesic", None),
+        ("http://o/Analgesic", SUBCLASS, "iri", "http://o/Drug", None),
+        ("http://o/Drug", LABEL, "literal", "drug", None),
+        ("http://o/Nsaid", LABEL, "literal", "nsaid", None),
+        ("http://o/paracetamol", TYPE, "iri", "http://o/Analgesic", None),
+        ("http://o/ibuprofen", "http://o/altType", "iri", "http://o/Nsaid", None),
+    ]
+)
+
+PFX = (
+    "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+    "PREFIX o: <http://o/> "
+)
+
+
+def iris(rows, var):
+    return sorted(str(r[var]) for r in rows)
+
+
+class TestUnion:
+    def test_two_arm_union(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { { ?s a o:Nsaid } UNION "
+            "{ ?s o:altType o:Nsaid } }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin", "http://o/ibuprofen"]
+
+    def test_union_joins_with_surrounding_patterns(self):
+        # bindings flow INTO the union arms (join, not cross product)
+        out = TAX.query(
+            PFX + "SELECT ?s ?l WHERE { ?c rdfs:label ?l . "
+            "{ ?s a ?c } UNION { ?s o:altType ?c } }"
+        )
+        got = sorted((str(r["s"]), str(r["l"])) for r in out)
+        assert got == [
+            ("http://o/aspirin", "nsaid"),
+            ("http://o/ibuprofen", "nsaid"),
+        ]
+
+    def test_three_arm_union_and_nested_filter(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { { ?s a o:Nsaid } UNION "
+            "{ ?s a o:Analgesic } UNION "
+            '{ ?s o:altType ?t FILTER (regex(?t, "Nsaid")) } }'
+        )
+        assert iris(out, "s") == [
+            "http://o/aspirin",
+            "http://o/ibuprofen",
+            "http://o/paracetamol",
+        ]
+
+    def test_empty_arm_contributes_nothing(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { { ?s a o:Nsaid } UNION { ?s a o:Nope } }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin"]
+
+
+class TestPropertyPaths:
+    def test_sequence_path(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { o:aspirin a/rdfs:subClassOf ?c }"
+        )
+        assert iris(out, "c") == ["http://o/Analgesic"]
+
+    def test_star_closure_includes_zero_length(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { o:Nsaid rdfs:subClassOf* ?c }"
+        )
+        assert iris(out, "c") == [
+            "http://o/Analgesic",
+            "http://o/Drug",
+            "http://o/Nsaid",
+        ]
+
+    def test_star_zero_length_on_term_absent_from_graph(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { o:Unknown rdfs:subClassOf* ?c }"
+        )
+        assert iris(out, "c") == ["http://o/Unknown"]
+
+    def test_plus_closure_excludes_zero_length(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { o:Nsaid rdfs:subClassOf+ ?c }"
+        )
+        assert iris(out, "c") == ["http://o/Analgesic", "http://o/Drug"]
+
+    def test_type_through_subclass_star(self):
+        # the canonical ontology lookup: instances of Analgesic incl. subs
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s a/rdfs:subClassOf* o:Analgesic }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin", "http://o/paracetamol"]
+
+    def test_inverse_path(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { o:Nsaid ^a ?s }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin"]
+
+    def test_alternation_path(self):
+        out = TAX.query(
+            PFX + 'SELECT ?t WHERE { ?s a|o:altType ?t . FILTER (regex(?s, "/ibu")) }'
+        )
+        assert iris(out, "t") == ["http://o/Nsaid"]
+
+    def test_grouped_path_with_closure(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { o:aspirin (a/rdfs:subClassOf)+ ?c }"
+        )
+        # one (a/sub) hop from aspirin: Analgesic; a second (a/sub) hop
+        # needs a 'type' edge from Analgesic — none, so closure stops
+        assert iris(out, "c") == ["http://o/Analgesic"]
+
+    def test_maybe_path(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { o:Analgesic rdfs:subClassOf? ?c }"
+        )
+        assert iris(out, "c") == ["http://o/Analgesic", "http://o/Drug"]
+
+    def test_backward_eval_bound_object(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s rdfs:subClassOf+ o:Drug }"
+        )
+        assert iris(out, "s") == ["http://o/Analgesic", "http://o/Nsaid"]
+
+    def test_both_endpoints_unbound(self):
+        out = TAX.query(PFX + "SELECT ?s ?c WHERE { ?s rdfs:subClassOf+ ?c }")
+        got = sorted((str(r["s"]), str(r["c"])) for r in out)
+        assert got == [
+            ("http://o/Analgesic", "http://o/Drug"),
+            ("http://o/Nsaid", "http://o/Analgesic"),
+            ("http://o/Nsaid", "http://o/Drug"),
+        ]
+
+    def test_path_var_object_whitespace_not_a_modifier(self):
+        # 'rdfs:subClassOf ?c' — the '?' after whitespace is the object
+        # var, not a zero-or-one modifier
+        out = TAX.query(PFX + "SELECT ?c WHERE { o:Nsaid rdfs:subClassOf ?c }")
+        assert iris(out, "c") == ["http://o/Analgesic"]
+
+    def test_cycle_terminates(self):
+        cyc = MiniGraph(
+            [
+                ("http://c/a", SUBCLASS, "iri", "http://c/b", None),
+                ("http://c/b", SUBCLASS, "iri", "http://c/a", None),
+            ]
+        )
+        out = cyc.query(
+            "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+            "SELECT ?c WHERE { <http://c/a> rdfs:subClassOf+ ?c }"
+        )
+        assert iris(out, "c") == ["http://c/a", "http://c/b"]
+
+
+class TestUnsupportedConstructsStillRaise:
+    def test_bind_raises(self):
+        with pytest.raises(ProcessorException, match="BIND"):
+            TAX.query(PFX + 'SELECT ?s WHERE { ?s a o:Nsaid . BIND ("x" AS ?y) }')
+
+    def test_values_raises(self):
+        with pytest.raises(ProcessorException, match="VALUES"):
+            TAX.query(PFX + "SELECT ?s WHERE { VALUES ?s { o:a } ?s a o:Nsaid }")
+
+    def test_junk_raises(self):
+        with pytest.raises(ProcessorException):
+            TAX.query(PFX + "SELECT ?s WHERE { ?s ~~ o:Nsaid }")
+
+    def test_unbalanced_group_raises(self):
+        with pytest.raises(ProcessorException):
+            TAX.query(PFX + "SELECT ?s WHERE { { ?s a o:Nsaid }")
 
 
 class TestWorkflowSelectWithFilter:
