@@ -738,6 +738,20 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir), bits=16)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup cluster RESOLUTION under the gate: LSH candidate pairs
+    → connected components over the organic pair graph → one string-min
+    survivor per cluster; singletons survive by construction."""
+    return D.near_duplicate_clusters(
+        _docs(spark, sf_dir),
+        method="minhash",
+        n_hashes=8,
+        bands=4,
+        shingle_n=5,
+        threshold=0.5,
+    )
+
+
 def q_text_token_counts(spark, sf_dir):
     return TS.token_counts(_docs(spark, sf_dir))
 
@@ -1096,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1826,6 +1841,31 @@ JOIN sizes sb ON sb.id = i.id_b
 WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
+    # -- fuzzy-dedup cluster resolution: LSH pairs (the query above, as a
+    # subquery) → recursive-CTE connected components → string-min survivor
+    clusters = f"""
+WITH RECURSIVE pairs AS (
+  SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b
+  FROM ({lsh})
+), sym AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), lab AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id,
+         coalesce(c.component, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = CAST(d.doc_id AS VARCHAR)
+)
+SELECT id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_cluster,
+       id = cluster_id AS is_survivor
+FROM lab
+"""
+
     # -- simhash (16 bit)
     sums = ", ".join(
         f"sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -2011,6 +2051,7 @@ FROM verdict
     return {
         "dedup_minhash_lsh": lsh,
         "dedup_simhash": simhash,
+        "dedup_clusters": clusters,
         "text_lang_id": lang_sql,
         "emb_near_dup": emb_near_dup,
         "ann_ivf_topk": ivf,

@@ -300,6 +300,70 @@ def minhash_lsh_pairs(
     return out
 
 
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    small_graph_threshold: int = 2_000_000,
+    salt_hubs: int = 16,
+    **pair_kwargs,
+) -> DataFrame:
+    """(id, cluster_id, n_cluster, is_survivor) — resolve near-duplicate
+    PAIRS into clusters and pick one survivor per cluster: the step every
+    real pipeline runs after pair generation.
+
+    Pairs come from :func:`minhash_lsh_pairs` (default) or
+    :func:`simhash_near_pairs` (``method='simhash'``); extra kwargs pass
+    through. Pairs feed :func:`~.canonicalize.connected_components`
+    (salted distributed min-label loop above ``small_graph_threshold``
+    edges, driver union-find below), so transitive chains A~B~C collapse
+    into one cluster even when (A, C) itself was never a candidate pair.
+
+    ``cluster_id`` is the component label = lexicographically smallest
+    member id AS A STRING (ids are stringified for the generic CC
+    operator; "10" < "9" — deterministic, partition-independent, but not
+    numeric order). The survivor is the member equal to its cluster_id;
+    docs with no near-dup pair are singleton survivors.
+
+    Scale shape: pair generation is the bucketed LSH path (never
+    all-pairs); CC shuffles only the pair graph (tiny next to the
+    corpus); the final labeling is one broadcast-friendly left join plus
+    one window over cluster_id.
+    """
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, text_col, id_col, **pair_kwargs)
+    elif method == "simhash":
+        pairs = simhash_near_pairs(df, text_col, id_col, **pair_kwargs)
+    else:
+        raise ValueError(f"method must be 'minhash' or 'simhash', got {method!r}")
+    from pyspark.sql import Window
+
+    from .canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(
+        edges,
+        small_graph_threshold=small_graph_threshold,
+        salt_hubs=salt_hubs,
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("id"))
+    lab = (
+        ids.join(comp, ids["id"] == comp["node"], "left")
+        .select("id", F.coalesce("component", "id").alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_cluster"),
+        (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

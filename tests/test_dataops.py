@@ -114,6 +114,59 @@ class TestDecontaminate:
             dedup.decontaminate(corpus, bench, unit="token")
 
 
+class TestNearDupClusters:
+    # four near-identical docs in two chains + one unique doc; ids chosen
+    # so string-min != numeric-min is exercised (string "10" < "9")
+    ROWS = [
+        (9, "the quick brown fox jumps over the lazy dog again and again"),
+        (10, "the quick brown fox jumps over the lazy dog again and again!"),
+        (11, "the quick brown fox jumps over the lazy dog again and again!!"),
+        (3, "completely different content with nothing shared at all here"),
+    ]
+
+    def test_transitive_chain_one_cluster(self, spark):
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        out = {
+            r.id: r
+            for r in dedup.near_duplicate_clusters(
+                df, n_hashes=8, bands=4, threshold=0.5
+            ).collect()
+        }
+        assert len(out) == 4
+        # 9, 10, 11 chain into ONE cluster with string-min survivor "10"
+        cluster = {out[i].cluster_id for i in ("9", "10", "11")}
+        assert cluster == {"10"}
+        assert out["10"].is_survivor and out["10"].n_cluster == 3
+        assert not out["9"].is_survivor and not out["11"].is_survivor
+        # the unique doc is a singleton survivor
+        assert out["3"].cluster_id == "3" and out["3"].is_survivor
+        assert out["3"].n_cluster == 1
+
+    def test_bad_method_raises(self, spark):
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            dedup.near_duplicate_clusters(df, method="embedding")
+
+    def test_filter_integration_tags_near_duplicates(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+            corpus_filter_with_near_dups,
+        )
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+        out = {
+            r.id: r
+            for r in corpus_filter_with_near_dups(
+                df,
+                min_words=3,
+                dedup_kwargs={"n_hashes": 8, "bands": 4, "threshold": 0.5},
+            ).collect()
+        }
+        assert "near_duplicate" in out[9].reasons and not out[9].keep
+        assert "near_duplicate" in out[11].reasons and not out[11].keep
+        assert "near_duplicate" not in out[10].reasons  # survivor kept
+        assert "near_duplicate" not in out[3].reasons
+
+
 class TestShortDocShingles:
     def test_docs_shorter_than_n_yield_no_shingles(self, spark):
         """Regression: Spark's sequence(1, 0) counts DOWN ([1, 0]), so
