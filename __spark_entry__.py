@@ -702,6 +702,62 @@ def q_boilerplate_strip(spark, sf_dir):
     return out.select("url", "host", "text", "n_boilerplate_lines")
 
 
+def q_pdf_table_cells(spark, sf_dir):
+    """Stdlib PDF text-layer decode under the gate, byte-exact: each doc
+    becomes a deterministic one-page table PDF (3x3 cells from its first
+    9 words, title paragraph, odd doc_ids Flate-compressed), flows
+    through sniff → stdlib text-layer parse → 7-stage geometric
+    recognizer → XHTML; the oracle string-builds the expected render."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_text
+    from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+        make_table_pdf,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("html", BinaryType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                words = t.split(" ")
+                w = [(words[k] if k < len(words) else "pad")[:10] for k in range(9)]
+                blob = make_table_pdf(
+                    [w[0:3], w[3:6], w[6:9]],
+                    title=f"doc {i}",
+                    compress=bool(int(i) % 2),
+                )
+                rows["url"].append(f"doc://{i}")
+                rows["warc_ts"].append(None)
+                rows["html"].append(blob)
+                rows["text"].append(None)
+                rows["lang"].append(None)
+            yield pd.DataFrame(rows)
+
+    pages = docs.mapInPandas(build, schema=schema)
+    out = extract_text(pages)
+    return out.select(
+        "url", F.col("text").alias("xhtml"), "content_type", "extract_error"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).select(
         "content_hash", "n_docs", "keep_id"
@@ -1104,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "url_canonical": q_url_canonical,
         "boilerplate_strip": q_boilerplate_strip,
+        "pdf_table_cells": q_pdf_table_cells,
         "dedup_exact": q_dedup_exact,
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1137,6 +1194,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle_sql() — DuckDB equivalents. Hashing/regex/scaling mirror the Spark
 # side exactly (md5 hex → bigint; floor(x*scale)).
+
+
+def _pdf_table_cells_sql() -> str:
+    """Expected recognizer XHTML, string-built: mirrors render_page's
+    byte layout (pdf_tables.py) over the same first-9-words cells the
+    Spark side feeds make_table_pdf."""
+    nl = "chr(10)"
+    parts = [
+        f"'<div class=\"page\" pageno=\"1\">' || {nl}",
+        f"'<p>doc ' || CAST(doc_id AS VARCHAR) || '</p>' || {nl}",
+        f"{nl} || '<table>' || {nl}",
+    ]
+    for r in range(3):
+        parts.append(f"'<tr>' || {nl}")
+        for c in range(3):
+            parts.append(f"'<td><p>' || c{r * 3 + c} || '</p>' || {nl} || '</td>'")
+        parts.append(f"'</tr>' || {nl}")
+    parts.append(f"'</table>' || {nl} || {nl}")
+    parts.append(f"'</div>' || {nl}")
+    xhtml = "\n       || ".join(parts)
+    cells = ",\n         ".join(
+        f"substr(coalesce(ws[{k + 1}], 'pad'), 1, 10) AS c{k}" for k in range(9)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), cc AS (
+  SELECT doc_id,
+         {cells}
+  FROM w
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       {xhtml} AS xhtml,
+       'pdf' AS content_type,
+       CAST(NULL AS VARCHAR) AS extract_error
+FROM cc
+"""
 
 
 def _minhash_sql(n_hashes: int, shingle_n: int = 5) -> str:
@@ -1574,6 +1668,7 @@ FROM documents, LATERAL (
          ]) AS value_scaled
 ) f
 """,
+        "pdf_table_cells": _pdf_table_cells_sql(),
         "dedup_exact": """
 SELECT md5(text) AS content_hash,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -335,10 +335,11 @@ def pdf_to_xhtml_text(data: bytes) -> str:
 
     The 7-stage recognizer (guiding lines → consolidate → borders →
     tables → cell regions → consolidate → render) is fully implemented
-    in :mod:`.pdf_tables` as pure geometry; only the PDF *byte decoding*
-    needs PyMuPDF. Without it this raises NotImplementedError and the
-    row becomes an error row (the reference skips such docs too,
-    runner.py:326-339).
+    in :mod:`.pdf_tables` as pure geometry. Byte decoding uses PyMuPDF
+    when available, else the pure-stdlib text-layer parser
+    (:mod:`.pdf_textlayer` — uncompressed/Flate streams). PDFs outside
+    that subset raise and the row becomes an error row (the reference
+    skips such docs too, runner.py:326-339).
     """
     from .pdf_tables import pdf_bytes_to_xhtml
 

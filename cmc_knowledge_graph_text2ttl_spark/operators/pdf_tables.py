@@ -4,10 +4,10 @@ Reimplements the reference's 7-stage per-page pipeline
 (text_to_turtle_pdf_to_text.py:319-479, `PdfTableRecognizer`) as pure
 functions over a :class:`PageModel` — the page's word boxes and thin
 line rectangles. What PyMuPDF would supply (``extractWORDS`` /
-``get_drawings``) is isolated behind :func:`pdf_bytes_to_page_models`,
-an import-try adapter: the geometry, the thresholds and the XHTML
-rendering are fully implemented and tested with synthetic page models,
-so only the byte-decoding edge needs the native lib.
+``get_drawings``) is isolated behind :func:`pdf_bytes_to_page_models`:
+PyMuPDF when installed, else the pure-stdlib text-layer parser
+(:mod:`.pdf_textlayer`) — so the whole pipeline runs end-to-end with no
+native dependency on the supported PDF subset.
 
 Stages (thresholds identical to the reference's tuning params,
 pdf_to_text.py:358-377):
@@ -566,15 +566,20 @@ def render_doc(pages: Sequence[PageModel], p: Optional[Params] = None) -> str:
 
 
 def pdf_bytes_to_page_models(data: bytes) -> List[PageModel]:
-    """Decode PDF bytes into page models via PyMuPDF (import-try gated)."""
+    """Decode PDF bytes into page models.
+
+    PyMuPDF when available (font-metric-exact word boxes, all filters);
+    otherwise the pure-stdlib text-layer parser (:mod:`.pdf_textlayer`,
+    uncompressed/Flate streams, approximate widths) — so the 7-stage
+    recognizer runs end-to-end with no native dependency. PDFs outside
+    the stdlib subset raise ValueError and become error rows.
+    """
     try:
         import fitz
-    except ImportError as ex:
-        raise NotImplementedError(
-            "PDF byte decoding requires PyMuPDF (not installed); the "
-            "geometric recognizer itself is pure Python — feed it "
-            "PageModel objects directly"
-        ) from ex
+    except ImportError:
+        from .pdf_textlayer import pdf_bytes_to_page_models_stdlib
+
+        return pdf_bytes_to_page_models_stdlib(data)
     doc = fitz.open(stream=data, filetype="pdf")
     models: List[PageModel] = []
     for page_no, page in enumerate(doc.pages()):

@@ -1,0 +1,640 @@
+"""Pure-stdlib PDF text-layer decoding → :class:`~.pdf_tables.PageModel`.
+
+The reference decodes PDFs with PyMuPDF (text_to_turtle_pdf_to_text.py,
+``extractWORDS`` / ``get_drawings``); that lib is intentionally absent
+here, so this module parses the PDF *text layer* directly — enough for
+digitally-generated PDFs (uncompressed or FlateDecode content streams)
+to flow end-to-end through the 7-stage geometric recognizer without any
+native dependency. PyMuPDF, when present, still wins (see
+``pdf_tables.pdf_bytes_to_page_models``).
+
+Scope (raises ``ValueError`` beyond it — the row becomes an error row,
+never silent garbage):
+
+* body objects are recovered by scanning ``N G obj .. endobj`` (no xref
+  needed — robust to broken tables, the standard salvage trick);
+* page tree walked from /Root → /Pages → /Kids with /MediaBox
+  inheritance; falls back to /Type /Page objects in object order;
+* content streams: no filter or /FlateDecode only;
+* text operators: BT/ET, Tf, TL, Td, TD, T*, Tm (translation part),
+  Tj, TJ (with kerning numbers), ' and "; literal ``(..)`` strings with
+  escapes/octal and ``<hex>`` strings (latin-1);
+* graphics: ``re`` rectangles flushed by any fill op (f F b B b* B*)
+  feed the recognizer's line_rects; the CTM is assumed identity (``cm``
+  is ignored) — true for the simple generators this targets;
+* WIDTHS ARE APPROXIMATE: without font metrics a glyph advances
+  ``0.5 * fontsize``. Word boxes are therefore deterministic but not
+  typographically exact — fine for grid-positioned tables, which is what
+  the recognizer consumes.
+
+Coordinates are flipped from PDF's bottom-left origin to the page
+model's top-left origin using /MediaBox height.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from .pdf_tables import Box, PageModel, Word
+
+# glyph-width approximation (no font metrics in the text layer)
+CHAR_WIDTH_EM = 0.5
+ASCENT_EM = 0.8
+DESCENT_EM = 0.2
+
+
+class PdfParseError(ValueError):
+    """Raised for PDFs outside the supported text-layer subset."""
+
+
+# ---------------------------------------------------------------------------
+# Object-level parsing
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Token reader over one object's (or content stream's) bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.i = 0
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.i < n:
+            c = d[self.i : self.i + 1]
+            if c in b"%":  # comment to EOL
+                j = d.find(b"\n", self.i)
+                self.i = n if j < 0 else j + 1
+            elif c in _WS:
+                self.i += 1
+            else:
+                return
+
+    def peek(self) -> bytes:
+        self._skip_ws()
+        return self.data[self.i : self.i + 1]
+
+    def next_token(self) -> Optional[Tuple[str, object]]:
+        """('num', float) | ('name', str) | ('str', bytes) | ('op', str) |
+        ('dict_open'/'dict_close'/'arr_open'/'arr_close', None)"""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.i >= n:
+            return None
+        c = d[self.i : self.i + 1]
+        if c == b"(":
+            return ("str", self._literal_string())
+        if c == b"<":
+            if d[self.i + 1 : self.i + 2] == b"<":
+                self.i += 2
+                return ("dict_open", None)
+            return ("str", self._hex_string())
+        if c == b">":
+            if d[self.i + 1 : self.i + 2] == b">":
+                self.i += 2
+                return ("dict_close", None)
+            raise PdfParseError("stray '>' in PDF tokens")
+        if c == b"[":
+            self.i += 1
+            return ("arr_open", None)
+        if c == b"]":
+            self.i += 1
+            return ("arr_close", None)
+        if c == b"/":
+            j = self.i + 1
+            while j < n and d[j : j + 1] not in _WS and d[j : j + 1] not in _DELIM:
+                j += 1
+            name = d[self.i + 1 : j].decode("latin-1")
+            self.i = j
+            return ("name", name)
+        if c in b"+-.0123456789":
+            j = self.i + 1
+            while j < n and d[j : j + 1] in b"+-.0123456789":
+                j += 1
+            tok = d[self.i : j]
+            self.i = j
+            return ("num", float(tok))
+        # operator / keyword word
+        j = self.i
+        while j < n and d[j : j + 1] not in _WS and d[j : j + 1] not in _DELIM:
+            j += 1
+        word = d[self.i : j].decode("latin-1")
+        self.i = j
+        if not word:
+            raise PdfParseError(f"cannot tokenize PDF byte {c!r}")
+        return ("op", word)
+
+    def _literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        assert d[self.i : self.i + 1] == b"("
+        self.i += 1
+        out = bytearray()
+        depth = 1
+        while self.i < n:
+            c = d[self.i]
+            self.i += 1
+            if c == 0x5C:  # backslash
+                if self.i >= n:
+                    break
+                e = d[self.i]
+                self.i += 1
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                elif 0x30 <= e <= 0x37:  # octal \ddd (1-3 digits)
+                    oct_digits = [e - 0x30]
+                    for _ in range(2):
+                        if self.i < n and 0x30 <= d[self.i] <= 0x37:
+                            oct_digits.append(d[self.i] - 0x30)
+                            self.i += 1
+                        else:
+                            break
+                    v = 0
+                    for dg in oct_digits:
+                        v = v * 8 + dg
+                    out.append(v & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.i < n and d[self.i] == 0x0A:
+                        self.i += 1
+                else:
+                    out.append(e)
+            elif c == 0x28:  # (
+                depth += 1
+                out.append(c)
+            elif c == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+        raise PdfParseError("unterminated literal string")
+
+    def _hex_string(self) -> bytes:
+        d = self.data
+        assert d[self.i : self.i + 1] == b"<"
+        j = d.find(b">", self.i)
+        if j < 0:
+            raise PdfParseError("unterminated hex string")
+        hx = re.sub(rb"\s", b"", d[self.i + 1 : j])
+        self.i = j + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+def _parse_value(lx: _Lexer):
+    """One PDF value: dict/array/name/number/string/bool/null/reference."""
+    tok = lx.next_token()
+    if tok is None:
+        raise PdfParseError("unexpected end of object data")
+    kind, val = tok
+    if kind == "dict_open":
+        d: Dict[str, object] = {}
+        while True:
+            k = lx.next_token()
+            if k is None:
+                raise PdfParseError("unterminated dictionary")
+            if k[0] == "dict_close":
+                return d
+            if k[0] != "name":
+                raise PdfParseError(f"dictionary key is not a name: {k!r}")
+            d[k[1]] = _parse_value(lx)
+    if kind == "arr_open":
+        arr: List[object] = []
+        while True:
+            save = lx.i
+            t = lx.next_token()
+            if t is None:
+                raise PdfParseError("unterminated array")
+            if t[0] == "arr_close":
+                return arr
+            lx.i = save
+            arr.append(_parse_value(lx))
+    if kind == "num":
+        # maybe a reference: NUM GEN R
+        save = lx.i
+        t2 = lx.next_token()
+        if t2 is not None and t2[0] == "num":
+            t3 = lx.next_token()
+            if t3 is not None and t3 == ("op", "R"):
+                return _Ref(int(val))
+        lx.i = save
+        return val
+    if kind == "name":
+        return ("name", val)
+    if kind == "str":
+        return val
+    if kind == "op":
+        if val == "true":
+            return True
+        if val == "false":
+            return False
+        if val == "null":
+            return None
+        raise PdfParseError(f"unexpected keyword {val!r} in object data")
+    raise PdfParseError(f"unexpected token {tok!r} in object data")
+
+
+class _PdfDoc:
+    """All body objects of one PDF, by object number."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise PdfParseError("missing %PDF- header")
+        self.objects: Dict[int, bytes] = {}
+        for m in _OBJ_RE.finditer(data):
+            end = data.find(b"endobj", m.end())
+            if end < 0:
+                continue
+            self.objects[int(m.group(1))] = data[m.end() : end]
+        if not self.objects:
+            raise PdfParseError("no indirect objects found")
+        self._parsed: Dict[int, object] = {}
+
+    def obj(self, num: int):
+        """Parsed top-level value of object ``num`` (stream dicts return
+        just the dict; use :meth:`stream` for the payload)."""
+        if num not in self._parsed:
+            if num not in self.objects:
+                raise PdfParseError(f"dangling reference to object {num}")
+            self._parsed[num] = _parse_value(_Lexer(self.objects[num]))
+        return self._parsed[num]
+
+    def resolve(self, v):
+        return self.obj(v.num) if isinstance(v, _Ref) else v
+
+    def stream(self, num: int) -> bytes:
+        """Decoded stream payload of object ``num``."""
+        raw = self.objects[num]
+        m = re.search(rb"stream\r?\n", raw)
+        if m is None:
+            raise PdfParseError(f"object {num} has no stream")
+        end = raw.rfind(b"endstream")
+        if end < 0:
+            raise PdfParseError(f"object {num}: unterminated stream")
+        d = self.obj(num)
+        length = self.resolve(d.get("Length")) if isinstance(d, dict) else None
+        if isinstance(length, float) and m.end() + int(length) <= end:
+            # exact /Length wins: binary (compressed) data may itself end
+            # in EOL bytes that a heuristic strip would eat
+            payload = raw[m.end() : m.end() + int(length)]
+        else:
+            payload = raw[m.end() : end]
+            # trailing EOL before 'endstream' is not part of the data
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            elif payload.endswith((b"\n", b"\r")):
+                payload = payload[:-1]
+        filt = d.get("Filter") if isinstance(d, dict) else None
+        filt = self.resolve(filt)
+        filters: List[object] = (
+            [] if filt is None else (filt if isinstance(filt, list) else [filt])
+        )
+        for f in filters:
+            f = self.resolve(f)
+            if f == ("name", "FlateDecode"):
+                payload = zlib.decompress(payload)
+            else:
+                raise PdfParseError(f"unsupported PDF stream filter: {f!r}")
+        return payload
+
+
+# ---------------------------------------------------------------------------
+# Page tree
+
+_DEFAULT_MEDIABOX = (0.0, 0.0, 612.0, 792.0)
+
+
+def _find_pages(doc: _PdfDoc) -> List[Tuple[dict, Tuple[float, float, float, float]]]:
+    """[(page dict, mediabox)] in tree order, with /MediaBox inheritance."""
+    root_pages: Optional[_Ref] = None
+    for num in sorted(doc.objects):
+        try:
+            d = doc.obj(num)
+        except PdfParseError:
+            continue
+        if isinstance(d, dict) and d.get("Type") == ("name", "Catalog"):
+            p = d.get("Pages")
+            if isinstance(p, _Ref):
+                root_pages = p
+            break
+
+    pages: List[Tuple[dict, tuple]] = []
+
+    def walk(node_ref, inherited_mb, depth=0):
+        if depth > 64:
+            raise PdfParseError("page tree too deep (cycle?)")
+        node = doc.resolve(node_ref)
+        if not isinstance(node, dict):
+            raise PdfParseError("page-tree node is not a dictionary")
+        mb = doc.resolve(node.get("MediaBox")) or inherited_mb
+        if isinstance(mb, list):
+            mb = tuple(float(doc.resolve(v)) for v in mb)
+        if node.get("Type") == ("name", "Page"):
+            pages.append((node, mb))
+            return
+        for kid in doc.resolve(node.get("Kids")) or []:
+            walk(kid, mb, depth + 1)
+
+    if root_pages is not None:
+        walk(root_pages, _DEFAULT_MEDIABOX)
+    if not pages:  # salvage: /Type /Page objects in object order
+        for num in sorted(doc.objects):
+            try:
+                d = doc.obj(num)
+            except PdfParseError:
+                continue
+            if isinstance(d, dict) and d.get("Type") == ("name", "Page"):
+                mb = doc.resolve(d.get("MediaBox")) or _DEFAULT_MEDIABOX
+                if isinstance(mb, list):
+                    mb = tuple(float(doc.resolve(v)) for v in mb)
+                pages.append((d, mb))
+    if not pages:
+        raise PdfParseError("no pages found")
+    return pages
+
+
+def _page_content(doc: _PdfDoc, page: dict) -> bytes:
+    c = page.get("Contents")
+    if c is None:
+        return b""
+    c_resolved = doc.resolve(c)
+    refs = c if isinstance(c, _Ref) else None
+    if isinstance(c_resolved, list):
+        parts = []
+        for r in c_resolved:
+            if not isinstance(r, _Ref):
+                raise PdfParseError("/Contents array entry is not a reference")
+            parts.append(doc.stream(r.num))
+        return b"\n".join(parts)
+    if refs is None:
+        raise PdfParseError("/Contents must be a reference or array of references")
+    return doc.stream(refs.num)
+
+
+# ---------------------------------------------------------------------------
+# Content-stream interpretation
+
+_TEXT_SHOW_OPS = ("Tj", "TJ", "'", '"')
+
+
+def _interpret_content(
+    content: bytes, page_height: float
+) -> Tuple[List[Word], List[Box]]:
+    """Run the text/graphics operators → (words, fill rectangles), in the
+    page model's top-left coordinate system."""
+    lx = _Lexer(content)
+    words: List[Word] = []
+    rects: List[Box] = []
+    stack: List[object] = []
+
+    fontsize = 12.0
+    leading = 0.0
+    x = y = 0.0  # current text position (PDF coords)
+    lxx = lyy = 0.0  # line start
+    pending_rects: List[Box] = []
+
+    def flip_word(px: float, py: float, text: str) -> Word:
+        w = CHAR_WIDTH_EM * fontsize * len(text)
+        top = page_height - py - ASCENT_EM * fontsize
+        bot = page_height - py + DESCENT_EM * fontsize
+        return Word(Box(px, top, px + w, bot), text)
+
+    def show(raw: bytes) -> None:
+        nonlocal x
+        text = raw.decode("latin-1")
+        cw = CHAR_WIDTH_EM * fontsize
+        for piece in re.split(r"( +)", text):
+            if piece == "":
+                continue
+            if piece[0] == " ":
+                x += cw * len(piece)
+                continue
+            words.append(flip_word(x, y, piece))
+            x += cw * len(piece)
+
+    def num(v) -> float:
+        if not isinstance(v, float):
+            raise PdfParseError(f"operand is not a number: {v!r}")
+        return v
+
+    def need(n_operands: int, op: str) -> None:
+        if len(stack) < n_operands:
+            raise PdfParseError(f"operator {op!r} is missing operands")
+
+    while True:
+        save = lx.i
+        tok = lx.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind in ("num", "str", "name"):
+            stack.append(val)
+            continue
+        if kind == "arr_open":
+            lx.i = save
+            stack.append(_parse_value(lx))
+            continue
+        if kind == "dict_open":
+            lx.i = save
+            stack.append(_parse_value(lx))
+            continue
+        if kind in ("arr_close", "dict_close"):
+            raise PdfParseError("unbalanced array/dict in content stream")
+        op = val
+        if op == "BI":
+            raise PdfParseError("inline images (BI..EI) are not supported")
+        if op == "Tf":
+            need(1, op)
+            fontsize = num(stack[-1])
+        elif op == "TL":
+            need(1, op)
+            leading = num(stack[-1])
+        elif op == "Td":
+            need(2, op)
+            lxx += num(stack[-2])
+            lyy += num(stack[-1])
+            x, y = lxx, lyy
+        elif op == "TD":
+            need(2, op)
+            leading = -num(stack[-1])
+            lxx += num(stack[-2])
+            lyy += num(stack[-1])
+            x, y = lxx, lyy
+        elif op == "Tm":
+            need(6, op)
+            lxx, lyy = num(stack[-2]), num(stack[-1])
+            x, y = lxx, lyy
+        elif op == "T*":
+            lyy -= leading
+            x, y = lxx, lyy
+        elif op == "BT":
+            x = y = lxx = lyy = 0.0
+        elif op == "Tj":
+            need(1, op)
+            show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+        elif op == "'":
+            need(1, op)
+            lyy -= leading
+            x, y = lxx, lyy
+            show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+        elif op == '"':
+            need(3, op)
+            lyy -= leading
+            x, y = lxx, lyy
+            show(stack[-1] if isinstance(stack[-1], bytes) else b"")
+        elif op == "TJ":
+            need(1, op)
+            arr = stack[-1]
+            if not isinstance(arr, list):
+                raise PdfParseError("TJ operand is not an array")
+            for item in arr:
+                if isinstance(item, bytes):
+                    show(item)
+                elif isinstance(item, float):
+                    x -= item / 1000.0 * fontsize
+                else:
+                    raise PdfParseError(f"bad TJ array item: {item!r}")
+        elif op == "re":
+            need(4, op)
+            rx, ry, rw, rh = (num(v) for v in stack[-4:])
+            pending_rects.append(
+                Box(rx, page_height - (ry + rh), rx + rw, page_height - ry)
+            )
+        elif op in ("f", "F", "b", "B", "b*", "B*"):
+            rects.extend(pending_rects)
+            pending_rects.clear()
+        elif op in ("n", "S", "s", "W", "W*"):
+            pending_rects.clear()
+        # all other operators (colors, gs, cm, ET, q/Q, fonts...) are
+        # state we don't model; their operands are consumed below
+        stack.clear()
+    return words, rects
+
+
+# ---------------------------------------------------------------------------
+# Public API
+
+def pdf_bytes_to_page_models_stdlib(data: bytes) -> List[PageModel]:
+    """Decode PDF bytes into page models with the stdlib text-layer
+    parser (see module docstring for the supported subset)."""
+    doc = _PdfDoc(data)
+    models: List[PageModel] = []
+    for page_no, (page, mb) in enumerate(_find_pages(doc)):
+        height = float(mb[3]) - float(mb[1])
+        content = _page_content(doc, page)
+        words, rects = _interpret_content(content, height)
+        models.append(PageModel(words=words, line_rects=rects, page_no=page_no))
+    return models
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PDF writer (fixtures / gate corpora — NOT a general
+# producer; it emits exactly the subset the parser above supports)
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_table_pdf(
+    cell_texts: List[List[str]],
+    title: Optional[str] = None,
+    compress: bool = False,
+    x0: float = 100.0,
+    y_top: float = 700.0,
+    col_w: float = 80.0,
+    row_h: float = 20.0,
+    fontsize: float = 10.0,
+    line_w: float = 0.8,
+    page_size: Tuple[float, float] = (612.0, 792.0),
+) -> bytes:
+    """One-page PDF with an optional title paragraph and a ruled table
+    whose grid the geometric recognizer detects (4+ lines per axis).
+
+    Deterministic for fixed inputs; ``compress=True`` Flate-encodes the
+    content stream (both decode paths stay gate-testable).
+    """
+    n_rows = len(cell_texts)
+    n_cols = len(cell_texts[0]) if n_rows else 0
+    if n_rows < 3 or n_cols < 3:
+        raise ValueError("recognizer needs >= 3x3 cells (4+ grid lines per axis)")
+    pw, ph = page_size
+    ops: List[str] = []
+    if title:
+        ops.append(
+            f"BT /F1 {fontsize:g} Tf {x0:g} {y_top + 40:g} Td "
+            f"({_pdf_escape(title)}) Tj ET"
+        )
+    # grid: (n_rows+1) horizontal, (n_cols+1) vertical thin filled rects
+    x1 = x0 + n_cols * col_w
+    y_bot = y_top - n_rows * row_h
+    for r in range(n_rows + 1):
+        yy = y_top - r * row_h
+        ops.append(f"{x0:g} {yy - line_w:g} {x1 - x0:g} {line_w:g} re f")
+    for c in range(n_cols + 1):
+        xx = x0 + c * col_w
+        ops.append(f"{xx:g} {y_bot - line_w:g} {line_w:g} {y_top - y_bot:g} re f")
+    # one word block per cell, offset inside the cell
+    for r, row in enumerate(cell_texts):
+        for c, text in enumerate(row):
+            if not text:
+                continue
+            tx = x0 + c * col_w + 5
+            ty = y_top - r * row_h - row_h / 2 - fontsize * 0.3
+            ops.append(
+                f"BT /F1 {fontsize:g} Tf {tx:g} {ty:g} Td "
+                f"({_pdf_escape(text)}) Tj ET"
+            )
+    content = "\n".join(ops).encode("latin-1")
+    if compress:
+        stream = zlib.compress(content, 6)
+        filt = " /Filter /FlateDecode"
+    else:
+        stream = content
+        filt = ""
+
+    objs: List[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        f"/MediaBox [0 0 {pw:g} {ph:g}] >>".encode()
+    )
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    objs.append(
+        f"<< /Length {len(stream)}{filt} >>\nstream\n".encode()
+        + stream
+        + b"\nendstream"
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: List[int] = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(out)

@@ -179,12 +179,22 @@ class TestTextConsolidation:
 
 
 class TestAdapter:
-    def test_pdf_bytes_raise_without_pymupdf(self):
+    def test_stdlib_fallback_decodes_without_pymupdf(self):
+        """Without PyMuPDF the stdlib text-layer parser takes over: a
+        generated table PDF flows end-to-end to XHTML; garbage PDF bytes
+        raise ValueError (→ error row), never NotImplementedError."""
         try:
             import fitz  # noqa: F401
 
-            pytest.skip("PyMuPDF available; adapter not stubbed here")
+            pytest.skip("PyMuPDF available; fallback not exercised here")
         except ImportError:
             pass
-        with pytest.raises(NotImplementedError):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        cells = [["a", "b", "c"], ["d", "e", "f"], ["g", "h", "i"]]
+        xhtml = pdf_bytes_to_xhtml(make_table_pdf(cells))
+        assert "<table>" in xhtml and "<td><p>e</p>" in xhtml
+        with pytest.raises(ValueError):
             pdf_bytes_to_xhtml(b"%PDF-1.4 fake")

@@ -1,0 +1,208 @@
+"""Stdlib PDF text-layer parser (operators/pdf_textlayer.py): the
+no-native-lib path from PDF bytes to PageModel to recognizer XHTML.
+
+The reference needs PyMuPDF for this edge (pdf_to_text.py); the fallback
+covers digitally-generated PDFs with uncompressed or Flate streams.
+"""
+
+import zlib
+
+import pytest
+
+from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import render_doc
+from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+    PdfParseError,
+    make_table_pdf,
+    pdf_bytes_to_page_models_stdlib,
+)
+
+CELLS = [["alpha", "beta", "gamma"], ["one", "two", "three"], ["x1", "y2", "z3"]]
+
+
+def minimal_pdf(content: bytes, filt: str = "") -> bytes:
+    """Hand-rolled one-page PDF around a given content stream."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        f"<< /Length {len(content)}{filt} >>\nstream\n".encode()
+        + content
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+class TestRoundtrip:
+    def test_raw_and_flate_render_identically(self):
+        raw = render_doc(pdf_bytes_to_page_models_stdlib(
+            make_table_pdf(CELLS, title="hello title", compress=False)))
+        flate = render_doc(pdf_bytes_to_page_models_stdlib(
+            make_table_pdf(CELLS, title="hello title", compress=True)))
+        assert raw == flate
+
+    def test_exact_xhtml(self):
+        xhtml = render_doc(pdf_bytes_to_page_models_stdlib(
+            make_table_pdf(CELLS, title="hello title")))
+        assert xhtml == (
+            '<div class="page" pageno="1">\n'
+            "<p>hello title</p>\n"
+            "\n<table>\n"
+            "<tr>\n<td><p>alpha</p>\n</td><td><p>beta</p>\n</td>"
+            "<td><p>gamma</p>\n</td></tr>\n"
+            "<tr>\n<td><p>one</p>\n</td><td><p>two</p>\n</td>"
+            "<td><p>three</p>\n</td></tr>\n"
+            "<tr>\n<td><p>x1</p>\n</td><td><p>y2</p>\n</td>"
+            "<td><p>z3</p>\n</td></tr>\n"
+            "</table>\n\n"
+            "</div>\n"
+        )
+
+    def test_grid_and_word_counts(self):
+        models = pdf_bytes_to_page_models_stdlib(make_table_pdf(CELLS))
+        assert len(models) == 1
+        page = models[0]
+        assert len(page.line_rects) == 8  # 4 h + 4 v grid lines
+        assert len(page.words) == 9
+
+    def test_too_small_grid_rejected_by_writer(self):
+        with pytest.raises(ValueError):
+            make_table_pdf([["a", "b"], ["c", "d"]])
+
+
+class TestContentOperators:
+    def test_string_escapes_and_hex(self):
+        content = (
+            rb"BT /F1 10 Tf 100 700 Td (par\(en\) and \\slash) Tj ET" b"\n"
+            rb"BT /F1 10 Tf 100 650 Td <68657821> Tj ET"
+        )
+        page = pdf_bytes_to_page_models_stdlib(minimal_pdf(content))[0]
+        texts = sorted(w.text for w in page.words)
+        assert texts == ["\\slash", "and", "hex!", "par(en)"]
+
+    def test_octal_escape(self):
+        page = pdf_bytes_to_page_models_stdlib(
+            minimal_pdf(rb"BT 100 700 Td (\101\102) Tj ET")
+        )[0]
+        assert [w.text for w in page.words] == ["AB"]
+
+    def test_tj_array_with_kerning(self):
+        content = b"BT /F1 10 Tf 100 700 Td [(ab) -200 (cd)] TJ ET"
+        page = pdf_bytes_to_page_models_stdlib(minimal_pdf(content))[0]
+        assert [w.text for w in page.words] == ["ab", "cd"]
+        a, b = page.words
+        # kerning -200/1000 * 10pt pushes cd 2pt FURTHER right
+        assert b.box.x0 == pytest.approx(a.box.x1 + 2.0)
+
+    def test_td_is_relative_tm_is_absolute(self):
+        content = (
+            b"BT /F1 10 Tf 100 700 Td (a) Tj 50 -20 Td (b) Tj "
+            b"1 0 0 1 300 500 Tm (c) Tj ET"
+        )
+        page = pdf_bytes_to_page_models_stdlib(minimal_pdf(content))[0]
+        by_text = {w.text: w.box for w in page.words}
+        assert by_text["a"].x0 == 100 and by_text["b"].x0 == 150
+        assert by_text["c"].x0 == 300
+        # y flip: PDF y=700 → model top = 792 - 700 - 8
+        assert by_text["a"].y0 == pytest.approx(84.0)
+        assert by_text["b"].y0 == pytest.approx(104.0)
+
+    def test_tstar_advances_by_leading(self):
+        content = b"BT /F1 10 Tf 14 TL 100 700 Td (a) Tj T* (b) Tj ET"
+        page = pdf_bytes_to_page_models_stdlib(minimal_pdf(content))[0]
+        by_text = {w.text: w.box for w in page.words}
+        assert by_text["b"].y0 == pytest.approx(by_text["a"].y0 + 14.0)
+
+    def test_words_split_on_spaces(self):
+        page = pdf_bytes_to_page_models_stdlib(
+            minimal_pdf(b"BT /F1 10 Tf 100 700 Td (two  words) Tj ET")
+        )[0]
+        assert [w.text for w in page.words] == ["two", "words"]
+        a, b = page.words
+        assert b.box.x0 == pytest.approx(a.box.x1 + 10.0)  # two spaces * 5pt
+
+    def test_unfilled_rect_dropped(self):
+        content = b"10 10 100 1 re S 10 50 100 1 re f"
+        page = pdf_bytes_to_page_models_stdlib(minimal_pdf(content))[0]
+        assert len(page.line_rects) == 1
+        assert page.line_rects[0].y1 == pytest.approx(792 - 50)
+
+
+class TestStreamLength:
+    def test_flate_data_ending_in_eol_byte_survives(self):
+        """Regression: compressed payloads can END in 0x0D/0x0A; /Length
+        must win over the trailing-EOL heuristic or a real data byte gets
+        eaten ('incomplete or truncated stream')."""
+        found = None
+        for i in range(20000):
+            c = f"BT /F1 10 Tf 100 700 Td (t{i}) Tj ET".encode()
+            if zlib.compress(c, 6)[-1:] in (b"\r", b"\n"):
+                found = c
+                break
+        assert found is not None, "no EOL-tailed compressed sample in range"
+        pdf = minimal_pdf(zlib.compress(found, 6), filt=" /Filter /FlateDecode")
+        page = pdf_bytes_to_page_models_stdlib(pdf)[0]
+        assert len(page.words) == 1 and page.words[0].text.startswith("t")
+
+
+class TestErrors:
+    def test_unsupported_filter_raises(self):
+        data = zlib.compress(b"BT (x) Tj ET")
+        pdf = minimal_pdf(data, filt=" /Filter /LZWDecode")
+        with pytest.raises(PdfParseError, match="filter"):
+            pdf_bytes_to_page_models_stdlib(pdf)
+
+    def test_inline_image_raises(self):
+        pdf = minimal_pdf(b"BI /W 1 /H 1 ID x EI")
+        with pytest.raises(PdfParseError, match="inline image"):
+            pdf_bytes_to_page_models_stdlib(pdf)
+
+    def test_garbage_raises(self):
+        with pytest.raises(PdfParseError):
+            pdf_bytes_to_page_models_stdlib(b"%PDF-1.4 not actually a pdf")
+        with pytest.raises(PdfParseError):
+            pdf_bytes_to_page_models_stdlib(b"GIF89a nope")
+
+    def test_missing_operands_raise(self):
+        with pytest.raises(PdfParseError, match="operands"):
+            pdf_bytes_to_page_models_stdlib(minimal_pdf(b"BT 5 Td ET"))
+
+
+class TestMultiPage:
+    def test_two_pages_numbered(self):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Length 32 >>\nstream\nBT /F1 10 Tf 10 700 Td (p1) Tj ET\nendstream",
+            b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+            b"<< /Length 32 >>\nstream\nBT /F1 10 Tf 10 700 Td (p2) Tj ET\nendstream",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        for i, body in enumerate(objs, start=1):
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+        models = pdf_bytes_to_page_models_stdlib(bytes(out))
+        assert len(models) == 2
+        assert [m.words[0].text for m in models] == ["p1", "p2"]
+        xhtml = render_doc(models)
+        assert 'pageno="1"' in xhtml and 'pageno="2"' in xhtml
+
+
+class TestExtractDispatch:
+    def test_extract_one_pdf_branch(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_one
+
+        text, ctype, err = extract_one(make_table_pdf(CELLS, compress=True))
+        assert ctype == "pdf" and err is None
+        assert "<td><p>two</p>" in text
+
+    def test_extract_one_bad_pdf_is_error_row(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_one
+
+        text, ctype, err = extract_one(b"%PDF-1.7 broken")
+        assert ctype == "pdf" and text is None and "PdfParseError" in err
