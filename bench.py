@@ -16,12 +16,23 @@ on local[$SPARK_GRAFT_CPUS]:
 
 `value` = total wall seconds of the suite (best of N_RUNS per query after
 a warm-up); extra keys report docs/sec + triples/sec for the KG pipeline.
+
+NOISE PAIRING (BASELINE.md protocol, same discipline as bench_scaling):
+this is a shared, oversubscribed box whose throughput swings ±20-60%
+between windows. Every query timing therefore interleaves a pure-Python
+multiprocessing control run; the JSON reports the per-query control
+minimum (``controls``) next to the query minimum. Compare ACROSS bench
+runs by normalizing with the control ratio — a query regression with an
+equally-slower control is host noise, not an engine change. Run nothing
+else Spark/pytest-shaped concurrently.
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
+import re as _re
 import sys
 import time
 
@@ -30,6 +41,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+CONTROL_PROCS = int(os.environ.get("SPARK_GRAFT_BENCH_CONTROL_PROCS", "8"))
+
+
+def _mp_regex_work(n):
+    pat = _re.compile(r"\b(join|scan|sort|merge|filter|window|hash|agg)\b")
+    text = (
+        "key agg row scan slow fast table value part hash value table part "
+        "a row fast merge batch part value fast spark a the line sort window "
+    ) * 30
+    c = 0
+    for _ in range(n):
+        c += len(pat.findall(text))
+    return c
+
+
+def host_control(pool) -> float:
+    """One control measurement (~0.5 s of pure-Python regex work across
+    CONTROL_PROCS processes) against a pre-warmed pool; interleaved with
+    every query run so both see the same shared-box load."""
+    t0 = time.time()
+    pool.map(_mp_regex_work, [200] * (CONTROL_PROCS * 8))
+    return time.time() - t0
 
 
 def build_suite(spark, sf_dir):
@@ -131,23 +164,29 @@ def run_bench(master=None, sf_dir=SF_DIR, quiet=True):
     spark.sparkContext.setLogLevel("ERROR")
     suite, counters = build_suite(spark, sf_dir)
     timings = {}
+    controls = {}
     kg_seconds = None
-    for name, fn in suite.items():
-        fn()  # warm-up (JIT, file listing, broadcast)
-        best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        if name == "kg_pipeline":
-            kg_seconds = best
+    with mp.Pool(CONTROL_PROCS) as pool:
+        pool.map(_mp_regex_work, [10] * CONTROL_PROCS)  # warm the pool
+        for name, fn in suite.items():
+            fn()  # warm-up (JIT, file listing, broadcast)
+            best = float("inf")
+            ctrl = float("inf")
+            for _ in range(N_RUNS):
+                ctrl = min(ctrl, host_control(pool))  # noise pairing
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+            controls[name] = round(ctrl, 3)
+            if name == "kg_pipeline":
+                kg_seconds = best
     spark.stop()
-    return timings, counters, kg_seconds
+    return timings, controls, counters, kg_seconds
 
 
 def main():
-    timings, counters, kg_seconds = run_bench()
+    timings, controls, counters, kg_seconds = run_bench()
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -155,6 +194,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "controls": controls,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "kg_docs_per_sec": (
