@@ -138,7 +138,7 @@ def resolve_flags(flags_src: Optional[str], init: int = 0) -> int:
     for name in re.split(r"\s+", flags_src):
         v = _FLAG_BY_NAME.get(name)
         if v is None:
-            raise ProcessorException(f"Invalid RE flag: {name}")
+            raise ProcessorException(f"unrecognized regex flag name {name!r}")
         flags |= v
     return flags
 
@@ -214,7 +214,7 @@ class DocInterpreter:
 
     def _dispatch(self, step: Any, **triple_kwargs) -> Tuple[bool, Any]:
         if not isinstance(step, dict):
-            raise ProcessorException(f"Plan step {step!r} is not a dict")
+            raise ProcessorException(f"workflow step must be a mapping, got {step!r}")
         # Dispatch = FIRST keyword (in KEYWORDS order) present in the step
         # (processor.py:711-718). Scanning the step's own keys (few) and
         # picking the minimum priority is equivalent and ~6x cheaper than
@@ -227,7 +227,7 @@ class DocInterpreter:
                 best = idx
                 kw = k
         if kw is None:
-            raise ProcessorException(f"No operation key found in step: {step!r}")
+            raise ProcessorException(f"step has no recognizable operation keyword: {step!r}")
         handler = self._HANDLERS[kw]
         if kw in ("subject", "predicate", "object"):
             return handler(self, step, **triple_kwargs)
@@ -267,7 +267,7 @@ class DocInterpreter:
             if not success and stop_on_failure:
                 return (False, value)
         if success is None:
-            raise ProcessorException("Empty operation sequence")
+            raise ProcessorException("cannot execute an empty step sequence")
         return (success, value)
 
     # -- attribute access ----------------------------------------------------
@@ -278,7 +278,7 @@ class DocInterpreter:
         if val is None:
             if optional:
                 return None
-            raise ProcessorException(f"Expected step attribute '{name}' missing")
+            raise ProcessorException(f"step is missing its required {name!r} attribute")
         if expected_type is not None and not isinstance(val, expected_type):
             raise ProcessorException(
                 f"Step attribute '{name}' has invalid type; expected {expected_type}"
@@ -331,7 +331,7 @@ class DocInterpreter:
                             else:
                                 if not optional:
                                     raise ProcessorException(
-                                        f"No match with id {match_id} found when "
+                                        f"no stored match has id {match_id} while "
                                         f"looking at template {template}"
                                     )
                                 ext = ""
@@ -343,7 +343,7 @@ class DocInterpreter:
                             ext = str(self._vars.get(gn))
                     except IndexError:
                         raise ProcessorException(
-                            f"Template expansion: No such group or variable {raw}"
+                            f"template references undefined group/variable {raw}"
                         )
                     if func is not None:
                         if func == "iri":
@@ -361,9 +361,9 @@ class DocInterpreter:
                 if result == template:
                     return result  # no ref made progress; fixpoint
                 template = result
-            raise ProcessorException("template rewrite limit exceeded")
+            raise ProcessorException("template expansion did not converge (rewrite limit hit)")
         except Exception as ex:
-            raise ProcessorException(f"Failed to expand template: {original}") from ex
+            raise ProcessorException(f"template expansion failed for: {original}") from ex
 
     # -- node / literal parsing (processor.py:2349-2524) ----------------------
 
@@ -373,7 +373,7 @@ class DocInterpreter:
         if m:
             ns = self._prefixes.get(m.group(1))
             if ns is None:
-                raise ProcessorException(f"Unknown prefix: {m.group(1)}")
+                raise ProcessorException(f"no prefix declaration in scope for {m.group(1)!r}")
             return IriNode(ns + m.group(2))
         return IriNode(n)
 
@@ -385,7 +385,7 @@ class DocInterpreter:
         if isinstance(l, list):
             success, value = self._seq(l, return_first_success=True)
             if not success:
-                raise ProcessorException(f"Failed to provide an object value within {l!r}")
+                raise ProcessorException(f"object spec {l!r} produced no usable value during expansion")
             if isinstance(value, (IriNode, LitNode)):
                 return value
             if not isinstance(value, str):
@@ -443,11 +443,11 @@ class DocInterpreter:
         ) if v is not None]
         if len(ndef) > 1:
             raise ProcessorException(
-                f"Triple object {l!r} has multiple value attributes: {', '.join(ndef)}"
+                f"object spec {l!r} defines more than one value attribute ({', '.join(ndef)})"
             )
         if len(ndef) < 1:
             raise ProcessorException(
-                f"Triple object {l!r} has no value attribute "
+                f"object spec {l!r} lacks a value attribute "
                 "(expected one of text:, iri:, integer:, float:, bool:)"
             )
         # NOTE: truthiness checks (not is-not-None) reproduce the reference:
@@ -457,7 +457,7 @@ class DocInterpreter:
             try:
                 return LitNode(str(int(v)), datatype=XSD.integer)
             except ValueError:
-                raise ProcessorException(f"Object integer: argument is no int literal: {v}")
+                raise ProcessorException(f"integer object: {v!r} does not parse as an int literal")
         if vfloat:
             v = self.expand(vfloat)
             if v.strip() == "":
@@ -465,7 +465,7 @@ class DocInterpreter:
             try:
                 return LitNode(str(float(v)), datatype=XSD.float)
             except ValueError:
-                raise ProcessorException(f"Object float: argument is no float literal: {v}")
+                raise ProcessorException(f"float object: {v!r} does not parse as a float literal")
         if vbool:
             v = self.expand(vbool)
             if v.strip() == "":
@@ -479,8 +479,8 @@ class DocInterpreter:
                 # without returning (processor.py:2422-2423) → ends in an
                 # expansion error. Reproduced as an explicit error.
                 raise ProcessorException(
-                    "Failed to expand template: None (date: today falls "
-                    "through in reference semantics)"
+                    "date: today yields no value (reference semantics fall "
+                    "through without returning)"
                 )
             if fmt:
                 try:
@@ -488,14 +488,14 @@ class DocInterpreter:
                     return LitNode(d.isoformat(), datatype=XSD.date)
                 except ValueError:
                     raise ProcessorException(
-                        f"Object date: argument is no valid date for format {fmt}: {v}"
+                        f"date object: {v!r} does not match format {fmt}"
                     )
             try:
                 d = date.fromisoformat(v)
                 return LitNode(d.isoformat(), datatype=XSD.date)
             except ValueError:
                 raise ProcessorException(
-                    f"Object date: argument is no valid ISO-format date: {v}"
+                    f"date object: {v!r} is not ISO-format"
                 )
         if vdtime:
             v = self.expand(vdtime)
@@ -513,7 +513,7 @@ class DocInterpreter:
                 return LitNode(d.isoformat(), datatype=XSD.dateTime)
             except ValueError:
                 raise ProcessorException(
-                    f"Object datetime: argument is no valid date time for format {fmt}: {v}"
+                    f"datetime object: {v!r} does not match format {fmt}"
                 )
         if iri:
             iri = self.expand(iri)
@@ -521,7 +521,7 @@ class DocInterpreter:
             if m:
                 ns = self._prefixes.get(m.group(1))
                 if ns is None:
-                    raise ProcessorException(f"Unknown prefix: {m.group(1)}")
+                    raise ProcessorException(f"no prefix declaration in scope for {m.group(1)!r}")
                 return IriNode(ns + m.group(2))
             return IriNode(iri)
         if text is not None:
@@ -533,7 +533,7 @@ class DocInterpreter:
         # expand(None) (processor.py:2473/2486). NOTE: apply: next to text:
         # is silently IGNORED in the reference — the text: branch returns
         # first. We reproduce the error here.
-        raise ProcessorException(f"Triple object {l!r} has no usable value")
+        raise ProcessorException(f"object spec {l!r} yields no usable value")
 
     # -- triple emission (processor.py:2226-2332) ------------------------------
 
@@ -570,35 +570,35 @@ class DocInterpreter:
 
         if subject:
             if implied_subject:
-                raise ProcessorException(f"Trying to redefine subject {implied_subject}")
+                raise ProcessorException(f"subject already set to {implied_subject}; nested redefinition is not allowed")
         elif not implied_subject:
-            raise ProcessorException(f"No subject defined in {op!r}")
+            raise ProcessorException(f"triple emission without a subject in scope: {op!r}")
 
         if predicate or predicates:
             if not (subject or implied_subject):
                 raise ProcessorException(
-                    f"Trying to define predicate without subject {predicate or predicates!r}"
+                    f"predicate {predicate or predicates!r} given before any subject"
                 )
             if implied_predicate:
-                raise ProcessorException(f"Trying to redefine predicate {implied_predicate}")
+                raise ProcessorException(f"predicate already set to {implied_predicate}; nested redefinition is not allowed")
         elif not implied_predicate:
-            raise ProcessorException(f"No predicate defined in {op!r}")
+            raise ProcessorException(f"triple emission without a predicate in scope: {op!r}")
 
         if obj or objects:
             if not (subject or implied_subject):
-                raise ProcessorException(f"Object definition without subject in {op!r}")
+                raise ProcessorException(f"object given but no subject is in scope: {op!r}")
             if not (predicate or implied_predicate):
-                raise ProcessorException(f"Object definition without predicate in {op!r}")
+                raise ProcessorException(f"object given but no predicate is in scope: {op!r}")
             if obj and objects:
                 raise ProcessorException(
-                    f"Trying to define single object and object list in {op!r}"
+                    f"both a single object and an object list given in {op!r}"
                 )
             if predicates:
                 raise ProcessorException(
                     f"Trying to define object for multiple predicates at the same level in {op!r}"
                 )
         if inverse and not predicate:
-            raise ProcessorException(f"Inverse definition not tied to predicate in {op!r}")
+            raise ProcessorException(f"inverse: must accompany a predicate definition: {op!r}")
 
         if predicates:
             for sub in predicates:
@@ -656,7 +656,7 @@ class DocInterpreter:
             b_name = self._attr(target, "bucket", str, optional=True)
             if f_name is None and b_name is None:
                 raise ProcessorException(
-                    "Neither 'file' nor 'bucket' attribute specified for save-as"
+                    "save-as needs a 'file' or 'bucket' attribute"
                 )
             f_name = f_name or b_name
         else:
@@ -674,11 +674,11 @@ class DocInterpreter:
         imps = self._attr(op, "import", str, optional=True)
         if value is None and expr is None:
             raise ProcessorException(
-                f"Neither to: or eval: attribute provided for setting variable {var}"
+                f"set {var}: needs a to: or eval: attribute"
             )
         if value is not None and expr is not None:
             raise ProcessorException(
-                f"Both to: and eval: attributes provided for setting variable {var}"
+                f"set {var}: to: and eval: are mutually exclusive"
             )
         var = self.expand(var)  # dynamic variable names
         if expr:
@@ -696,7 +696,7 @@ class DocInterpreter:
                 value = eval(expr, env)
             except Exception as ex:
                 raise ProcessorException(
-                    f"Evaluating expr for setting var {var} failed: {ex}"
+                    f"set {var}: eval: expression raised {ex}"
                 ) from ex
         elif isinstance(value, str):
             value = self.expand(value)
@@ -728,7 +728,7 @@ class DocInterpreter:
         if elems is None or elems == "":
             return (False, None)
         if not isinstance(elems, list):
-            raise ProcessorException(f"for-each list variable {list_var} is not a list")
+            raise ProcessorException(f"for-each: variable {list_var} does not hold a list")
         count = 1
         for elem in elems:
             if ident is not None:
@@ -745,7 +745,7 @@ class DocInterpreter:
             exec(code, env)  # trusted-workflow escape hatch (processor.py:970)
         except Exception as ex:
             raise ProcessorException(
-                f"Execution of Python code embedded in workflow via exec failed: {ex}"
+                f"exec: embedded Python raised {ex}"
             ) from ex
         return (True, None)
 
@@ -760,7 +760,7 @@ class DocInterpreter:
             condition = self.expand(condition)
             result = eval(str(condition), {}, local_env)
         except Exception as ex:
-            raise ProcessorException(f"Invalid if-condition: {condition}") from ex
+            raise ProcessorException(f"if: condition does not evaluate: {condition}") from ex
         if result:
             return self._seq(body)
         return (False, None)
@@ -801,7 +801,7 @@ class DocInterpreter:
         rtnv = self._attr(op, "return", dict, optional=True)
         body = self._procedures.get(name)
         if body is None:
-            raise ProcessorException(f"Cannot find procedure {name}")
+            raise ProcessorException(f"call: no procedure named {name} is defined")
         outer_vars, outer_matches, outer_latest = (
             self._vars,
             self._matches,
@@ -816,7 +816,7 @@ class DocInterpreter:
                         # pass-a-match convention (processor.py:1164-1169)
                         match_name = arg_name[1:]
                         if self._matches.get(match_name) is None:
-                            raise ProcessorException(f"Cannot find match named {match_name}")
+                            raise ProcessorException(f"replace: no stored match named {match_name}")
                     else:
                         self._vars[arg_name] = self.expand(arg_value)
             s, v = self._seq(body)
@@ -838,7 +838,7 @@ class DocInterpreter:
         if isinstance(pattern, list):
             for p in pattern:
                 if not isinstance(p, str):
-                    raise ProcessorException(f"match list element {p!r} is not a string")
+                    raise ProcessorException(f"match: list element {p!r} must be a pattern string")
                 m = _rx(p, flags).search(self._text)
                 if m is not None:
                     return m
@@ -983,25 +983,25 @@ class DocInterpreter:
         steps = self._attr(op, "steps", list, optional=True)
         if alternatives is None and steps is None:
             raise ProcessorException(
-                f"Neither 'alternatives' nor 'steps' argument provided for sequence-of: {seq_id}"
+                f"sequence-of {seq_id}: needs an 'alternatives' or 'steps' argument"
             )
         if alternatives is not None and steps is not None:
             raise ProcessorException(
-                f"Both 'alternatives' and 'steps' provided for sequence-of: {seq_id}"
+                f"sequence-of {seq_id}: 'alternatives' and 'steps' are mutually exclusive"
             )
-        specs = []
-        counter: Dict[str, int] = {}
+        compiled_alts = []
+        fire_counts: Dict[str, int] = {}
         for alt in alternatives or steps:
             pattern = self._attr(alt, "match")
             flags = resolve_flags(self._attr(alt, "flags", str, optional=True), re.DOTALL)
             ident = self._attr(alt, "as", str, optional=True)
             if ident is not None:
-                counter[ident] = 0
+                fire_counts[ident] = 0
             if isinstance(pattern, list):
                 rx = [_rx(p, flags) for p in pattern]
             else:
                 rx = _rx(pattern, flags)
-            specs.append({
+            compiled_alts.append({
                 "rx": rx,
                 "id": ident,
                 "group": self._attr(alt, "within-group", int, optional=True),
@@ -1022,8 +1022,8 @@ class DocInterpreter:
             self._stat_match(len(m.group(0)))
             if spec["id"] is not None:
                 self._matches[spec["id"]] = m
-                counter[spec["id"]] += 1
-                self._vars[f"{spec['id']}_count"] = counter[spec["id"]]
+                fire_counts[spec["id"]] += 1
+                self._vars[f"{spec['id']}_count"] = fire_counts[spec["id"]]
             if spec["group"] is not None:
                 saved = self._text
                 try:
@@ -1042,7 +1042,7 @@ class DocInterpreter:
             while True:
                 earliest = None
                 earliest_spec = None
-                for spec in specs:
+                for spec in compiled_alts:
                     m = search(spec["rx"], start)
                     if m is not None and (earliest is None or m.start(0) < earliest.start(0)):
                         earliest, earliest_spec = m, spec
@@ -1053,7 +1053,7 @@ class DocInterpreter:
                 fire(earliest_spec, earliest)
         else:
             # Strict ordered steps: stop at the first non-matching step.
-            for spec in specs:
+            for spec in compiled_alts:
                 m = search(spec["rx"], start)
                 if m is None:
                     break
@@ -1145,7 +1145,7 @@ class DocInterpreter:
         rxs = [_rx(p, flags) for p in patterns]
         if dimensions is not None and len(dimensions) != len(rxs):
             raise ProcessorException(
-                "The dimensions name list does not have the same length as match-dimensions"
+                "match-dimensions: the dimension-name list length must equal the pattern count"
             )
         counts: List[Optional[int]] = [None] * len(patterns)
         prev_matches = self.result.no_matches
@@ -1263,16 +1263,16 @@ class DocInterpreter:
         tag_name = self._attr(op, "as", str)
         if not self._dim_tags_stack:
             raise ProcessorException(
-                "Use of tag-dimension not within dynamic scope of match-dimensions"
+                "tag-dimension is only valid inside a match-dimensions pre: scope"
             )
         dim_tags = self._dim_tags_stack[-1]
         if dim_no < 1 or dim_no > len(dim_tags):
             raise ProcessorException(
-                f"Invalid tag-dimension: {dim_no} (must be within [1,{len(dim_tags)}])"
+                f"tag-dimension {dim_no} out of range 1..{len(dim_tags)}"
             )
         if at_index < 1:
             raise ProcessorException(
-                f"Invalid tag-dimension at: index: {at_index} (must be >= 1)"
+                f"tag-dimension at: index {at_index} must be >= 1"
             )
         if dim_tags[dim_no - 1] is None:
             dim_tags[dim_no - 1] = {}
@@ -1294,7 +1294,7 @@ class DocInterpreter:
         rx_pairs: list = []
         for p in pairs:
             if not isinstance(p, dict):
-                raise ProcessorException(f"Mapping element {p!r} is not a dict")
+                raise ProcessorException(f"mapping: element {p!r} must be a mapping of match/to")
             f_text, f_re, f_to = p.get("from"), p.get("re"), p.get("to")
             if f_to is None:
                 raise ProcessorException(f"Mapping element {p!r} has no 'to' attribute")
@@ -1334,7 +1334,7 @@ class DocInterpreter:
         """
         mapping = self._mappings.get(name)
         if mapping is None:
-            raise ProcessorException(f"Unknown mapping: {name}")
+            raise ProcessorException(f"map: no mapping named {name} is defined")
         exact, rx_pairs, flags = mapping
         repl = exact.get(value)
         if repl is not None:

@@ -148,7 +148,7 @@ class TestLiterals:
 
     def test_structured_integer_invalid_raises(self):
         res = run(S.format(obj="{integer: 'abc'}"))
-        assert "no int literal" in res.error
+        assert "does not parse as an int literal" in res.error
 
     def test_structured_float_empty_is_nan(self):
         # processor.py:2404-2405
@@ -170,7 +170,7 @@ class TestLiterals:
     # a date object needs a dummy text: sibling (date: wins, text: ignored).
     def test_structured_date_alone_fails_arity_check(self):
         res = run(S.format(obj="{date: '2024-03-02'}"))
-        assert "no value attribute" in res.error
+        assert "lacks a value attribute" in res.error
 
     def test_structured_date_with_format(self):
         row = self.obj("{text: '', date: '02.03.2024', format: '%d.%m.%Y'}")
@@ -213,11 +213,11 @@ class TestLiterals:
 
     def test_iri_unknown_prefix_raises(self):
         res = run(S.format(obj="{iri: 'nope:thing'}"))
-        assert "Unknown prefix" in res.error
+        assert "no prefix declaration in scope" in res.error
 
     def test_multiple_value_attrs_raise(self):
         res = run(S.format(obj="{integer: '1', float: '2'}"))
-        assert "multiple value attributes" in res.error
+        assert "more than one value attribute" in res.error
 
     def test_object_list_first_success(self):
         src = """
@@ -249,7 +249,7 @@ class TestNodes:
 
     def test_unknown_prefix_in_subject(self):
         res = run(S.format(obj="'1'").replace("http://e/s", "zz:s1"))
-        assert "Unknown prefix" in res.error
+        assert "no prefix declaration in scope" in res.error
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +314,7 @@ class TestTripleEmission:
       predicate: ex:p
       object: '1'
 """
-        assert "redefine subject" in run(src).error
+        assert "subject already set" in run(src).error
 
 
 # ---------------------------------------------------------------------------
@@ -444,7 +444,7 @@ class TestControlFlow:
         assert t[0][3] == "got-hello|outer"
 
     def test_call_unknown_procedure(self):
-        assert "Cannot find procedure" in run("- call: nope\n").error
+        assert "no procedure named" in run("- call: nope\n").error
 
     def test_clear(self):
         src = """
@@ -760,7 +760,7 @@ class TestMappings:
         assert self._map("unknown") == "unknown"
 
     def test_unknown_mapping_raises(self):
-        assert "Unknown mapping" in run("- map: x\n  apply: nope\n").error
+        assert "no mapping named" in run("- map: x\n  apply: nope\n").error
 
 
 # ---------------------------------------------------------------------------
@@ -848,7 +848,7 @@ class TestRemainingOpSurface:
   with:
     "~nope": "~"
 """
-        assert "Cannot find match named" in run(src).error
+        assert "no stored match named" in run(src).error
 
     def test_within_explicit_group(self):
         src = """
@@ -1009,7 +1009,7 @@ class TestSmallGaps:
 
     def test_for_each_non_list_raises(self):
         src = "- set: v\n  to: 'scalar'\n- for-each: v\n  as: e\n  do: [{pass: x}]\n"
-        assert "is not a list" in run(src).error
+        assert "does not hold a list" in run(src).error
 
     def test_mapping_without_flags_is_case_sensitive(self):
         src = """
