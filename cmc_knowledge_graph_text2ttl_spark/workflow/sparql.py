@@ -11,7 +11,7 @@ dimension table).
 Supported query subset (sufficient for workflow-style ontology lookups):
 
 * ``PREFIX pfx: <iri>`` headers
-* ``SELECT ?a ?b WHERE { group }``
+* ``SELECT [DISTINCT] ?a ?b | * WHERE { group } [LIMIT n]``
 * triple patterns ``s p o .`` with terms: ``?var``, ``<iri>``,
   ``pfx:name``, ``"literal"`` / ``"literal"@lang``, ``a``
 * property paths in the predicate position: sequence ``p1/p2``,
@@ -36,8 +36,9 @@ Supported query subset (sufficient for workflow-style ontology lookups):
   optional extension survives, exactly as in SPARQL.
 
 Still unsupported (raises, never silently drops): subqueries, BIND,
-VALUES, MINUS, negated property sets ``!(...)``. Workflows needing those
-should pre-materialize the lookup as mapping pairs instead.
+VALUES, MINUS, negated property sets ``!(...)``, ORDER BY / OFFSET.
+Workflows needing those should pre-materialize the lookup as mapping
+pairs instead.
 """
 
 from __future__ import annotations
@@ -294,7 +295,8 @@ def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
 
 
 def parse_query(where_clause: str):
-    """Parse a SELECT query → (selected vars, group AST)."""
+    """Parse a SELECT query →
+    (selected vars or ['*'], group AST, distinct?, limit or None)."""
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_DECL.finditer(where_clause)}
     body = _PREFIX_DECL.sub("", where_clause)
     m = _SELECT_WHERE.search(body)
@@ -302,7 +304,16 @@ def parse_query(where_clause: str):
         raise ProcessorException(
             f"Unsupported query (need SELECT..WHERE{{..}}): {where_clause}"
         )
-    sel = [v.lstrip("?") for v in re.split(r"\s+", m.group(1).strip()) if v]
+    sel_src = m.group(1).strip()
+    distinct = False
+    dm = re.match(r"(?i)DISTINCT\b\s*", sel_src)
+    if dm:
+        distinct = True
+        sel_src = sel_src[dm.end():]
+    if sel_src.strip() == "*":
+        sel = ["*"]
+    else:
+        sel = [v.lstrip("?") for v in re.split(r"\s+", sel_src) if v]
     cur = _Cur(m.group(2), where_clause)
     group = _parse_group(cur, prefixes)
     if cur.peek() != "":
@@ -310,7 +321,18 @@ def parse_query(where_clause: str):
             f"Trailing where-clause content {cur.s[cur.i:].strip()!r} "
             f"in: {where_clause!r}"
         )
-    return sel, group
+    # solution modifiers after the WHERE group: LIMIT n only
+    tail = body[m.end():].strip()
+    limit = None
+    if tail:
+        lm = re.fullmatch(r"(?is)LIMIT\s+(\d+)", tail)
+        if lm is None:
+            raise ProcessorException(
+                f"Unsupported content after WHERE group: {tail!r} "
+                "(only LIMIT n is supported)"
+            )
+        limit = int(lm.group(1))
+    return sel, group, distinct, limit
 
 
 # ---------------------------------------------------------------------------
@@ -722,9 +744,25 @@ class MiniGraph:
         return bindings
 
     def query(self, where_clause: str) -> List[Dict[str, object]]:
-        selected, group = parse_query(where_clause)
+        selected, group, distinct, limit = parse_query(where_clause)
         bindings = self._eval_group(group, [{}])
-        return [{v: b.get(v) for v in selected} for b in bindings]
+        if selected == ["*"]:
+            names = sorted({k for b in bindings for k in b})
+            rows = [{v: b.get(v) for v in names} for b in bindings]
+        else:
+            rows = [{v: b.get(v) for v in selected} for b in bindings]
+        if distinct:
+            seen = set()
+            deduped = []
+            for r in rows:
+                key = tuple(sorted(r.items()))
+                if key not in seen:
+                    seen.add(key)
+                    deduped.append(r)
+            rows = deduped
+        if limit is not None:
+            rows = rows[:limit]
+        return rows
 
 
 # ---------------------------------------------------------------------------

@@ -306,6 +306,39 @@ class TestPropertyPaths:
         assert iris(out, "c") == ["http://c/a", "http://c/b"]
 
 
+class TestSolutionModifiers:
+    def test_distinct_collapses_duplicate_rows(self):
+        # two typing routes to RelationalOp would duplicate ?c without it
+        out = TAX.query(
+            PFX + "SELECT DISTINCT ?c WHERE { ?s rdfs:subClassOf+ ?c }"
+        )
+        assert iris(out, "c") == ["http://o/Analgesic", "http://o/Drug"]
+        out2 = TAX.query(PFX + "SELECT ?c WHERE { ?s rdfs:subClassOf+ ?c }")
+        assert len(out2) == 3  # without DISTINCT the dupes remain
+
+    def test_limit(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s rdfs:label ?l } LIMIT 1"
+        )
+        assert len(out) == 1
+
+    def test_select_star(self):
+        out = TAX.query(PFX + "SELECT * WHERE { o:Nsaid rdfs:label ?l }")
+        assert len(out) == 1 and str(out[0]["l"]) == "nsaid"
+
+    def test_distinct_not_a_variable(self):
+        # regression: DISTINCT used to parse as a selected var named
+        # 'DISTINCT' and silently return None columns
+        out = TAX.query(PFX + "SELECT DISTINCT ?l WHERE { o:Nsaid rdfs:label ?l }")
+        assert str(out[0]["l"]) == "nsaid"
+
+    def test_order_by_raises(self):
+        with pytest.raises(ProcessorException, match="LIMIT"):
+            TAX.query(
+                PFX + "SELECT ?l WHERE { ?s rdfs:label ?l } ORDER BY ?l"
+            )
+
+
 class TestUnsupportedConstructsStillRaise:
     def test_bind_raises(self):
         with pytest.raises(ProcessorException, match="BIND"):
