@@ -843,6 +843,15 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """The corpus curation SUMMARY under the gate: totals, keep/drop
+    split, per-reason drop counts and language mix as one tall integer
+    (metric, value) table — the report every curation run publishes."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.filtering import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher/FineWeb repetition filters under the gate."""
     r = TS.repetition_stats(_docs(spark, sf_dir))
@@ -1174,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "corpus_filter": q_corpus_filter,
+        "corpus_report": q_corpus_report,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2143,6 +2153,32 @@ FROM verdict
     corpus_filter = corpus_filter.replace("{pred}", pred).replace(
         "{hits}", ", ".join(hit_cols)
     )
+    # -- corpus report: tall integer (metric, value) summary over the
+    # corpus_filter verdict + token totals + language mix
+    corpus_report = rf"""
+WITH cf AS ({corpus_filter})
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(sum(length(text)) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_ws_tokens',
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+')) END)
+            AS BIGINT)
+FROM documents
+UNION ALL
+SELECT CASE WHEN keep THEN 'kept' ELSE 'dropped' END, CAST(count(*) AS BIGINT)
+FROM cf GROUP BY keep
+UNION ALL
+SELECT 'reason:' || r, CAST(count(*) AS BIGINT)
+FROM (
+  SELECT unnest(string_split(reasons_str, ',')) AS r
+  FROM cf WHERE reasons_str <> ''
+) GROUP BY r
+UNION ALL
+SELECT 'lang:' || lang_pred, CAST(count(*) AS BIGINT)
+FROM ({lang_sql}) GROUP BY lang_pred
+"""
     return {
         "dedup_minhash_lsh": lsh,
         "dedup_simhash": simhash,
@@ -2151,4 +2187,5 @@ FROM verdict
         "emb_near_dup": emb_near_dup,
         "ann_ivf_topk": ivf,
         "corpus_filter": corpus_filter,
+        "corpus_report": corpus_report,
     }

@@ -169,6 +169,7 @@ def main():
         with open("BENCH/BASELINE.md") as fh:
             old = fh.read()
         for marker in (
+            "## dedup_minhash",
             "## 8→32 residual decomposition",
             "## Soak run",
             "## Single-node comparison",

@@ -65,6 +65,63 @@ def corpus_filter(
     )
 
 
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **filter_kwargs,
+) -> DataFrame:
+    """(metric, value) — the corpus curation report as DATA: one tall
+    integer table with corpus totals (`n_docs`, `n_chars`,
+    `n_ws_tokens`), the keep/drop split, per-reason drop counts
+    (`reason:<tag>`) and the language mix (`lang:<code>`).
+
+    This is the standard end-of-curation summary every pipeline publishes
+    (drop rates per rule, language distribution). Values are integer
+    counts ONLY, so the report is bit-stable across engines, partition
+    counts and reruns. Each section is one grouped aggregation over an
+    already-gated signal; at 100 TB every branch is a map-side-combinable
+    count — the report costs one pass over the per-doc signal tables.
+    """
+    from .textstats import lang_id, token_counts
+
+    tc = token_counts(docs, text_col, id_col)
+    cf = corpus_filter(docs, text_col, id_col, **filter_kwargs)
+    li = lang_id(docs, text_col, id_col)
+
+    totals = tc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_ws_tokens").alias("n_ws_tokens"),
+    ).selectExpr(
+        "stack(3, 'n_docs', n_docs, 'n_chars', n_chars, "
+        "'n_ws_tokens', n_ws_tokens) AS (metric, value)"
+    )
+    keep_split = (
+        cf.groupBy("keep")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.when(F.col("keep"), F.lit("kept")).otherwise(F.lit("dropped")).alias("metric"),
+            "value",
+        )
+    )
+    reason_counts = (
+        cf.select(F.explode("reasons").alias("r"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.concat(F.lit("reason:"), F.col("r")).alias("metric"), "value")
+    )
+    lang_mix = (
+        li.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.concat(F.lit("lang:"), F.col("lang_pred")).alias("metric"), "value"
+        )
+    )
+    out = totals.unionByName(keep_split).unionByName(reason_counts).unionByName(lang_mix)
+    return out.select("metric", F.col("value").cast("bigint").alias("value"))
+
+
 def corpus_filter_with_near_dups(
     docs: DataFrame,
     text_col: str = "text",

@@ -402,6 +402,43 @@ class TestTextStats:
         assert got == expect
 
 
+class TestCorpusReport:
+    def test_report_reconciles_with_filter(self, spark, docs):
+        from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+            corpus_filter,
+            corpus_report,
+        )
+
+        rep = {r.metric: r.value for r in corpus_report(docs).collect()}
+        cf = corpus_filter(docs).collect()
+        assert rep["n_docs"] == docs.count()
+        assert rep.get("kept", 0) == sum(1 for r in cf if r.keep)
+        assert rep.get("dropped", 0) == sum(1 for r in cf if not r.keep)
+        assert rep.get("kept", 0) + rep.get("dropped", 0) == rep["n_docs"]
+        # per-reason counts reconcile with the row-level verdicts
+        import collections
+
+        expect = collections.Counter(t for r in cf for t in r.reasons)
+        for tag, n in expect.items():
+            assert rep[f"reason:{tag}"] == n
+        # language mix sums to n_docs
+        langs = {k: v for k, v in rep.items() if k.startswith("lang:")}
+        assert sum(langs.values()) == rep["n_docs"]
+        assert rep["n_chars"] > 0 and rep["n_ws_tokens"] > 0
+
+    def test_report_partition_invariant(self, spark, docs):
+        from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+            corpus_report,
+        )
+
+        a = sorted((r.metric, r.value) for r in corpus_report(docs).collect())
+        b = sorted(
+            (r.metric, r.value)
+            for r in corpus_report(docs.repartition(17)).collect()
+        )
+        assert a == b
+
+
 class TestCorpusFilter:
     def test_reasons_and_keep(self, spark):
         from cmc_knowledge_graph_text2ttl_spark.operators.filtering import corpus_filter
