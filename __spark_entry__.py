@@ -794,6 +794,13 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir), bits=16)
 
 
+def q_dedup_verbatim(spark, sf_dir):
+    """Cross-document VERBATIM passage overlap under the gate: pairs of
+    docs sharing 12-word exact passages (testdata scale-down of the
+    50-token production setting), counted per pair."""
+    return D.verbatim_overlap_pairs(_docs(spark, sf_dir), n=12)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Fuzzy-dedup cluster RESOLUTION under the gate: LSH candidate pairs
     → connected components over the organic pair graph → one string-min
@@ -1177,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_verbatim": q_dedup_verbatim,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1679,6 +1687,26 @@ FROM documents, LATERAL (
 ) f
 """,
         "pdf_table_cells": _pdf_table_cells_sql(),
+        "dedup_verbatim": r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     t -> t <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT id, md5(array_to_string(ws[i:i+11], ' ')) AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(ws) - 11, 0))) AS i
+  )
+), keepg AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) <= 1000
+), s2 AS (
+  SELECT sh.id, sh.g FROM sh JOIN keepg USING (g)
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM s2 a JOIN s2 b ON a.g = b.g AND a.id < b.id
+GROUP BY a.id, b.id
+""",
         "dedup_exact": """
 SELECT md5(text) AS content_hash,
        CAST(count(*) AS BIGINT) AS n_docs,

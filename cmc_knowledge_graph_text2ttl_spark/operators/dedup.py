@@ -300,6 +300,40 @@ def minhash_lsh_pairs(
     return out
 
 
+def verbatim_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    max_gram_docs: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — document pairs sharing at least one
+    VERBATIM ``n``-word passage, with the count of shared distinct
+    passages. The cross-document exact-substring dedup step (the
+    "50-token verbatim overlap" filter training pipelines run after
+    fuzzy dedup): at n=50 a shared gram is essentially proof of copying.
+
+    Shape: in-row word shingling (no multiset shuffle) → md5 the gram so
+    the join key is a fixed-width digest, never the 50-word string →
+    drop grams appearing in more than ``max_gram_docs`` docs (license
+    boilerplate guard — the analog of the LSH hot-bucket cap) →
+    self-equijoin on the digest → count per pair. Join fan-out is
+    quadratic only within one gram's doc set, which the cap bounds.
+    """
+    sh = word_shingles(df, text_col, id_col, n).select(
+        "id", F.md5(F.col("shingle")).alias("g")
+    )
+    freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    sh = sh.join(freq.filter(F.col("n_docs") <= max_gram_docs).select("g"), "g")
+    return (
+        sh.alias("a")
+        .join(sh.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def near_duplicate_clusters(
     df: DataFrame,
     text_col: str = "text",

@@ -114,6 +114,38 @@ class TestDecontaminate:
             dedup.decontaminate(corpus, bench, unit="token")
 
 
+class TestVerbatimOverlap:
+    def test_planted_copy_detected_and_boilerplate_capped(self, spark):
+        passage = " ".join(f"w{i}" for i in range(12))  # 12 shared words
+        license_blob = " ".join(f"lic{i}" for i in range(12))
+        rows = [
+            (1, f"intro one {passage} outro alpha"),
+            (2, f"different lead {passage} and more tail"),
+            (3, "nothing shared with anyone at all here truly nothing shared no"),
+            # license boilerplate on EVERY doc — must not create pairs
+            (4, f"{license_blob} body four"),
+            (5, f"{license_blob} body five"),
+            (6, f"{license_blob} body six"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in dedup.verbatim_overlap_pairs(
+                df, n=12, max_gram_docs=2
+            ).collect()
+        }
+        assert got == {(1, 2): 1}  # the license gram (3 docs > cap) is dropped
+
+    def test_shared_passage_window_counts(self, spark):
+        # 13 shared words at n=12 → two overlapping shared grams
+        passage = " ".join(f"w{i}" for i in range(13))
+        df = spark.createDataFrame(
+            [(1, f"a b {passage}"), (2, f"{passage} x y")], ["doc_id", "text"]
+        )
+        got = dedup.verbatim_overlap_pairs(df, n=12).collect()
+        assert len(got) == 1 and got[0].n_shared == 2
+
+
 class TestNearDupClusters:
     # four near-identical docs in two chains + one unique doc; ids chosen
     # so string-min != numeric-min is exercised (string "10" < "9")
