@@ -211,3 +211,94 @@ class TestOracleGrammarSweep:
         res = run_document(text, wf(src))
         assert res.error is None
         assert res.triples == []  # PRE/POST invisible inside the scope
+
+
+class TestPropertyPathProperties:
+    """Path evaluator vs a brute-force closure on random small graphs."""
+
+    node_st = st.integers(min_value=0, max_value=7)
+    edges_st = st.lists(
+        st.tuples(node_st, st.sampled_from(["p", "q"]), node_st),
+        min_size=0, max_size=14,
+    )
+
+    # random path AST over predicates p/q, depth <= 3
+    path_st = st.recursive(
+        st.sampled_from([("pred", "http://x/p"), ("pred", "http://x/q")]),
+        lambda sub: st.one_of(
+            st.tuples(st.just("inv"), sub),
+            st.tuples(st.just("star"), sub),
+            st.tuples(st.just("plus"), sub),
+            st.tuples(st.just("maybe"), sub),
+            st.builds(lambda a, b: ("seq", [a, b]), sub, sub),
+            st.builds(lambda a, b: ("alt", [a, b]), sub, sub),
+        ),
+        max_leaves=4,
+    )
+
+    @staticmethod
+    def _naive_pairs(ast, rows, nodes):
+        """All (start, end) pairs of the path over the tiny graph."""
+        kind = ast[0]
+        if kind == "pred":
+            return {(s, o) for (s, p, o) in rows if p == ast[1]}
+        if kind == "inv":
+            return {(b, a) for (a, b) in
+                    TestPropertyPathProperties._naive_pairs(ast[1], rows, nodes)}
+        if kind == "seq":
+            acc = None
+            for sub in ast[1]:
+                pp = TestPropertyPathProperties._naive_pairs(sub, rows, nodes)
+                if acc is None:
+                    acc = pp
+                else:
+                    acc = {(a, c) for (a, b) in acc for (b2, c) in pp if b == b2}
+            return acc or set()
+        if kind == "alt":
+            out = set()
+            for sub in ast[1]:
+                out |= TestPropertyPathProperties._naive_pairs(sub, rows, nodes)
+            return out
+        base = TestPropertyPathProperties._naive_pairs(ast[1], rows, nodes)
+        if kind == "maybe":
+            return base | {(n, n) for n in nodes}
+        # transitive closure
+        closure = set(base)
+        changed = True
+        while changed:
+            changed = False
+            for (a, b) in list(closure):
+                for (b2, c) in base:
+                    if b == b2 and (a, c) not in closure:
+                        closure.add((a, c))
+                        changed = True
+        if kind == "plus":
+            return closure
+        return closure | {(n, n) for n in nodes}  # star
+
+    @given(edges_st, path_st)
+    @settings(max_examples=120, deadline=None)
+    def test_both_unbound_matches_naive_closure(self, edges, ast):
+        from cmc_knowledge_graph_text2ttl_spark.workflow.sparql import MiniGraph
+
+        rows = [
+            (f"http://x/n{a}", f"http://x/{p}", "iri", f"http://x/n{b}", None)
+            for a, p, b in edges
+        ]
+        g = MiniGraph(rows)
+        iri_rows = {(r[0], r[1], r[3]) for r in rows}
+        nodes = {r[0] for r in iri_rows} | {r[2] for r in iri_rows}
+        expect = self._naive_pairs(ast, iri_rows, nodes)
+
+        got = set()
+        for n in g._all_nodes():
+            for e in g._path_fwd(ast, n):
+                got.add((n.value, e.value))
+        assert got == expect
+
+        # backward evaluation must agree with forward
+        got_bwd = set()
+        for n in g._all_nodes():
+            for s in g._path_bwd(ast, n):
+                got_bwd.add((s.value, n.value))
+        assert got_bwd == expect
