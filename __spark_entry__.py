@@ -141,6 +141,55 @@ WF_TABLE = """
       object: "^@{cell.1}"
 """
 
+WF_TAGDIM = """
+- desc: tag-dimension + break under match-dimensions pre-scan (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-dimensions:
+    - '<tr>(.*?)</tr>'
+    - '<td>(.*?)</td>'
+  dimensions: [row, col]
+  as: cell
+  pre:
+    - tag-dimension: 1
+      at: 1
+      as: header
+  do:
+    - subject: ex:doc_@{doc}_r@{row}_c@{col}
+      predicate: prop:body
+      object: "^@{cell.1}"
+  do-header-*:
+    - subject: ex:doc_@{doc}_c@{col}
+      predicate: prop:header
+      object: "^@{cell.1}"
+  do-3-*:
+    - subject: ex:doc_@{doc}_r@{row}_c@{col}
+      predicate: prop:last
+      object: "^@{cell.1}"
+    - break: _
+"""
+
+
+WF_MATCH_LIST = """
+- desc: pattern-list match (first pattern that hits wins; oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match:
+    - 'qqqqzz'
+    - '\\b(join|scan)\\b'
+    - '\\b(table|key)\\b'
+  as: m
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:firstmatch
+      object: "^@{m.1}"
+"""
+
+
 WF_SEQUENCE = """
 - desc: token-stream lexing via sequence-of alternatives (oracle-checked)
 - prefix: ex
@@ -416,6 +465,34 @@ def q_kg_table_cells(spark, sf_dir):
     )
     pages = _pages_with_text(docs.filter(F.size(ws) >= 4), tbl)
     res = run_workflows(pages, [compile_workflow(WF_TABLE, "wf_table")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_tagdim(spark, sf_dir):
+    """tag-dimension (pre:-scope row tagging → do-header-* selection) +
+    break (do-3-* stops the row after its first cell) under the gate,
+    over a 3x2 table built from each document's first six words."""
+    docs = _docs(spark, sf_dir)
+    ws = F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]+)"), 1)
+    tbl = F.concat(
+        F.lit("<table><tr><td>"), F.element_at(ws, 1),
+        F.lit("</td><td>"), F.element_at(ws, 2),
+        F.lit("</td></tr><tr><td>"), F.element_at(ws, 3),
+        F.lit("</td><td>"), F.element_at(ws, 4),
+        F.lit("</td></tr><tr><td>"), F.element_at(ws, 5),
+        F.lit("</td><td>"), F.element_at(ws, 6),
+        F.lit("</td></tr></table>"),
+    )
+    pages = _pages_with_text(docs.filter(F.size(ws) >= 6), tbl)
+    res = run_workflows(pages, [compile_workflow(WF_TAGDIM, "wf_tagdim")])
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_match_list(spark, sf_dir):
+    """match with a PATTERN LIST under the gate: patterns try in order,
+    the first that matches anywhere binds; the leading decoy never hits."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(pages, [compile_workflow(WF_MATCH_LIST, "wf_mlist")])
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
@@ -1173,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sideoutputs": q_kg_sideoutputs,
         "kg_withset": q_kg_withset,
         "kg_select_union": q_kg_select_union,
+        "kg_tagdim": q_kg_tagdim,
+        "kg_match_list": q_kg_match_list,
         "entity_link": q_entity_link,
         "url_canonical": q_url_canonical,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1497,6 +1576,51 @@ SELECT DISTINCT
   'literal' AS obj_kind,
   cell AS obj_lexical
 FROM cells
+""",
+        "kg_match_list": r"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '\b(join|scan)\b')
+                THEN regexp_extract(text, '\b(join|scan)\b', 1)
+              WHEN regexp_matches(text, '\b(table|key)\b')
+                THEN regexp_extract(text, '\b(table|key)\b', 1)
+         END AS v
+  FROM documents
+)
+SELECT 'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://example.org/prop/firstmatch' AS pred,
+       'literal' AS obj_kind,
+       v AS obj_lexical
+FROM f WHERE v IS NOT NULL
+""",
+        "kg_tagdim": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM documents
+), ok AS (SELECT doc_id, ws FROM w WHERE length(ws) >= 6)
+-- row 1 is tagged 'header': do-header-* emits per-column header triples
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) || '_c' || c AS subj,
+  'http://example.org/prop/header' AS pred,
+  'literal' AS obj_kind, cell AS obj_lexical
+FROM (
+  SELECT doc_id, '1' AS c, ws[1] AS cell FROM ok
+  UNION ALL SELECT doc_id, '2', ws[2] FROM ok
+)
+UNION
+-- row 2 falls back to the generic do: body
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) || '_r2_c' || c,
+  'http://example.org/prop/body', 'literal', cell
+FROM (
+  SELECT doc_id, '1' AS c, ws[3] AS cell FROM ok
+  UNION ALL SELECT doc_id, '2', ws[4] FROM ok
+)
+UNION
+-- row 3 hits do-3-*: first cell emits, then break skips the second
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) || '_r3_c1',
+  'http://example.org/prop/last', 'literal', ws[5]
+FROM ok
 """,
         "kg_sequence": r"""
 WITH m AS (
