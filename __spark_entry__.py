@@ -172,6 +172,21 @@ WF_TAGDIM = """
 """
 
 
+WF_EXEC_LOG = """
+- desc: exec/echo/pass composite (oracle-checked)
+- pass: _
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- exec: "vars['dbl'] = str(int(vars['doc']) * 2 + 1)"
+- echo: 'doc @{doc} dbl @{dbl}'
+- subject: ex:doc_@{doc}
+  predicate: prop:dbl
+  object: "^@{dbl}"
+"""
+
+
 WF_MATCH_LIST = """
 - desc: pattern-list match (first pattern that hits wins; oracle-checked)
 - prefix: ex
@@ -486,6 +501,25 @@ def q_kg_tagdim(spark, sf_dir):
     pages = _pages_with_text(docs.filter(F.size(ws) >= 6), tbl)
     res = run_workflows(pages, [compile_workflow(WF_TAGDIM, "wf_tagdim")])
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
+def q_kg_exec_echo_log(spark, sf_dir):
+    """exec (embedded Python over vars), echo/desc (log side channel via
+    collect_log) and pass under the gate: the log lines and the
+    exec-computed triple are ordinary compared columns."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(
+        pages, [compile_workflow(WF_EXEC_LOG, "wf_exec")], collect_log=True
+    )
+    tri = explode_triples(res).select(
+        "url",
+        F.lit("triple").alias("kind"),
+        F.concat_ws(" ", "subj", "pred", "obj_lexical").alias("value"),
+    )
+    logs = res.select("url", F.explode("log").alias("value")).select(
+        "url", F.lit("log").alias("kind"), "value"
+    )
+    return tri.unionByName(logs)
 
 
 def q_kg_match_list(spark, sf_dir):
@@ -1252,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_select_union": q_kg_select_union,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
+        "kg_exec_echo_log": q_kg_exec_echo_log,
         "entity_link": q_entity_link,
         "url_canonical": q_url_canonical,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1576,6 +1611,23 @@ SELECT DISTINCT
   'literal' AS obj_kind,
   cell AS obj_lexical
 FROM cells
+""",
+        "kg_exec_echo_log": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'triple' AS kind,
+       'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR)
+         || ' http://example.org/prop/dbl '
+         || CAST(doc_id * 2 + 1 AS VARCHAR) AS value
+FROM documents
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR), 'log',
+       'DESC: exec/echo/pass composite (oracle-checked)'
+FROM documents
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR), 'log',
+       'ECHO: doc ' || CAST(doc_id AS VARCHAR) || ' dbl '
+         || CAST(doc_id * 2 + 1 AS VARCHAR)
+FROM documents
 """,
         "kg_match_list": r"""
 WITH f AS (

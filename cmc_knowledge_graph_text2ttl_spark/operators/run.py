@@ -78,6 +78,21 @@ RESULTS_SCHEMA = StructType(
     ]
 )
 
+_LOG_FIELD = StructField("log", ArrayType(StringType()), True)
+
+
+def _results_schema(select_best: bool, collect_log: bool) -> StructType:
+    """RESULTS_SCHEMA + optional is_best / log columns. The log side
+    channel (echo/desc lines) is only materialized when asked for —
+    at scale nobody pays for per-doc log arrays by default."""
+    fields = list(RESULTS_SCHEMA.fields)
+    if collect_log:
+        fields.append(_LOG_FIELD)
+    if select_best:
+        fields.append(StructField("is_best", BooleanType(), False))
+    return StructType(fields)
+
+
 RESULTS_SCHEMA_WITH_BEST = StructType(
     RESULTS_SCHEMA.fields + [StructField("is_best", BooleanType(), False)]
 )
@@ -127,7 +142,7 @@ def run_workflows(
             "extra_vars": extra_vars or {},
         }
     )
-    schema = RESULTS_SCHEMA_WITH_BEST if select_best else RESULTS_SCHEMA
+    schema = _results_schema(select_best, collect_log)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payload = bc.value
@@ -195,6 +210,8 @@ def run_workflows(
                         [{"name": k, "text": v} for k, v in res.texts.items()]
                     )
                     out["saved_as"].append(list(res.saved_as))
+                    if collect_log:
+                        out["log"].append(list(res.log))
                     if select_best:
                         out["is_best"].append(i == best_idx)
             # An all-skipped batch must yield NOTHING: an empty
@@ -214,6 +231,7 @@ def extract_and_run_workflows(
     graphs: Optional[Dict[str, List[GraphRow]]] = None,
     extra_vars: Optional[Dict[str, str]] = None,
     select_best: bool = True,
+    collect_log: bool = False,
 ) -> DataFrame:
     """Fused stage: html bytes → text → workflows → stats+triples in ONE
     ``mapInPandas``. Versus extract_text → run_workflows this removes an
@@ -233,7 +251,7 @@ def extract_and_run_workflows(
             "extra_vars": extra_vars or {},
         }
     )
-    schema = RESULTS_SCHEMA_WITH_BEST if select_best else RESULTS_SCHEMA
+    schema = _results_schema(select_best, collect_log)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payload = bc.value
@@ -255,7 +273,11 @@ def extract_and_run_workflows(
                 doc_results = []
                 for prog in progs:
                     res = run_document(
-                        text, prog, doc_vars=dict(doc_vars), query_fn=query_fn
+                        text,
+                        prog,
+                        doc_vars=dict(doc_vars),
+                        query_fn=query_fn,
+                        collect_log=collect_log,
                     )
                     doc_results.append((prog, res))
                 best_idx = None
@@ -296,6 +318,8 @@ def extract_and_run_workflows(
                         [{"name": k, "text": v} for k, v in res.texts.items()]
                     )
                     out["saved_as"].append(list(res.saved_as))
+                    if collect_log:
+                        out["log"].append(list(res.log))
                     if select_best:
                         out["is_best"].append(i == best_idx)
             if out["url"]:  # see run_workflows: empty batches break Arrow
