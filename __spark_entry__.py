@@ -2153,10 +2153,10 @@ WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= 0.5
     # -- fuzzy-dedup cluster resolution: LSH pairs (the query above, as a
     # subquery) → recursive-CTE connected components → string-min survivor
     clusters = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b
   FROM ({lsh})
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
 ), reach(node, r) AS (
   SELECT src, src FROM sym
