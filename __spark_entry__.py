@@ -1134,6 +1134,16 @@ def q_media_pixels(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Decode → nearest-neighbor 4x4 resize under the gate: the gradient
+    PNGs (doc_id % 3 == 0 in the synth media) have analytically known
+    pixels, so the oracle recomputes the exact sampled bytes."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    media = _synth_media(spark, sf_dir, solid=False)
+    return MM.resize_media(media, out_w=4, out_h=4)
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1311,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "media_meta": q_media_meta,
         "media_pixels": q_media_pixels,
+        "media_resize": q_media_resize,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -1861,6 +1872,27 @@ FROM documents, LATERAL (
            CAST(((doc_id * 29) % 256) * 100 AS BIGINT)
          ]) AS value_scaled
 ) f
+""",
+        # gradient PNG pixels are (doc_id + flat_byte_index) % 256; the
+        # nearest sample points replicate resize_nearest exactly
+        "media_resize": """
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 13 AS w, 9 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(c AS INTEGER) AS channel,
+       CAST(sum(
+         (doc_id
+          + 3 * (least(h - 1, CAST(floor((dy + 0.5) * h / 4.0) AS BIGINT)) * w
+                 + least(w - 1, CAST(floor((dx + 0.5) * w / 4.0) AS BIGINT)))
+          + c) % 256
+       ) AS BIGINT) AS pix_sum
+FROM d,
+     generate_series(0, 3) g1(dx),
+     generate_series(0, 3) g2(dy),
+     generate_series(0, 2) g3(c)
+GROUP BY doc_id, c
 """,
         "pdf_table_cells": _pdf_table_cells_sql(),
         "dedup_verbatim": r"""

@@ -340,6 +340,76 @@ def extract_features(
     return df.select(id_col, blob_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_nearest(
+    pixels: bytes, w: int, h: int, channels: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a raw interleaved pixel buffer.
+
+    Deterministic sample points at the target-pixel centers:
+    src = min(dim-1, int((dst + 0.5) * dim / out_dim)) — the standard
+    nearest rule, replicated exactly in the DuckDB gate.
+    """
+    out = bytearray(out_w * out_h * channels)
+    for dy in range(out_h):
+        sy = min(h - 1, int((dy + 0.5) * h / out_h))
+        for dx in range(out_w):
+            sx = min(w - 1, int((dx + 0.5) * w / out_w))
+            sp = (sy * w + sx) * channels
+            dp = (dy * out_w + dx) * channels
+            out[dp : dp + channels] = pixels[sp : sp + channels]
+    return bytes(out)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("channel", IntegerType(), False),
+        StructField("pix_sum", LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int = 4,
+    out_h: int = 4,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    decoder: Optional[Callable] = None,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → per-channel pixel SUMS of the
+    resized image (long format: one row per channel).
+
+    Integer sums (not means) keep the output bit-stable. The default
+    decoder is the real stdlib PNG path; other formats raise inside the
+    decoder and the row is skipped, same degrade contract as
+    :func:`extract_features`. The thumbnailing step of a multimodal
+    training pipeline — Arrow-batched, never row-at-a-time Python UDFs.
+    """
+    dec = decoder or (lambda data: decode_image(data))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, sums = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(raw) if raw is not None else b""
+                try:
+                    w, h, ch, px = dec(data)
+                except (NotImplementedError, ValueError, zlib.error):
+                    continue
+                small = resize_nearest(px, w, h, ch, out_w, out_h)
+                for c in range(ch):
+                    ids.append(str(mid))
+                    chans.append(c)
+                    sums.append(sum(small[c::ch]))
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "channel": chans, "pix_sum": sums}
+                )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def exact_media_dedup(meta: DataFrame) -> DataFrame:
     """Digest-level dedup over the metadata table (never touches bytes)."""
     return (

@@ -114,6 +114,37 @@ class TestDecontaminate:
             dedup.decontaminate(corpus, bench, unit="token")
 
 
+class TestResize:
+    def test_identity_resize_is_noop(self):
+        px = bytes(range(2 * 3 * 3))  # 2x3, 3 channels
+        assert mm.resize_nearest(px, 2, 3, 3, 2, 3) == px
+
+    def test_downsample_picks_center_pixels(self):
+        # 4x4 single-channel image with pixel value = flat index
+        px = bytes(range(16))
+        out = mm.resize_nearest(px, 4, 4, 1, 2, 2)
+        # centers (0.5, 1.5)*4/2 -> src 1 and 3 on each axis
+        assert list(out) == [4 * 1 + 1, 4 * 1 + 3, 4 * 3 + 1, 4 * 3 + 3]
+
+    def test_upsample_replicates(self):
+        px = bytes([10, 20, 30, 40])  # 2x2, 1 channel
+        out = mm.resize_nearest(px, 2, 2, 1, 4, 4)
+        assert len(out) == 16 and set(out) == {10, 20, 30, 40}
+        assert list(out[:4]) == [10, 10, 20, 20]
+
+    def test_resize_media_skips_undecodable(self, spark):
+        import pandas as pd  # noqa: F401
+
+        blob = mm.encode_png(3, 2, bytes(range(18)), 3)
+        df = spark.createDataFrame(
+            [("a", bytearray(blob)), ("b", bytearray(b"GIF89a no decoder"))],
+            "media_id string, blob binary",
+        )
+        got = mm.resize_media(df, out_w=2, out_h=2).collect()
+        assert {r.media_id for r in got} == {"a"}
+        assert len(got) == 3  # one row per channel
+
+
 class TestVerbatimOverlap:
     def test_planted_copy_detected_and_boilerplate_capped(self, spark):
         passage = " ".join(f"w{i}" for i in range(12))  # 12 shared words
