@@ -119,7 +119,10 @@ class _Lexer:
                 j += 1
             tok = d[self.i : j]
             self.i = j
-            return ("num", float(tok))
+            try:
+                return ("num", float(tok))
+            except ValueError as ex:  # e.g. bare '+', '.', '1-2'
+                raise PdfParseError(f"malformed PDF number {tok!r}") from ex
         # operator / keyword word
         j = self.i
         while j < n and d[j : j + 1] not in _WS and d[j : j + 1] not in _DELIM:
@@ -185,7 +188,10 @@ class _Lexer:
         self.i = j + 1
         if len(hx) % 2:
             hx += b"0"
-        return bytes.fromhex(hx.decode("ascii"))
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as ex:
+            raise PdfParseError(f"bad hex string: {ex}") from ex
 
 
 class _Ref:
@@ -306,7 +312,12 @@ class _PdfDoc:
         for f in filters:
             f = self.resolve(f)
             if f == ("name", "FlateDecode"):
-                payload = zlib.decompress(payload)
+                try:
+                    payload = zlib.decompress(payload)
+                except zlib.error as ex:
+                    # zlib.error is NOT a ValueError — without this wrap a
+                    # corrupt stream would escape the parser's contract
+                    raise PdfParseError(f"corrupt Flate stream: {ex}") from ex
             else:
                 raise PdfParseError(f"unsupported PDF stream filter: {f!r}")
         return payload
@@ -316,6 +327,22 @@ class _PdfDoc:
 # Page tree
 
 _DEFAULT_MEDIABOX = (0.0, 0.0, 612.0, 792.0)
+
+
+def _resolve_mediabox(doc: "_PdfDoc", mb, inherited) -> tuple:
+    """Validate a /MediaBox value: 4 numbers or fall back to inherited."""
+    mb = doc.resolve(mb)
+    if mb is None:
+        return inherited
+    if not isinstance(mb, list) or len(mb) < 4:
+        raise PdfParseError(f"malformed /MediaBox: {mb!r}")
+    out = []
+    for v in mb[:4]:
+        v = doc.resolve(v)
+        if not isinstance(v, float):
+            raise PdfParseError(f"malformed /MediaBox entry: {v!r}")
+        out.append(v)
+    return tuple(out)
 
 
 def _find_pages(doc: _PdfDoc) -> List[Tuple[dict, Tuple[float, float, float, float]]]:
@@ -340,9 +367,7 @@ def _find_pages(doc: _PdfDoc) -> List[Tuple[dict, Tuple[float, float, float, flo
         node = doc.resolve(node_ref)
         if not isinstance(node, dict):
             raise PdfParseError("page-tree node is not a dictionary")
-        mb = doc.resolve(node.get("MediaBox")) or inherited_mb
-        if isinstance(mb, list):
-            mb = tuple(float(doc.resolve(v)) for v in mb)
+        mb = _resolve_mediabox(doc, node.get("MediaBox"), inherited_mb)
         if node.get("Type") == ("name", "Page"):
             pages.append((node, mb))
             return
@@ -358,9 +383,7 @@ def _find_pages(doc: _PdfDoc) -> List[Tuple[dict, Tuple[float, float, float, flo
             except PdfParseError:
                 continue
             if isinstance(d, dict) and d.get("Type") == ("name", "Page"):
-                mb = doc.resolve(d.get("MediaBox")) or _DEFAULT_MEDIABOX
-                if isinstance(mb, list):
-                    mb = tuple(float(doc.resolve(v)) for v in mb)
+                mb = _resolve_mediabox(doc, d.get("MediaBox"), _DEFAULT_MEDIABOX)
                 pages.append((d, mb))
     if not pages:
         raise PdfParseError("no pages found")

@@ -193,6 +193,36 @@ class TestMultiPage:
         assert 'pageno="1"' in xhtml and 'pageno="2"' in xhtml
 
 
+class TestFuzzContract:
+    def test_corrupt_bytes_raise_only_pdfparseerror(self):
+        """Parser contract under corruption: random bytes, truncations and
+        byte flips of valid PDFs may only raise PdfParseError (a
+        ValueError) — never zlib.error, IndexError, float() ValueError or
+        anything else extract_one's error-row path wouldn't classify.
+        (Round-3 fuzz found and fixed: zlib.error leaks, bare '+'/'.'
+        number tokens, short /MediaBox arrays, bad hex strings.)"""
+        import random
+
+        base = make_table_pdf(CELLS, title="t", compress=False)
+        basez = make_table_pdf(CELLS, title="t", compress=True)
+        rng = random.Random(1234)
+
+        def trial(data):
+            try:
+                pdf_bytes_to_page_models_stdlib(data)
+            except PdfParseError:
+                pass
+
+        for _ in range(150):
+            trial(b"%PDF-" + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 600))))
+        for src in (base, basez):
+            for cut in range(1, len(src), 41):
+                trial(src[:cut])
+            for _ in range(200):
+                pos = rng.randrange(len(src))
+                trial(src[:pos] + bytes([rng.randrange(256)]) + src[pos + 1 :])
+
+
 class TestExtractDispatch:
     def test_extract_one_pdf_branch(self):
         from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_one
