@@ -687,6 +687,43 @@ def q_kg_select_union(spark, sf_dir):
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+WF_SELECT_MOD = """
+- desc: select with VALUES/MINUS/BIND + ORDER BY-OFFSET-LIMIT (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b(join|scan|sort|merge)\\b'
+  as: op
+  do:
+    - select: l
+      from: ont
+      where: 'PREFIX ex: <http://example.org/kg/> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> SELECT ?l WHERE { VALUES ?t { ex:JoinOp ex:ScanOp ex:SortOp ex:MergeOp } { ex:op_@{op.1} a ?t } UNION { ex:op_@{op.1} ex:altType ?t } ?t rdfs:subClassOf* ?c MINUS { ?c rdfs:subClassOf ex:AccessOp } BIND (LCASE(STR(?c)) AS ?l) } ORDER BY DESC(?l) OFFSET 1 LIMIT 2'
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:ranked
+          object: "^@{l}"
+"""
+
+
+def q_kg_select_modifiers(spark, sf_dir):
+    """select: exercising every remaining SPARQL form over the broadcast
+    ontology: VALUES restricts ?t inline, the UNION covers both typing
+    predicates, rdfs:subClassOf* walks the taxonomy, MINUS drops classes
+    below ex:AccessOp (independently-evaluated group, SPARQL algebra),
+    BIND lowercases the class IRI, and ORDER BY DESC + OFFSET 1 LIMIT 2
+    keeps a deterministic slice — which rows survive depends on the sort,
+    so the oracle checks ordering semantics, not just membership
+    (reference delegates all of this to rdflib, processor.py:174-198)."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(
+        pages,
+        [compile_workflow(WF_SELECT_MOD, "wf_selmod")],
+        graphs={"ont": SELECT_UNION_GRAPH},
+    )
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_kg_sideoutputs(spark, sf_dir):
     """any-of first-success + dump-to-file (texts column) + save-as
     (saved_as column) under the gate — the OutputHandler side channels
@@ -1294,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sideoutputs": q_kg_sideoutputs,
         "kg_withset": q_kg_withset,
         "kg_select_union": q_kg_select_union,
+        "kg_select_modifiers": q_kg_select_modifiers,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
@@ -1756,6 +1794,36 @@ SELECT DISTINCT
   'http://example.org/prop/classifiedAs' AS pred,
   'iri' AS obj_kind,
   'http://example.org/kg/' || cls AS obj_lexical
+FROM m JOIN cls USING (op)
+""",
+        # hand-evaluated VALUES∘UNION∘subClassOf*∘MINUS∘BIND∘ORDER BY
+        # DESC∘OFFSET 1∘LIMIT 2 per op over SELECT_UNION_GRAPH:
+        #   join:  classes {joinop,relationalop,operator}, MINUS drops
+        #          none, DESC → [relationalop,operator,joinop],
+        #          offset1+limit2 → operator, joinop
+        #   scan:  {scanop,accessop,operator} MINUS scanop (subclass of
+        #          AccessOp) → DESC [operator,accessop] → accessop
+        #   sort:  {sortop,relationalop,operator} → DESC
+        #          [sortop,relationalop,operator] → relationalop,operator
+        #   merge: {mergeop} → offset past the end → nothing
+        # the Spark side derives the same rows by evaluating the SPARQL
+        "kg_select_modifiers": r"""
+WITH m AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|scan|sort|merge)\b')) AS op
+  FROM documents
+), cls AS (
+  SELECT * FROM (VALUES
+    ('join', 'operator'), ('join', 'joinop'),
+    ('scan', 'accessop'),
+    ('sort', 'relationalop'), ('sort', 'operator')
+  ) AS t(op, l)
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/ranked' AS pred,
+  'literal' AS obj_kind,
+  'http://example.org/kg/' || l AS obj_lexical
 FROM m JOIN cls USING (op)
 """,
         "kg_sideoutputs": r"""

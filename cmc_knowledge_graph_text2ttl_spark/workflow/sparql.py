@@ -34,9 +34,25 @@ Supported query subset (sufficient for workflow-style ontology lookups):
   semantics). Filters scope over their ENCLOSING group and apply at the
   end of that group — a FILTER inside an OPTIONAL decides whether the
   optional extension survives, exactly as in SPARQL.
+* ``VALUES ?v { t1 t2 ... }`` and ``VALUES (?a ?b) { (t1 t2) ... }``
+  with ``UNDEF`` — inline data joined against the bindings in flow
+  (shared vars must agree; UNDEF is compatible with anything).
+* ``MINUS { group }`` — SPARQL algebra semantics: the MINUS group is
+  evaluated INDEPENDENTLY (outer bindings do not flow in, unlike
+  OPTIONAL), and a binding is dropped iff some MINUS solution is
+  compatible with it AND shares at least one bound variable
+  (domain-disjoint solutions remove nothing).
+* ``BIND ( expr AS ?v )`` — expression subset: a term/var/number,
+  ``STR(e)``, ``CONCAT(e, ...)``, ``UCASE(e)``, ``LCASE(e)``,
+  ``STRLEN(e)``. An error (unbound var) leaves ``?v`` unbound but keeps
+  the binding, per SPARQL; binding an already-bound name raises.
+* solution modifiers: ``ORDER BY`` keys (``?v`` / ``ASC(?v)`` /
+  ``DESC(?v)``; unbound sorts first, then IRIs, then literals with
+  numeric-aware comparison), ``OFFSET n``, ``LIMIT n`` (LIMIT/OFFSET
+  accepted in either order, applied offset-then-limit as in SPARQL).
 
-Still unsupported (raises, never silently drops): subqueries, BIND,
-VALUES, MINUS, negated property sets ``!(...)``, ORDER BY / OFFSET.
+Still unsupported (raises, never silently drops): subqueries, GRAPH,
+SERVICE, negated property sets ``!(...)``, aggregates / GROUP BY.
 Workflows needing those should pre-materialize the lookup as mapping
 pairs instead.
 """
@@ -85,7 +101,8 @@ def _parse_term(tok: str, prefixes: Dict[str, str]):
 class _Group:
     """A SPARQL group-graph-pattern: ordered elements + end-of-group
     filters. Element kinds: ('bgp', [pattern...]), ('optional', _Group),
-    ('group', _Group), ('union', [_Group...])."""
+    ('group', _Group), ('union', [_Group...]), ('minus', _Group),
+    ('bind', expr_ast, var), ('values', [var...], [row...])."""
 
     __slots__ = ("elements", "filters")
 
@@ -102,9 +119,10 @@ _TERM_AT = re.compile(
 # members so path operators tokenize; full IRIs <...> may contain anything.
 _PATH_IRI_AT = re.compile(r"<[^>]*>|[A-Za-z][\w-]*:[\w.#-]+|a(?![\w:-])")
 _KW_AT = {
-    kw: re.compile(rf"(?i){kw}(?![\w:-])") for kw in ("OPTIONAL", "FILTER", "UNION")
+    kw: re.compile(rf"(?i){kw}(?![\w:-])")
+    for kw in ("OPTIONAL", "FILTER", "UNION", "MINUS", "BIND", "VALUES", "UNDEF")
 }
-_UNSUPPORTED_KW = re.compile(r"(?i)^(BIND|VALUES|MINUS|SELECT|GRAPH|SERVICE)(?![\w:-])")
+_UNSUPPORTED_KW = re.compile(r"(?i)^(SELECT|GRAPH|SERVICE)(?![\w:-])")
 
 
 class _Cur:
@@ -245,6 +263,135 @@ def _scan_filter(cur: _Cur) -> str:
     return src
 
 
+# BIND expression tokens: prefixed-name before bare identifier so
+# ``ex:Thing`` never lexes as the identifier ``ex``.
+_BIND_TOKEN = re.compile(
+    r"""\s*(<[^<>\s]*>|\(|\)|,|\?[A-Za-z_][\w-]*"""
+    r"""|"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+)?|[-+]?\d+(?:\.\d+)?"""
+    r"""|[A-Za-z][\w-]*:[\w./#-]+|[A-Za-z][A-Za-z0-9_]*)\s*"""
+)
+_BIND_FNS = {"STR", "CONCAT", "UCASE", "LCASE", "STRLEN"}
+_NUM_RE = re.compile(r"[-+]?\d+(?:\.\d+)?$")
+
+
+def _parse_bind_expr(src: str, prefixes: Dict[str, str], ctx: str):
+    toks: List[str] = []
+    pos = 0
+    while pos < len(src):
+        m = _BIND_TOKEN.match(src, pos)
+        if m is None:
+            raise ProcessorException(f"Bad BIND expression near: {src[pos:]!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+    idx = [0]
+
+    def peek():
+        return toks[idx[0]] if idx[0] < len(toks) else None
+
+    def take(expected=None):
+        t = peek()
+        if t is None or (expected is not None and t != expected):
+            raise ProcessorException(
+                f"BIND parse error: expected {expected!r}, got {t!r} in {ctx!r}"
+            )
+        idx[0] += 1
+        return t
+
+    def parse_expr():
+        t = peek()
+        if t is not None and t.upper() in _BIND_FNS and ":" not in t:
+            fn = take().upper()
+            take("(")
+            args = [parse_expr()]
+            while peek() == ",":
+                take()
+                args.append(parse_expr())
+            take(")")
+            if fn != "CONCAT" and len(args) != 1:
+                raise ProcessorException(
+                    f"{fn} takes exactly one argument in BIND: {ctx!r}"
+                )
+            return ("fn", fn, args)
+        t = take()
+        if t.startswith("?"):
+            return ("var", t[1:])
+        if _NUM_RE.match(t):
+            return ("numlit", t)  # keep the lexical form
+        return _parse_term(t, prefixes)
+
+    node = parse_expr()
+    if peek() is not None:
+        raise ProcessorException(f"Trailing tokens in BIND expression: {src!r}")
+    return node
+
+
+def _parse_bind(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
+    """``BIND ( expr AS ?v )`` → ('bind', expr_ast, 'v')."""
+    src = _scan_filter(cur)  # balanced '(...)' scan, string-aware
+    m = re.fullmatch(r"(?is)\s*(.*)\s+AS\s+\?([A-Za-z_][\w-]*)\s*", src)
+    if m is None:
+        raise ProcessorException(f"BIND needs '(expr AS ?var)', got: {src!r}")
+    return ("bind", _parse_bind_expr(m.group(1), prefixes, cur.ctx), m.group(2))
+
+
+def _values_term(cur: _Cur, prefixes: Dict[str, str]):
+    """One VALUES data term: UNDEF → None, else a constant term spec."""
+    if cur.try_kw("UNDEF"):
+        return None
+    cur.ws()
+    nm = re.compile(r"[-+]?\d+(?:\.\d+)?").match(cur.s, cur.i)
+    if nm:
+        cur.i = nm.end()
+        return ("lit", nm.group(0), None)
+    spec = _parse_term(cur.term(), prefixes)
+    if spec[0] == "var":
+        raise ProcessorException(f"Variable in VALUES data block in: {cur.ctx!r}")
+    return spec
+
+
+def _parse_values(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
+    """``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` →
+    ('values', [vars], [rows]); each row is a tuple of term-spec|None."""
+    vars_: List[str] = []
+    if cur.try_ch("("):
+        while cur.peek() != ")":
+            tok = cur.term()
+            if not tok.startswith("?"):
+                raise ProcessorException(
+                    f"VALUES variable list needs ?vars in: {cur.ctx!r}"
+                )
+            vars_.append(tok[1:])
+        cur.expect(")")
+        parenthesized = True
+    else:
+        tok = cur.term()
+        if not tok.startswith("?"):
+            raise ProcessorException(f"VALUES needs a ?var in: {cur.ctx!r}")
+        vars_.append(tok[1:])
+        parenthesized = False
+    if not vars_:
+        raise ProcessorException(f"Empty VALUES variable list in: {cur.ctx!r}")
+    cur.expect("{")
+    rows: List[tuple] = []
+    while cur.peek() != "}":
+        if parenthesized:
+            cur.expect("(")
+            row = []
+            while cur.peek() != ")":
+                row.append(_values_term(cur, prefixes))
+            cur.expect(")")
+            if len(row) != len(vars_):
+                raise ProcessorException(
+                    f"VALUES row arity {len(row)} != {len(vars_)} vars "
+                    f"in: {cur.ctx!r}"
+                )
+            rows.append(tuple(row))
+        else:
+            rows.append((_values_term(cur, prefixes),))
+    cur.expect("}")
+    return ("values", vars_, rows)
+
+
 def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
     elements: List[tuple] = []
     filters: List[tuple] = []
@@ -272,6 +419,21 @@ def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
         if cur.try_kw("FILTER"):
             filters.append(_parse_filter(_scan_filter(cur), prefixes))
             continue
+        if cur.try_kw("MINUS"):
+            flush()
+            cur.expect("{")
+            g = _parse_group(cur, prefixes)
+            cur.expect("}")
+            elements.append(("minus", g))
+            continue
+        if cur.try_kw("BIND"):
+            flush()
+            elements.append(_parse_bind(cur, prefixes))
+            continue
+        if cur.try_kw("VALUES"):
+            flush()
+            elements.append(_parse_values(cur, prefixes))
+            continue
         if ch == "{":
             flush()
             cur.i += 1
@@ -294,9 +456,52 @@ def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
     return _Group(elements, filters)
 
 
+_ORDER_KEY = re.compile(
+    r"(?i)\s*(?:(ASC|DESC)\s*\(\s*\?([A-Za-z_][\w-]*)\s*\)|\?([A-Za-z_][\w-]*))"
+)
+
+
+def _parse_modifiers(tail: str, ctx: str):
+    """``[ORDER BY key+] [LIMIT n] [OFFSET n]`` (LIMIT/OFFSET either
+    order) → (order: [(var, desc?)], limit, offset)."""
+    order: List[Tuple[str, bool]] = []
+    limit = offset = None
+    m = re.match(r"(?is)\s*ORDER\s+BY\b", tail)
+    if m:
+        tail = tail[m.end():]
+        while True:
+            km = _ORDER_KEY.match(tail)
+            if km is None:
+                break
+            order.append(
+                (km.group(2) or km.group(3), (km.group(1) or "").upper() == "DESC")
+            )
+            tail = tail[km.end():]
+        if not order:
+            raise ProcessorException(f"Empty ORDER BY in: {ctx!r}")
+    while tail.strip():
+        lm = re.match(r"(?is)\s*(LIMIT|OFFSET)\s+(\d+)", tail)
+        if lm is None:
+            raise ProcessorException(
+                f"Unsupported content after WHERE group: {tail.strip()!r} "
+                "(only ORDER BY / LIMIT / OFFSET are supported)"
+            )
+        kw = lm.group(1).upper()
+        if (kw == "LIMIT" and limit is not None) or (
+            kw == "OFFSET" and offset is not None
+        ):
+            raise ProcessorException(f"Duplicate {kw} in: {ctx!r}")
+        if kw == "LIMIT":
+            limit = int(lm.group(2))
+        else:
+            offset = int(lm.group(2))
+        tail = tail[lm.end():]
+    return order, limit, offset
+
+
 def parse_query(where_clause: str):
-    """Parse a SELECT query →
-    (selected vars or ['*'], group AST, distinct?, limit or None)."""
+    """Parse a SELECT query → (selected vars or ['*'], group AST,
+    distinct?, limit or None, offset or None, order keys)."""
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_DECL.finditer(where_clause)}
     body = _PREFIX_DECL.sub("", where_clause)
     m = _SELECT_WHERE.search(body)
@@ -321,18 +526,8 @@ def parse_query(where_clause: str):
             f"Trailing where-clause content {cur.s[cur.i:].strip()!r} "
             f"in: {where_clause!r}"
         )
-    # solution modifiers after the WHERE group: LIMIT n only
-    tail = body[m.end():].strip()
-    limit = None
-    if tail:
-        lm = re.fullmatch(r"(?is)LIMIT\s+(\d+)", tail)
-        if lm is None:
-            raise ProcessorException(
-                f"Unsupported content after WHERE group: {tail!r} "
-                "(only LIMIT n is supported)"
-            )
-        limit = int(lm.group(1))
-    return sel, group, distinct, limit
+    order, limit, offset = _parse_modifiers(body[m.end():], where_clause)
+    return sel, group, distinct, limit, offset, order
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +614,13 @@ def _parse_filter(src: str, prefixes: Dict[str, str]):
                 if "i" in take().lower():
                     flags = re.IGNORECASE
             take(")")
-            return ("regex", operand, re.compile(pat, flags))
+            try:
+                compiled = re.compile(pat, flags)
+            except re.error as ex:
+                raise ProcessorException(
+                    f"invalid regex in FILTER: {pat!r} ({ex})"
+                ) from ex
+            return ("regex", operand, compiled)
         left = parse_operand()
         op = take()
         if op not in ("=", "!=", "<", "<=", ">", ">="):
@@ -509,6 +710,74 @@ def _try_eval(node, binding):
         return _eval_filter(node, binding)
     except _FilterUnbound:
         return None
+
+
+def _str_form(term) -> str:
+    """SPARQL STR(): IRI → its string, literal → its lexical form."""
+    if isinstance(term, IriNode):
+        return term.value
+    if isinstance(term, LitNode):
+        return term.lexical
+    return str(term)
+
+
+def _eval_bind_expr(node, binding):
+    """Evaluate a BIND expression AST to a term; unbound vars raise
+    _FilterUnbound (the caller leaves the target var unbound)."""
+    kind = node[0]
+    if kind == "var":
+        term = binding.get(node[1])
+        if term is None:
+            raise _FilterUnbound(node[1])
+        return term
+    if kind == "numlit":
+        return LitNode(node[1])
+    if kind == "iri":
+        return IriNode(node[1])
+    if kind == "lit":
+        return LitNode(node[1], lang=node[2])
+    # fn
+    fn, args = node[1], [_eval_bind_expr(a, binding) for a in node[2]]
+    if fn == "STR":
+        return LitNode(_str_form(args[0]))
+    if fn == "CONCAT":
+        return LitNode("".join(_str_form(a) for a in args))
+    if fn == "UCASE":
+        return LitNode(_str_form(args[0]).upper())
+    if fn == "LCASE":
+        return LitNode(_str_form(args[0]).lower())
+    return LitNode(str(len(_str_form(args[0]))))  # STRLEN
+
+
+def _order_key(term):
+    """Total order for ORDER BY: unbound < IRIs < numeric literals <
+    other literals; numeric-aware inside literals, else lexical.
+    Positionally type-stable so mixed rows always compare."""
+    if term is None:
+        return (0, "", 0.0, "")
+    if isinstance(term, IriNode):
+        return (1, term.value, 0.0, "")
+    lex = term.lexical
+    try:
+        return (2, "", float(lex), lex)
+    except (TypeError, ValueError):
+        return (3, lex, 0.0, term.lang or "")
+
+
+def _compatible_shares(b: Dict[str, object], m: Dict[str, object]) -> bool:
+    """MINUS test: b and m agree on every shared bound var AND share at
+    least one (domain-disjoint solutions remove nothing, per SPARQL)."""
+    shared = False
+    for k, v in m.items():
+        if v is None:
+            continue
+        bv = b.get(k)
+        if bv is None:
+            continue
+        if bv != v:
+            return False
+        shared = True
+    return shared
 
 
 def _term_key(t):
@@ -729,6 +998,50 @@ class MiniGraph:
                 for b in bindings:
                     nxt.extend(self._eval_group(el[1], [b]))
                 bindings = nxt
+            elif kind == "minus":
+                # SPARQL algebra: the MINUS group is evaluated
+                # INDEPENDENTLY — outer bindings do not flow in
+                m_solutions = self._eval_group(el[1], [{}])
+                bindings = [
+                    b
+                    for b in bindings
+                    if not any(_compatible_shares(b, m) for m in m_solutions)
+                ]
+            elif kind == "bind":
+                _, expr, var = el
+                nxt = []
+                for b in bindings:
+                    if b.get(var) is not None:
+                        raise ProcessorException(
+                            f"BIND target ?{var} is already bound"
+                        )
+                    nb = dict(b)
+                    try:
+                        nb[var] = _eval_bind_expr(expr, b)
+                    except _FilterUnbound:
+                        pass  # expression error: var stays unbound
+                    nxt.append(nb)
+                bindings = nxt
+            elif kind == "values":
+                _, vars_, rows = el
+                nxt = []
+                for b in bindings:
+                    for row in rows:
+                        nb = dict(b)
+                        ok = True
+                        for v, spec in zip(vars_, row):
+                            if spec is None:  # UNDEF joins with anything
+                                continue
+                            t = self._const_term(spec)
+                            prev = nb.get(v)
+                            if prev is None:
+                                nb[v] = t
+                            elif prev != t:
+                                ok = False
+                                break
+                        if ok:
+                            nxt.append(nb)
+                bindings = nxt
             else:  # union — concatenation of the arms' extensions
                 nxt = []
                 for b in bindings:
@@ -744,8 +1057,15 @@ class MiniGraph:
         return bindings
 
     def query(self, where_clause: str) -> List[Dict[str, object]]:
-        selected, group, distinct, limit = parse_query(where_clause)
+        selected, group, distinct, limit, offset, order = parse_query(
+            where_clause
+        )
         bindings = self._eval_group(group, [{}])
+        # ORDER BY runs over the full bindings (keys need not be
+        # selected); stable per-key passes in reverse key order give the
+        # composite multi-key sort with mixed ASC/DESC directions.
+        for var, desc in reversed(order):
+            bindings.sort(key=lambda b: _order_key(b.get(var)), reverse=desc)
         if selected == ["*"]:
             names = sorted({k for b in bindings for k in b})
             rows = [{v: b.get(v) for v in names} for b in bindings]
@@ -760,6 +1080,8 @@ class MiniGraph:
                     seen.add(key)
                     deduped.append(r)
             rows = deduped
+        if offset is not None:
+            rows = rows[offset:]
         if limit is not None:
             rows = rows[:limit]
         return rows

@@ -332,21 +332,171 @@ class TestSolutionModifiers:
         out = TAX.query(PFX + "SELECT DISTINCT ?l WHERE { o:Nsaid rdfs:label ?l }")
         assert str(out[0]["l"]) == "nsaid"
 
-    def test_order_by_raises(self):
-        with pytest.raises(ProcessorException, match="LIMIT"):
+    def test_order_by_asc(self):
+        out = TAX.query(PFX + "SELECT ?l WHERE { ?s rdfs:label ?l } ORDER BY ?l")
+        assert [str(r["l"]) for r in out] == ["drug", "nsaid"]
+
+    def test_order_by_desc(self):
+        out = TAX.query(
+            PFX + "SELECT ?l WHERE { ?s rdfs:label ?l } ORDER BY DESC(?l)"
+        )
+        assert [str(r["l"]) for r in out] == ["nsaid", "drug"]
+
+    def test_order_by_numeric_not_lexicographic(self):
+        out = GRAPH.query(
+            "SELECT ?a WHERE { ?s <http://x/age> ?a } ORDER BY ?a"
+        )
+        # "7" < "19" < "34" numerically; lexical order would put "19" first
+        assert [str(r["a"]) for r in out] == ["7", "19", "34"]
+
+    def test_order_by_unselected_var_and_offset_limit(self):
+        out = GRAPH.query(
+            "SELECT ?n WHERE { ?s <http://x/age> ?a . ?s <http://x/name> ?n } "
+            "ORDER BY DESC(?a) OFFSET 1 LIMIT 1"
+        )
+        assert names(out) == ["carol"]
+
+    def test_offset_beyond_rows_is_empty(self):
+        out = TAX.query(
+            PFX + "SELECT ?l WHERE { ?s rdfs:label ?l } ORDER BY ?l OFFSET 9"
+        )
+        assert out == []
+
+    def test_limit_offset_either_order(self):
+        a = TAX.query(
+            PFX + "SELECT ?l WHERE { ?s rdfs:label ?l } ORDER BY ?l LIMIT 1 OFFSET 1"
+        )
+        b = TAX.query(
+            PFX + "SELECT ?l WHERE { ?s rdfs:label ?l } ORDER BY ?l OFFSET 1 LIMIT 1"
+        )
+        assert [str(r["l"]) for r in a] == [str(r["l"]) for r in b] == ["nsaid"]
+
+    def test_multi_key_order_mixed_directions(self):
+        out = TAX.query(
+            PFX + "SELECT ?s ?c WHERE { ?s rdfs:subClassOf+ ?c } "
+            "ORDER BY ?s DESC(?c)"
+        )
+        got = [(str(r["s"]), str(r["c"])) for r in out]
+        assert got == [
+            ("http://o/Analgesic", "http://o/Drug"),
+            ("http://o/Nsaid", "http://o/Drug"),
+            ("http://o/Nsaid", "http://o/Analgesic"),
+        ]
+
+
+class TestValues:
+    def test_single_var_values_restricts(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { VALUES ?c { o:Nsaid o:Analgesic } ?s a ?c }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin", "http://o/paracetamol"]
+
+    def test_values_after_pattern_joins(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s a ?c VALUES ?c { o:Nsaid } }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin"]
+
+    def test_multi_var_values_with_undef(self):
+        out = GRAPH.query(
+            "SELECT ?n ?a WHERE { "
+            'VALUES (?n ?a) { ("Bob" "7") ("carol" UNDEF) } '
+            "?s <http://x/name> ?n . ?s <http://x/age> ?a }"
+        )
+        got = sorted((str(r["n"]), str(r["a"])) for r in out)
+        assert got == [("Bob", "7"), ("carol", "19")]
+
+    def test_values_numeric_token(self):
+        out = GRAPH.query(
+            "SELECT ?s WHERE { VALUES ?a { 7 } ?s <http://x/age> ?a }"
+        )
+        assert [str(r["s"]) for r in out] == ["http://x/bob"]
+
+    def test_values_arity_mismatch_raises(self):
+        with pytest.raises(ProcessorException, match="arity"):
+            GRAPH.query(
+                'SELECT ?s WHERE { VALUES (?a ?b) { ("x") } ?s <http://x/name> ?a }'
+            )
+
+
+class TestMinus:
+    def test_minus_removes_compatible(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s a ?c MINUS { ?s a o:Nsaid } }"
+        )
+        assert iris(out, "s") == ["http://o/paracetamol"]
+
+    def test_minus_group_does_not_see_outer_bindings(self):
+        # the MINUS pattern's ?x is a FRESH scope: it binds to every
+        # subclass edge independently, and shares no var with the outer
+        # solution → domain-disjoint → removes nothing (SPARQL semantics)
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s a o:Nsaid MINUS { ?x rdfs:subClassOf ?y } }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin"]
+
+    def test_minus_via_shared_var_through_path(self):
+        # drop the classes that are a direct subclass of Analgesic (Nsaid)
+        out = TAX.query(
+            PFX + "SELECT DISTINCT ?c WHERE { ?s a ?c "
+            "MINUS { ?c rdfs:subClassOf ?sup FILTER (?sup = o:Analgesic) } }"
+        )
+        assert iris(out, "c") == ["http://o/Analgesic"]
+
+
+class TestBind:
+    def test_bind_literal_and_var_copy(self):
+        out = TAX.query(
+            PFX + 'SELECT ?y WHERE { o:Nsaid rdfs:label ?l BIND (?l AS ?y) }'
+        )
+        assert [str(r["y"]) for r in out] == ["nsaid"]
+
+    def test_bind_str_of_iri(self):
+        out = TAX.query(
+            PFX + "SELECT ?y WHERE { ?s a o:Nsaid BIND (STR(?s) AS ?y) }"
+        )
+        assert [str(r["y"]) for r in out] == ["http://o/aspirin"]
+
+    def test_bind_concat_ucase_lcase_strlen(self):
+        out = TAX.query(
+            PFX + "SELECT ?y WHERE { o:Nsaid rdfs:label ?l "
+            'BIND (CONCAT("N=", UCASE(?l), "/", STRLEN(?l)) AS ?y) }'
+        )
+        assert [str(r["y"]) for r in out] == ["N=NSAID/5"]
+
+    def test_bind_unbound_var_leaves_target_unbound(self):
+        out = TAX.query(
+            PFX + "SELECT ?s ?y WHERE { ?s a o:Nsaid "
+            "OPTIONAL { ?s rdfs:label ?l } BIND (UCASE(?l) AS ?y) }"
+        )
+        assert len(out) == 1 and out[0]["y"] is None
+
+    def test_bind_already_bound_raises(self):
+        with pytest.raises(ProcessorException, match="already bound"):
             TAX.query(
-                PFX + "SELECT ?l WHERE { ?s rdfs:label ?l } ORDER BY ?l"
+                PFX + 'SELECT ?l WHERE { o:Nsaid rdfs:label ?l BIND ("x" AS ?l) }'
+            )
+
+    def test_bind_then_filter_on_bound_var(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s rdfs:label ?l "
+            'BIND (UCASE(?l) AS ?u) FILTER (regex(?u, "^NS")) }'
+        )
+        assert iris(out, "s") == ["http://o/Nsaid"]
+
+    def test_bad_regex_in_filter_raises(self):
+        with pytest.raises(ProcessorException, match="invalid regex"):
+            TAX.query(
+                PFX + 'SELECT ?s WHERE { ?s rdfs:label ?l FILTER (regex(?l, "[")) }'
             )
 
 
 class TestUnsupportedConstructsStillRaise:
-    def test_bind_raises(self):
-        with pytest.raises(ProcessorException, match="BIND"):
-            TAX.query(PFX + 'SELECT ?s WHERE { ?s a o:Nsaid . BIND ("x" AS ?y) }')
-
-    def test_values_raises(self):
-        with pytest.raises(ProcessorException, match="VALUES"):
-            TAX.query(PFX + "SELECT ?s WHERE { VALUES ?s { o:a } ?s a o:Nsaid }")
+    def test_subquery_raises(self):
+        with pytest.raises(ProcessorException, match="SELECT"):
+            TAX.query(
+                PFX + "SELECT ?s WHERE { { SELECT ?s WHERE { ?s a o:Nsaid } } }"
+            )
 
     def test_junk_raises(self):
         with pytest.raises(ProcessorException):
