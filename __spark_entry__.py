@@ -724,6 +724,41 @@ def q_kg_select_modifiers(spark, sf_dir):
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+WF_SELECT_SUBQ = """
+- desc: select with a bottom-up subquery (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- select: s
+  from: ont
+  where: 'PREFIX ex: <http://example.org/kg/> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> SELECT ?s WHERE { { SELECT DISTINCT ?c WHERE { ?x rdfs:subClassOf ?c } ORDER BY ?c LIMIT 2 } ?s a/rdfs:subClassOf* ?c }'
+  do:
+    - subject: ex:doc_@{doc}
+      predicate: prop:reach
+      object:
+        iri: '@{s}'
+"""
+
+
+def q_kg_select_subquery(spark, sf_dir):
+    """select: with a SPARQL subquery under the gate: the inner
+    ``SELECT DISTINCT ?c ... ORDER BY ?c LIMIT 2`` is evaluated
+    bottom-up (superclass targets {AccessOp, Operator} — the first two
+    subClassOf objects in IRI order), then the outer ``?s a/subClassOf*
+    ?c`` joins against just the projected ?c. Hand-checked closure:
+    op_scan reaches AccessOp and Operator, op_join reaches Operator;
+    op_sort types via altType (not ``a``) and MergeOp has no subclass
+    edge, so neither appears."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(
+        pages,
+        [compile_workflow(WF_SELECT_SUBQ, "wf_selsub")],
+        graphs={"ont": SELECT_UNION_GRAPH},
+    )
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_kg_sideoutputs(spark, sf_dir):
     """any-of first-success + dump-to-file (texts column) + save-as
     (saved_as column) under the gate — the OutputHandler side channels
@@ -1332,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_withset": q_kg_withset,
         "kg_select_union": q_kg_select_union,
         "kg_select_modifiers": q_kg_select_modifiers,
+        "kg_select_subquery": q_kg_select_subquery,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
@@ -1825,6 +1861,19 @@ SELECT DISTINCT
   'literal' AS obj_kind,
   'http://example.org/kg/' || l AS obj_lexical
 FROM m JOIN cls USING (op)
+""",
+        # subquery gate: the inner SELECT DISTINCT ?c ORDER BY ?c LIMIT 2
+        # picks {AccessOp, Operator}; only op_scan (a ScanOp, ScanOp ⊑
+        # AccessOp ⊑ Operator) and op_join (a JoinOp ⊑ RelationalOp ⊑
+        # Operator) reach those via a/subClassOf* — every document emits
+        # the same two reach triples
+        "kg_select_subquery": r"""
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/reach' AS pred,
+  'iri' AS obj_kind,
+  'http://example.org/kg/' || s AS obj_lexical
+FROM documents CROSS JOIN (VALUES ('op_join'), ('op_scan')) AS t(s)
 """,
         "kg_sideoutputs": r"""
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'text' AS kind,

@@ -51,10 +51,15 @@ Supported query subset (sufficient for workflow-style ontology lookups):
   numeric-aware comparison), ``OFFSET n``, ``LIMIT n`` (LIMIT/OFFSET
   accepted in either order, applied offset-then-limit as in SPARQL).
 
-Still unsupported (raises, never silently drops): subqueries, GRAPH,
-SERVICE, negated property sets ``!(...)``, aggregates / GROUP BY.
-Workflows needing those should pre-materialize the lookup as mapping
-pairs instead.
+* subqueries ``{ SELECT [DISTINCT] ?v... WHERE { ... } [ORDER BY ...]
+  [LIMIT n] [OFFSET n] }`` — evaluated bottom-up on an empty binding
+  (SPARQL semantics), then only the projected variables join outward
+  against the enclosing group's bindings.
+
+Still unsupported (raises, never silently drops): GRAPH, SERVICE,
+negated property sets ``!(...)``, aggregates / GROUP BY. Workflows
+needing those should pre-materialize the lookup as mapping pairs
+instead.
 """
 
 from __future__ import annotations
@@ -123,6 +128,10 @@ _KW_AT = {
     for kw in ("OPTIONAL", "FILTER", "UNION", "MINUS", "BIND", "VALUES", "UNDEF")
 }
 _UNSUPPORTED_KW = re.compile(r"(?i)^(SELECT|GRAPH|SERVICE)(?![\w:-])")
+_SUBSELECT_HEAD = re.compile(
+    r"(?is)\s*SELECT\s+(DISTINCT\s+)?((?:\?[A-Za-z_][\w-]*\s*)+|\*)\s*WHERE\s*\{"
+)
+_MOD_AT = re.compile(r"(?is)\s*(ORDER\s+BY|LIMIT|OFFSET)\b")
 
 
 class _Cur:
@@ -392,6 +401,65 @@ def _parse_values(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
     return ("values", vars_, rows)
 
 
+def _parse_subselect(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
+    """``SELECT [DISTINCT] ?v..|* WHERE { group } [modifiers]`` inside a
+    group, cursor positioned at SELECT → ('subselect', sel, group,
+    distinct?, limit, offset, order)."""
+    m = _SUBSELECT_HEAD.match(cur.s, cur.i)
+    if m is None:
+        raise ProcessorException(
+            f"Cannot parse subquery SELECT near "
+            f"{cur.s[cur.i:cur.i + 40]!r} in: {cur.ctx!r}"
+        )
+    distinct = m.group(1) is not None
+    sel_src = m.group(2).strip()
+    sel = (
+        ["*"]
+        if sel_src == "*"
+        else [v.lstrip("?") for v in re.split(r"\s+", sel_src) if v]
+    )
+    cur.i = m.end()
+    group = _parse_group(cur, prefixes)
+    cur.expect("}")
+    # in-cursor modifiers: stop at the subquery's closing brace
+    order: List[Tuple[str, bool]] = []
+    limit = offset = None
+    while True:
+        km = _MOD_AT.match(cur.s, cur.i)
+        if km is None:
+            break
+        kw = re.sub(r"\s+", " ", km.group(1).upper())
+        cur.i = km.end()
+        if kw == "ORDER BY":
+            while True:
+                om = _ORDER_KEY.match(cur.s, cur.i)
+                if om is None:
+                    break
+                order.append(
+                    (
+                        om.group(2) or om.group(3),
+                        (om.group(1) or "").upper() == "DESC",
+                    )
+                )
+                cur.i = om.end()
+            if not order:
+                raise ProcessorException(f"Empty ORDER BY in: {cur.ctx!r}")
+        else:
+            nm = re.match(r"\s*(\d+)", cur.s[cur.i:])
+            if nm is None:
+                raise ProcessorException(f"{kw} needs a number in: {cur.ctx!r}")
+            if kw == "LIMIT":
+                if limit is not None:
+                    raise ProcessorException(f"Duplicate LIMIT in: {cur.ctx!r}")
+                limit = int(nm.group(1))
+            else:
+                if offset is not None:
+                    raise ProcessorException(f"Duplicate OFFSET in: {cur.ctx!r}")
+                offset = int(nm.group(1))
+            cur.i += nm.end()
+    return ("subselect", sel, group, distinct, limit, offset, order)
+
+
 def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
     elements: List[tuple] = []
     filters: List[tuple] = []
@@ -437,6 +505,10 @@ def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
         if ch == "{":
             flush()
             cur.i += 1
+            if re.match(r"(?is)\s*SELECT\b", cur.s[cur.i:]):
+                elements.append(_parse_subselect(cur, prefixes))
+                cur.expect("}")
+                continue
             arms = [_parse_group(cur, prefixes)]
             cur.expect("}")
             while cur.try_kw("UNION"):
@@ -1042,6 +1114,28 @@ class MiniGraph:
                         if ok:
                             nxt.append(nb)
                 bindings = nxt
+            elif kind == "subselect":
+                # SPARQL subquery: evaluated bottom-up on an empty
+                # binding; only the projected vars join outward
+                _, sel, sub, distinct, limit, offset, order = el
+                rows = self._solve(sub, sel, distinct, limit, offset, order)
+                nxt = []
+                for b in bindings:
+                    for row in rows:
+                        nb = dict(b)
+                        ok = True
+                        for v, t in row.items():
+                            if t is None:
+                                continue
+                            prev = nb.get(v)
+                            if prev is None:
+                                nb[v] = t
+                            elif prev != t:
+                                ok = False
+                                break
+                        if ok:
+                            nxt.append(nb)
+                bindings = nxt
             else:  # union — concatenation of the arms' extensions
                 nxt = []
                 for b in bindings:
@@ -1056,10 +1150,11 @@ class MiniGraph:
             bindings = [b for b in bindings if _try_eval(f, b)]
         return bindings
 
-    def query(self, where_clause: str) -> List[Dict[str, object]]:
-        selected, group, distinct, limit, offset, order = parse_query(
-            where_clause
-        )
+    def _solve(
+        self, group: _Group, selected, distinct, limit, offset, order
+    ) -> List[Dict[str, object]]:
+        """Evaluate a group on an empty binding and apply the solution
+        modifiers: ORDER BY → projection → DISTINCT → OFFSET → LIMIT."""
         bindings = self._eval_group(group, [{}])
         # ORDER BY runs over the full bindings (keys need not be
         # selected); stable per-key passes in reverse key order give the
@@ -1085,6 +1180,12 @@ class MiniGraph:
         if limit is not None:
             rows = rows[:limit]
         return rows
+
+    def query(self, where_clause: str) -> List[Dict[str, object]]:
+        selected, group, distinct, limit, offset, order = parse_query(
+            where_clause
+        )
+        return self._solve(group, selected, distinct, limit, offset, order)
 
 
 # ---------------------------------------------------------------------------

@@ -491,11 +491,61 @@ class TestBind:
             )
 
 
+class TestSubquery:
+    def test_basic_subquery_joins_outward(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { { SELECT ?s WHERE { ?s a o:Nsaid } } }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin"]
+
+    def test_subquery_with_order_and_limit(self):
+        # top-1 label by DESC order, computed bottom-up inside the subquery
+        out = TAX.query(
+            PFX + "SELECT ?x ?l WHERE { "
+            "{ SELECT ?l WHERE { ?y rdfs:label ?l } ORDER BY DESC(?l) LIMIT 1 } "
+            "?x rdfs:label ?l }"
+        )
+        got = [(str(r["x"]), str(r["l"])) for r in out]
+        assert got == [("http://o/Nsaid", "nsaid")]
+
+    def test_subquery_projection_hides_inner_vars(self):
+        # the subquery binds ?c internally but projects only ?s, so the
+        # outer ?c is fresh and ranges over aspirin's classes
+        out = TAX.query(
+            PFX + "SELECT ?s ?c WHERE { "
+            '{ SELECT ?s WHERE { ?s a ?c . FILTER (regex(?c, "Nsaid")) } } '
+            "?s a ?c }"
+        )
+        got = [(str(r["s"]), str(r["c"])) for r in out]
+        assert got == [("http://o/aspirin", "http://o/Nsaid")]
+
+    def test_subquery_joins_on_shared_var_with_preceding_pattern(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s a ?c . "
+            "{ SELECT DISTINCT ?c WHERE { ?c rdfs:subClassOf o:Analgesic } } }"
+        )
+        assert iris(out, "s") == ["http://o/aspirin"]
+
+    def test_subquery_distinct_offset(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { "
+            "{ SELECT DISTINCT ?c WHERE { ?s rdfs:subClassOf+ ?c } "
+            "ORDER BY ?c OFFSET 1 } }"
+        )
+        assert iris(out, "c") == ["http://o/Drug"]
+
+
 class TestUnsupportedConstructsStillRaise:
-    def test_subquery_raises(self):
-        with pytest.raises(ProcessorException, match="SELECT"):
+    def test_graph_raises(self):
+        with pytest.raises(ProcessorException, match="GRAPH"):
             TAX.query(
-                PFX + "SELECT ?s WHERE { { SELECT ?s WHERE { ?s a o:Nsaid } } }"
+                PFX + "SELECT ?s WHERE { GRAPH <http://g> { ?s a o:Nsaid } }"
+            )
+
+    def test_service_raises(self):
+        with pytest.raises(ProcessorException, match="SERVICE"):
+            TAX.query(
+                PFX + "SELECT ?s WHERE { SERVICE <http://ep> { ?s a o:Nsaid } }"
             )
 
     def test_junk_raises(self):
