@@ -26,6 +26,7 @@ from cmc_knowledge_graph_text2ttl_spark.operators.best import select_best_workfl
 from cmc_knowledge_graph_text2ttl_spark.operators import dedup as D
 from cmc_knowledge_graph_text2ttl_spark.operators import similarity as SIM
 from cmc_knowledge_graph_text2ttl_spark.operators import textstats as TS
+from cmc_knowledge_graph_text2ttl_spark.operators import traindata as TD
 from cmc_knowledge_graph_text2ttl_spark.operators.canonicalize import (
     connected_components,
 )
@@ -1033,6 +1034,38 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window training-sample chunking under the gate: 32-word
+    windows, stride 16, short tails kept, integer-div chunk count (float
+    ceil is not engine-stable)."""
+    return TD.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment under the gate: the md5
+    bucket is a pure function of the id, so membership never reshuffles
+    across runs, engines, or corpus growth."""
+    return TD.assign_split(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("id"), "bucket", "split"
+    )
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Reproducible 25% hash subsample under the gate (md5 bucket mod
+    10000 < 2500) — unlike DataFrame.sample, the kept set is independent
+    of partitioning."""
+    return TD.deterministic_sample(_docs(spark, sf_dir), 2_500).select(
+        F.col("doc_id").alias("id")
+    )
+
+
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary top-100 by term frequency (token tie-break)
+    under the gate: two map-side-combinable aggregations, top-k as
+    TakeOrderedAndProject."""
+    return TD.corpus_vocabulary(_docs(spark, sf_dir), top_k=100)
+
+
 def q_corpus_report(spark, sf_dir):
     """The corpus curation SUMMARY under the gate: totals, keep/drop
     split, per-reason drop counts and language mix as one tall integer
@@ -1390,6 +1423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_filter": q_corpus_filter,
         "corpus_report": q_corpus_report,
+        "text_chunks": q_text_chunks,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "text_vocab": q_text_vocab,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2108,6 +2145,59 @@ FROM documents, LATERAL (
   SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
 )
 GROUP BY doc_id
+""",
+        # sliding 32-word windows, stride 16: chunk i covers words
+        # [i*16+1, i*16+32] (1-based inclusive slices clamp at the end on
+        # both engines); chunk count = 1 + ceil((n-32)/16) via the
+        # positive-numerator integer-div trick, matching Spark's `div`
+        "text_chunks": r"""
+WITH w AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+), n AS (
+  SELECT id, words, len(words) AS nw FROM w
+), c AS (
+  SELECT id, words,
+         unnest(generate_series(
+           0, CASE WHEN nw <= 32 THEN 0 ELSE (nw - 32 + 16 - 1) // 16 END
+         )) AS chunk_id
+  FROM n
+)
+SELECT id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(words[chunk_id*16+1 : chunk_id*16+32]) AS INTEGER) AS n_words,
+       array_to_string(words[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text
+FROM c
+""",
+        "corpus_split": """
+SELECT id, CAST(bucket AS INTEGER) AS bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+""",
+        "corpus_sample": """
+SELECT doc_id AS id FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2500
+""",
+        "text_vocab": r"""
+WITH per_doc AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), pd AS (
+  SELECT doc_id, token, COUNT(*) AS n FROM per_doc GROUP BY doc_id, token
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(SUM(n) AS BIGINT) AS term_freq
+FROM pd GROUP BY token
+ORDER BY term_freq DESC, token ASC
+LIMIT 100
 """,
         "text_repetition": r"""
 WITH base AS (

@@ -1,0 +1,160 @@
+"""Training-sample construction operators: sliding-window chunking,
+deterministic corpus splits, hash sampling, corpus vocabulary.
+
+These are the steps between a filtered corpus and a training run: cut
+documents into model-window-sized pieces, assign stable train/val/test
+splits, draw reproducible subsamples, and build the token/vocabulary
+statistics tokenizer training needs. No reference counterpart (the
+reference stops at TTL emission); the scale contract is the same as the
+rest of the engine: pure column expressions (whole-stage codegen, no
+Python UDFs), map-side-combinable aggregations, and md5-derived hashing
+so every result is bit-reproducible against the DuckDB oracle
+(conv(substr(md5(x),1,8),16,10) == ('0x'||substr(md5(x),1,8))::BIGINT).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+
+__all__ = [
+    "chunk_documents",
+    "assign_split",
+    "deterministic_sample",
+    "corpus_vocabulary",
+]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Cut each document into sliding word windows →
+    (id, chunk_id, n_words, chunk_text).
+
+    Chunk ``i`` covers words ``[i*stride, i*stride + window)``; the last
+    chunk may be shorter, and a document with at most ``window`` words
+    yields exactly one chunk. Chunk count is
+    ``1 + max(0, n - window + stride - 1) div stride`` — integer
+    arithmetic on both engines (float ceil() is not partition- or
+    engine-stable). Empty documents yield no chunks.
+
+    Scale shape: per-row explode only — no shuffle; the word array is
+    built once per document and sliced per chunk, so a 100-TB corpus
+    chunks embarrassingly parallel.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    t = F.trim(F.col(text_col))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), words.alias("_words"), F.size(words).alias("_n")
+    )
+    # `div` truncates toward zero; the CASE keeps the ceil-trick's
+    # numerator strictly positive so truncation == ceiling
+    max_i = F.expr(
+        f"CASE WHEN _n <= {window} THEN 0 "
+        f"ELSE (_n - {window} + {stride} - 1) div {stride} END"
+    )
+    chunks = base.select(
+        "id",
+        "_words",
+        "_n",
+        F.explode(
+            F.when(F.col("_n") > 0, F.sequence(F.lit(0), max_i)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_words"), F.col("chunk_id") * stride + 1, window)
+    return chunks.select(
+        "id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_words"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Dict[str, int] | None = None,
+) -> DataFrame:
+    """Stable train/val/test assignment → df + (bucket, split).
+
+    ``weights`` maps split name → integer percent (must sum to 100);
+    default 90/5/5. The bucket is the first 32 md5 bits of the id mod
+    100, so membership is a pure function of the id: re-runs, engine
+    changes, and corpus growth never reshuffle existing documents across
+    splits (the property that keeps eval sets uncontaminated as the
+    corpus is re-crawled). Split boundaries are cumulative-percent
+    ranges in insertion order of ``weights``.
+    """
+    if weights is None:
+        weights = {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    bucket = (md5_int(F.col(id_col).cast("string")) % 100).cast("int")
+    expr = None
+    lo = 0
+    for name, pct in weights.items():
+        cond = F.col("bucket") < F.lit(lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, rate_bp: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible ``rate_bp``/10000 subsample (basis points, so 250 =
+    2.5%). Keeps rows whose md5 bucket (mod 10000) falls below the rate
+    — the same documents are kept on every engine and every run, unlike
+    ``DataFrame.sample`` whose output depends on partitioning.
+    """
+    if not 0 <= rate_bp <= 10_000:
+        raise ValueError("rate_bp must be in [0, 10000]")
+    return df.where(md5_int(F.col(id_col).cast("string")) % 10_000 < rate_bp)
+
+
+def corpus_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary → (token, doc_freq, term_freq), the ``top_k``
+    tokens by term frequency (ties broken by token, so the cut is
+    deterministic).
+
+    Two-level aggregation: per-(doc, token) counts first, then the
+    global rollup — both map-side combinable, and the shuffle carries
+    per-document vocabularies (bounded by document length), never raw
+    token streams. The final top-k compiles to TakeOrderedAndProject,
+    not a global sort.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    per_doc = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            F.sum("n").cast("bigint").alias("term_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

@@ -1,0 +1,167 @@
+"""Training-sample construction ops (operators/traindata.py): sliding
+chunking, deterministic split/sample, corpus vocabulary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cmc_knowledge_graph_text2ttl_spark.operators import traindata as td
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _chunks(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = td.chunk_documents(df, **kw).orderBy("id", "chunk_id").collect()
+    return [(r.id, r.chunk_id, r.n_words, r.chunk_text) for r in out]
+
+
+class TestChunkDocuments:
+    def test_short_doc_single_chunk(self, spark):
+        got = _chunks(spark, ["a b c"], window=5, stride=2)
+        assert got == [(0, 0, 3, "a b c")]
+
+    def test_exact_window_single_chunk(self, spark):
+        got = _chunks(spark, ["a b c d e"], window=5, stride=2)
+        assert got == [(0, 0, 5, "a b c d e")]
+
+    def test_sliding_overlap_and_short_tail(self, spark):
+        # 7 words, window 4 stride 2 → starts 0,2,4 (ceil((7-4)/2)=2)
+        got = _chunks(spark, ["w0 w1 w2 w3 w4 w5 w6"], window=4, stride=2)
+        assert got == [
+            (0, 0, 4, "w0 w1 w2 w3"),
+            (0, 1, 4, "w2 w3 w4 w5"),
+            (0, 2, 3, "w4 w5 w6"),
+        ]
+
+    def test_window_plus_one_adds_tail_chunk(self, spark):
+        got = _chunks(spark, ["a b c d e f"], window=5, stride=5)
+        assert got == [(0, 0, 5, "a b c d e"), (0, 1, 1, "f")]
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        got = _chunks(spark, ["", "   ", "x"], window=4, stride=2)
+        assert got == [(2, 0, 1, "x")]
+
+    def test_every_word_covered_and_stride_spacing(self, spark, docs):
+        out = td.chunk_documents(docs, window=32, stride=16)
+        joined = (
+            out.groupBy("id")
+            .agg(
+                F.sum("n_words").alias("sum_words"),
+                F.max("chunk_id").alias("max_chunk"),
+                F.count(F.lit(1)).alias("n_chunks"),
+            )
+            .join(
+                docs.select(
+                    F.col("doc_id").alias("id"),
+                    F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+                ),
+                "id",
+            )
+        )
+        bad = joined.where(
+            (F.col("max_chunk") + 1 != F.col("n_chunks"))
+            | (
+                F.col("sum_words")
+                != F.col("n") + 16 * F.greatest(F.lit(0), F.col("max_chunk"))
+            )
+        )
+        # overlap accounting: each chunk after the first re-reads
+        # window-stride=16 words, except nothing is re-read past the end
+        # — with stride 16 and full windows the double-counted words are
+        # exactly 16 per extra chunk
+        assert bad.count() == 0
+
+    def test_bad_params_raise(self, spark, docs):
+        with pytest.raises(ValueError):
+            td.chunk_documents(docs, window=0)
+        with pytest.raises(ValueError):
+            td.chunk_documents(docs, stride=0)
+
+
+class TestAssignSplit:
+    def test_partition_is_total_and_stable(self, spark, docs):
+        out = td.assign_split(docs).cache()
+        assert out.where(F.col("split").isNull()).count() == 0
+        # pure function of the id: re-running yields identical assignment
+        a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+        b = {
+            r.doc_id: r.split
+            for r in td.assign_split(docs).select("doc_id", "split").collect()
+        }
+        assert a == b
+        out.unpersist()
+
+    def test_weights_roughly_respected(self, spark, docs):
+        out = td.assign_split(docs, weights={"train": 80, "val": 10, "test": 10})
+        counts = {r.split: r.cnt for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()}
+        n = sum(counts.values())
+        assert set(counts) == {"train", "val", "test"}
+        assert 0.7 < counts["train"] / n < 0.9
+
+    def test_split_membership_survives_corpus_growth(self, spark, docs):
+        # assignment of a doc must not depend on which other docs exist
+        half = docs.where(F.col("doc_id") % 2 == 0)
+        full_map = {
+            r.doc_id: r.split
+            for r in td.assign_split(docs).select("doc_id", "split").collect()
+        }
+        for r in td.assign_split(half).select("doc_id", "split").collect():
+            assert full_map[r.doc_id] == r.split
+
+    def test_bad_weights_raise(self, spark, docs):
+        with pytest.raises(ValueError):
+            td.assign_split(docs, weights={"train": 50, "val": 10})
+
+
+class TestDeterministicSample:
+    def test_rate_and_reproducibility(self, spark, docs):
+        s1 = sorted(r.doc_id for r in td.deterministic_sample(docs, 2_500).collect())
+        s2 = sorted(r.doc_id for r in td.deterministic_sample(docs, 2_500).collect())
+        assert s1 == s2
+        n = docs.count()
+        assert 0.15 * n < len(s1) < 0.35 * n
+
+    def test_nested_rates(self, spark, docs):
+        # a smaller sample is a subset of a bigger one (same hash order)
+        small = {r.doc_id for r in td.deterministic_sample(docs, 1_000).collect()}
+        big = {r.doc_id for r in td.deterministic_sample(docs, 5_000).collect()}
+        assert small <= big
+
+    def test_bounds(self, spark, docs):
+        assert td.deterministic_sample(docs, 0).count() == 0
+        assert td.deterministic_sample(docs, 10_000).count() == docs.count()
+        with pytest.raises(ValueError):
+            td.deterministic_sample(docs, 10_001)
+
+
+class TestCorpusVocabulary:
+    def test_counts_against_python(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b a"), (1, "b c"), (2, "a")], "doc_id int, text string"
+        )
+        got = {
+            r.token: (r.doc_freq, r.term_freq)
+            for r in td.corpus_vocabulary(df, top_k=10).collect()
+        }
+        assert got == {"a": (2, 3), "b": (2, 2), "c": (1, 1)}
+
+    def test_topk_order_and_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(0, "x y z z"), (1, "y x")], "doc_id int, text string"
+        )
+        rows = td.corpus_vocabulary(df, top_k=2).collect()
+        # x/y/z all have tf 2 → tie broken by token ascending
+        assert [r.token for r in rows] == ["x", "y"]
+
+    def test_topk_plan_is_take_ordered(self, spark, docs):
+        plan = td.corpus_vocabulary(docs, top_k=50)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
