@@ -760,6 +760,40 @@ def q_kg_select_subquery(spark, sf_dir):
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+WF_SELECT_AGG = """
+- desc: select with GROUP BY + COUNT aggregate (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b(join|scan|sort|merge)\\b'
+  as: op
+  do:
+    - select: t n
+      from: ont
+      where: 'PREFIX ex: <http://example.org/kg/> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> SELECT ?t (COUNT(?c) AS ?n) WHERE { { ex:op_@{op.1} a ?t } UNION { ex:op_@{op.1} ex:altType ?t } ?t rdfs:subClassOf* ?c } GROUP BY ?t'
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:depth
+          object: "^@{t}|@{n}"
+"""
+
+
+def q_kg_select_agg(spark, sf_dir):
+    """select: with a SPARQL aggregate under the gate: COUNT(?c) of the
+    rdfs:subClassOf* closure per typing class, GROUP BY ?t. Closure
+    sizes over SELECT_UNION_GRAPH: JoinOp/ScanOp/SortOp chains are 3
+    deep (self + parent + Operator), MergeOp has no subclass edge so
+    only the zero-length path counts (1)."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(
+        pages,
+        [compile_workflow(WF_SELECT_AGG, "wf_selagg")],
+        graphs={"ont": SELECT_UNION_GRAPH},
+    )
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_kg_sideoutputs(spark, sf_dir):
     """any-of first-success + dump-to-file (texts column) + save-as
     (saved_as column) under the gate — the OutputHandler side channels
@@ -1401,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_select_union": q_kg_select_union,
         "kg_select_modifiers": q_kg_select_modifiers,
         "kg_select_subquery": q_kg_select_subquery,
+        "kg_select_agg": q_kg_select_agg,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
@@ -1911,6 +1946,29 @@ SELECT DISTINCT
   'iri' AS obj_kind,
   'http://example.org/kg/' || s AS obj_lexical
 FROM documents CROSS JOIN (VALUES ('op_join'), ('op_scan')) AS t(s)
+""",
+        # aggregate gate: COUNT(?c) of the subClassOf* closure per typing
+        # class — Join/Scan/Sort chains are 3 deep, MergeOp counts only
+        # its zero-length path
+        "kg_select_agg": r"""
+WITH m AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|scan|sort|merge)\b')) AS op
+  FROM documents
+), depth AS (
+  SELECT * FROM (VALUES
+    ('join',  'http://example.org/kg/JoinOp|3'),
+    ('scan',  'http://example.org/kg/ScanOp|3'),
+    ('sort',  'http://example.org/kg/SortOp|3'),
+    ('merge', 'http://example.org/kg/MergeOp|1')
+  ) AS t(op, v)
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/depth' AS pred,
+  'literal' AS obj_kind,
+  v AS obj_lexical
+FROM m JOIN depth USING (op)
 """,
         "kg_sideoutputs": r"""
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, 'text' AS kind,

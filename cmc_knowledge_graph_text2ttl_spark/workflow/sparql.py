@@ -55,11 +55,18 @@ Supported query subset (sufficient for workflow-style ontology lookups):
   [LIMIT n] [OFFSET n] }`` — evaluated bottom-up on an empty binding
   (SPARQL semantics), then only the projected variables join outward
   against the enclosing group's bindings.
+* aggregates ``(COUNT(*)|COUNT([DISTINCT] ?v)|SUM|MIN|MAX|AVG(?v) AS
+  ?name)`` in the SELECT clause with ``GROUP BY ?v...`` (also in
+  subqueries). A plain selected var must appear in GROUP BY; with no
+  GROUP BY the solutions form one implicit group (COUNT over zero
+  solutions is 0, per SPARQL). COUNT yields an integer literal;
+  SUM/AVG skip non-numeric/unbound values and render integral results
+  without a decimal point; MIN/MAX use the ORDER BY term ordering.
+  HAVING is not supported (filter in an outer query instead).
 
 Still unsupported (raises, never silently drops): GRAPH, SERVICE,
-negated property sets ``!(...)``, aggregates / GROUP BY. Workflows
-needing those should pre-materialize the lookup as mapping pairs
-instead.
+negated property sets ``!(...)``, HAVING. Workflows needing those
+should pre-materialize the lookup as mapping pairs instead.
 """
 
 from __future__ import annotations
@@ -129,9 +136,52 @@ _KW_AT = {
 }
 _UNSUPPORTED_KW = re.compile(r"(?i)^(SELECT|GRAPH|SERVICE)(?![\w:-])")
 _SUBSELECT_HEAD = re.compile(
-    r"(?is)\s*SELECT\s+(DISTINCT\s+)?((?:\?[A-Za-z_][\w-]*\s*)+|\*)\s*WHERE\s*\{"
+    r"(?is)\s*SELECT\s+(DISTINCT\s+)?(.+?)\s*WHERE\s*\{"
 )
-_MOD_AT = re.compile(r"(?is)\s*(ORDER\s+BY|LIMIT|OFFSET)\b")
+_MOD_AT = re.compile(r"(?is)\s*(GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b")
+# selection items: (AGG(...) AS ?name) | ?var | *
+_SEL_ITEM = re.compile(
+    r"(?is)\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\?[A-Za-z_][\w-]*)\s*\)\s+AS\s+\?([A-Za-z_][\w-]*)\s*\)"
+    r"|\?([A-Za-z_][\w-]*)|(\*)"
+)
+_GROUP_VAR = re.compile(r"\s*\?([A-Za-z_][\w-]*)")
+
+
+def _parse_selection(sel_src: str, ctx: str):
+    """SELECT-clause items → ['*'] or a list of ('var', name) /
+    ('agg', FN, var|None, distinct?, outname)."""
+    sel_src = sel_src.strip()
+    if sel_src == "*":
+        return ["*"]
+    items: List[tuple] = []
+    pos = 0
+    while pos < len(sel_src):
+        m = _SEL_ITEM.match(sel_src, pos)
+        if m is None:
+            raise ProcessorException(
+                f"Cannot parse SELECT clause near {sel_src[pos:pos + 30]!r} "
+                f"in: {ctx!r}"
+            )
+        if m.group(6):
+            raise ProcessorException(
+                f"'*' cannot be mixed with other SELECT items in: {ctx!r}"
+            )
+        if m.group(5):
+            items.append(("var", m.group(5)))
+        else:
+            operand = m.group(3)
+            var = None if operand == "*" else operand[1:]
+            fn = m.group(1).upper()
+            if var is None and fn != "COUNT":
+                raise ProcessorException(f"{fn}(*) is not valid SPARQL in: {ctx!r}")
+            items.append(("agg", fn, var, m.group(2) is not None, m.group(4)))
+        pos = m.end()
+        while pos < len(sel_src) and sel_src[pos].isspace():
+            pos += 1
+    if not items:
+        raise ProcessorException(f"Empty SELECT clause in: {ctx!r}")
+    return items
 
 
 class _Cur:
@@ -412,16 +462,12 @@ def _parse_subselect(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
             f"{cur.s[cur.i:cur.i + 40]!r} in: {cur.ctx!r}"
         )
     distinct = m.group(1) is not None
-    sel_src = m.group(2).strip()
-    sel = (
-        ["*"]
-        if sel_src == "*"
-        else [v.lstrip("?") for v in re.split(r"\s+", sel_src) if v]
-    )
+    sel = _parse_selection(m.group(2), cur.ctx)
     cur.i = m.end()
     group = _parse_group(cur, prefixes)
     cur.expect("}")
     # in-cursor modifiers: stop at the subquery's closing brace
+    group_by: List[str] = []
     order: List[Tuple[str, bool]] = []
     limit = offset = None
     while True:
@@ -430,7 +476,16 @@ def _parse_subselect(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
             break
         kw = re.sub(r"\s+", " ", km.group(1).upper())
         cur.i = km.end()
-        if kw == "ORDER BY":
+        if kw == "GROUP BY":
+            while True:
+                gm = _GROUP_VAR.match(cur.s, cur.i)
+                if gm is None:
+                    break
+                group_by.append(gm.group(1))
+                cur.i = gm.end()
+            if not group_by:
+                raise ProcessorException(f"Empty GROUP BY in: {cur.ctx!r}")
+        elif kw == "ORDER BY":
             while True:
                 om = _ORDER_KEY.match(cur.s, cur.i)
                 if om is None:
@@ -457,7 +512,7 @@ def _parse_subselect(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
                     raise ProcessorException(f"Duplicate OFFSET in: {cur.ctx!r}")
                 offset = int(nm.group(1))
             cur.i += nm.end()
-    return ("subselect", sel, group, distinct, limit, offset, order)
+    return ("subselect", sel, group, distinct, limit, offset, order, group_by)
 
 
 def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
@@ -534,10 +589,23 @@ _ORDER_KEY = re.compile(
 
 
 def _parse_modifiers(tail: str, ctx: str):
-    """``[ORDER BY key+] [LIMIT n] [OFFSET n]`` (LIMIT/OFFSET either
-    order) → (order: [(var, desc?)], limit, offset)."""
+    """``[GROUP BY ?v+] [ORDER BY key+] [LIMIT n] [OFFSET n]``
+    (LIMIT/OFFSET either order) →
+    (group_by: [var], order: [(var, desc?)], limit, offset)."""
+    group_by: List[str] = []
     order: List[Tuple[str, bool]] = []
     limit = offset = None
+    m = re.match(r"(?is)\s*GROUP\s+BY\b", tail)
+    if m:
+        tail = tail[m.end():]
+        while True:
+            gm = _GROUP_VAR.match(tail)
+            if gm is None:
+                break
+            group_by.append(gm.group(1))
+            tail = tail[gm.end():]
+        if not group_by:
+            raise ProcessorException(f"Empty GROUP BY in: {ctx!r}")
     m = re.match(r"(?is)\s*ORDER\s+BY\b", tail)
     if m:
         tail = tail[m.end():]
@@ -568,12 +636,12 @@ def _parse_modifiers(tail: str, ctx: str):
         else:
             offset = int(lm.group(2))
         tail = tail[lm.end():]
-    return order, limit, offset
+    return group_by, order, limit, offset
 
 
 def parse_query(where_clause: str):
-    """Parse a SELECT query → (selected vars or ['*'], group AST,
-    distinct?, limit or None, offset or None, order keys)."""
+    """Parse a SELECT query → (selection items or ['*'], group AST,
+    distinct?, limit, offset, order keys, group-by vars)."""
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_DECL.finditer(where_clause)}
     body = _PREFIX_DECL.sub("", where_clause)
     m = _SELECT_WHERE.search(body)
@@ -587,10 +655,7 @@ def parse_query(where_clause: str):
     if dm:
         distinct = True
         sel_src = sel_src[dm.end():]
-    if sel_src.strip() == "*":
-        sel = ["*"]
-    else:
-        sel = [v.lstrip("?") for v in re.split(r"\s+", sel_src) if v]
+    sel = _parse_selection(sel_src, where_clause)
     cur = _Cur(m.group(2), where_clause)
     group = _parse_group(cur, prefixes)
     if cur.peek() != "":
@@ -598,8 +663,10 @@ def parse_query(where_clause: str):
             f"Trailing where-clause content {cur.s[cur.i:].strip()!r} "
             f"in: {where_clause!r}"
         )
-    order, limit, offset = _parse_modifiers(body[m.end():], where_clause)
-    return sel, group, distinct, limit, offset, order
+    group_by, order, limit, offset = _parse_modifiers(
+        body[m.end():], where_clause
+    )
+    return sel, group, distinct, limit, offset, order, group_by
 
 
 # ---------------------------------------------------------------------------
@@ -834,6 +901,46 @@ def _order_key(term):
         return (2, "", float(lex), lex)
     except (TypeError, ValueError):
         return (3, lex, 0.0, term.lang or "")
+
+
+def _fmt_num(x: float) -> str:
+    """Integral results render without a decimal point (SPARQL integer
+    arithmetic stays integer; also the partition-stable choice)."""
+    return str(int(x)) if float(x).is_integer() else repr(float(x))
+
+
+def _agg_value(fn: str, var: Optional[str], distinct: bool, bs: List[dict]):
+    """One aggregate over a solution group → term (or None = unbound)."""
+    if fn == "COUNT":
+        if var is None:
+            if distinct:
+                return LitNode(
+                    str(len({tuple(sorted(b.items())) for b in bs}))
+                )
+            return LitNode(str(len(bs)))
+        terms = [b.get(var) for b in bs if b.get(var) is not None]
+        return LitNode(str(len(set(terms)) if distinct else len(terms)))
+    terms = [b.get(var) for b in bs if b.get(var) is not None]
+    if distinct:
+        terms = list(set(terms))
+    if fn in ("MIN", "MAX"):
+        if not terms:
+            return None
+        pick = min if fn == "MIN" else max
+        return pick(terms, key=_order_key)
+    # SUM / AVG over the numeric literals; non-numeric values are skipped
+    nums = []
+    for t in terms:
+        if isinstance(t, LitNode):
+            try:
+                nums.append(float(t.lexical))
+            except (TypeError, ValueError):
+                pass
+    if fn == "SUM":
+        return LitNode(_fmt_num(sum(nums)))  # SUM over nothing is 0
+    if not nums:
+        return None  # AVG over nothing is an error → unbound
+    return LitNode(_fmt_num(sum(nums) / len(nums)))
 
 
 def _compatible_shares(b: Dict[str, object], m: Dict[str, object]) -> bool:
@@ -1117,8 +1224,10 @@ class MiniGraph:
             elif kind == "subselect":
                 # SPARQL subquery: evaluated bottom-up on an empty
                 # binding; only the projected vars join outward
-                _, sel, sub, distinct, limit, offset, order = el
-                rows = self._solve(sub, sel, distinct, limit, offset, order)
+                _, sel, sub, distinct, limit, offset, order, group_by = el
+                rows = self._solve(
+                    sub, sel, distinct, limit, offset, order, group_by
+                )
                 nxt = []
                 for b in bindings:
                     for row in rows:
@@ -1150,22 +1259,63 @@ class MiniGraph:
             bindings = [b for b in bindings if _try_eval(f, b)]
         return bindings
 
+    def _aggregate(self, bindings, selected, group_by: List[str]):
+        """GROUP BY + aggregate projection → one row per group, groups
+        in deterministic key order."""
+        for it in selected:
+            if it[0] == "var" and it[1] not in group_by:
+                raise ProcessorException(
+                    f"Selected variable ?{it[1]} must appear in GROUP BY "
+                    "when the query aggregates"
+                )
+        groups: Dict[tuple, list] = {}
+        for b in bindings:
+            groups.setdefault(tuple(b.get(v) for v in group_by), []).append(b)
+        if not group_by and not groups:
+            groups[()] = []  # the implicit group: COUNT over nothing is 0
+        rows = []
+        for key in sorted(
+            groups, key=lambda k: tuple(_order_key(t) for t in k)
+        ):
+            bs = groups[key]
+            row: Dict[str, object] = {}
+            for it in selected:
+                if it[0] == "var":
+                    row[it[1]] = key[group_by.index(it[1])]
+                else:
+                    _, fn, var, dist, out = it
+                    row[out] = _agg_value(fn, var, dist, bs)
+            rows.append(row)
+        return rows
+
     def _solve(
-        self, group: _Group, selected, distinct, limit, offset, order
+        self, group: _Group, selected, distinct, limit, offset, order,
+        group_by=(),
     ) -> List[Dict[str, object]]:
         """Evaluate a group on an empty binding and apply the solution
-        modifiers: ORDER BY → projection → DISTINCT → OFFSET → LIMIT."""
+        modifiers: GROUP BY/aggregate → ORDER BY → projection →
+        DISTINCT → OFFSET → LIMIT."""
         bindings = self._eval_group(group, [{}])
-        # ORDER BY runs over the full bindings (keys need not be
-        # selected); stable per-key passes in reverse key order give the
-        # composite multi-key sort with mixed ASC/DESC directions.
-        for var, desc in reversed(order):
-            bindings.sort(key=lambda b: _order_key(b.get(var)), reverse=desc)
-        if selected == ["*"]:
-            names = sorted({k for b in bindings for k in b})
-            rows = [{v: b.get(v) for v in names} for b in bindings]
+        has_agg = selected != ["*"] and any(it[0] == "agg" for it in selected)
+        if has_agg or group_by:
+            rows = self._aggregate(bindings, selected, list(group_by))
+            for var, desc in reversed(order):
+                rows.sort(key=lambda r: _order_key(r.get(var)), reverse=desc)
         else:
-            rows = [{v: b.get(v) for v in selected} for b in bindings]
+            # ORDER BY runs over the full bindings (keys need not be
+            # selected); stable per-key passes in reverse key order give
+            # the composite multi-key sort with mixed ASC/DESC directions.
+            for var, desc in reversed(order):
+                bindings.sort(
+                    key=lambda b: _order_key(b.get(var)), reverse=desc
+                )
+            if selected == ["*"]:
+                names = sorted({k for b in bindings for k in b})
+                rows = [{v: b.get(v) for v in names} for b in bindings]
+            else:
+                rows = [
+                    {it[1]: b.get(it[1]) for it in selected} for b in bindings
+                ]
         if distinct:
             seen = set()
             deduped = []
@@ -1182,10 +1332,10 @@ class MiniGraph:
         return rows
 
     def query(self, where_clause: str) -> List[Dict[str, object]]:
-        selected, group, distinct, limit, offset, order = parse_query(
+        sel, group, distinct, limit, offset, order, group_by = parse_query(
             where_clause
         )
-        return self._solve(group, selected, distinct, limit, offset, order)
+        return self._solve(group, sel, distinct, limit, offset, order, group_by)
 
 
 # ---------------------------------------------------------------------------

@@ -535,6 +535,104 @@ class TestSubquery:
         assert iris(out, "c") == ["http://o/Drug"]
 
 
+class TestAggregates:
+    def test_global_count_star(self):
+        out = TAX.query(
+            PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?s rdfs:subClassOf ?c }"
+        )
+        assert len(out) == 1 and str(out[0]["n"]) == "2"
+
+    def test_count_over_zero_solutions_is_zero(self):
+        out = TAX.query(
+            PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?s a o:Nothing }"
+        )
+        assert len(out) == 1 and str(out[0]["n"]) == "0"
+
+    def test_count_var_skips_unbound_and_distinct(self):
+        out = GRAPH.query(
+            "SELECT (COUNT(?k) AS ?n) WHERE { ?s <http://x/name> ?m . "
+            "OPTIONAL { ?s <http://x/nick> ?k } }"
+        )
+        assert str(out[0]["n"]) == "1"  # only alice has a nick
+        out2 = TAX.query(
+            PFX + "SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE "
+            "{ ?s rdfs:subClassOf+ ?c }"
+        )
+        assert str(out2[0]["n"]) == "2"  # Analgesic, Drug (3 raw rows)
+
+    def test_group_by_with_count(self):
+        out = TAX.query(
+            PFX + "SELECT ?s (COUNT(?c) AS ?n) WHERE "
+            "{ ?s rdfs:subClassOf+ ?c } GROUP BY ?s"
+        )
+        got = {str(r["s"]): str(r["n"]) for r in out}
+        assert got == {"http://o/Analgesic": "1", "http://o/Nsaid": "2"}
+
+    def test_min_max(self):
+        out = GRAPH.query(
+            "SELECT (MIN(?a) AS ?lo) (MAX(?a) AS ?hi) WHERE "
+            "{ ?s <http://x/age> ?a }"
+        )
+        # numeric term ordering: 7 < 19 < 34 (not lexical)
+        assert (str(out[0]["lo"]), str(out[0]["hi"])) == ("7", "34")
+
+    def test_sum_avg(self):
+        out = GRAPH.query(
+            "SELECT (SUM(?a) AS ?t) (AVG(?a) AS ?m) WHERE "
+            "{ ?s <http://x/age> ?a }"
+        )
+        assert (str(out[0]["t"]), str(out[0]["m"])) == ("60", "20")
+
+    def test_avg_over_nothing_is_unbound_sum_is_zero(self):
+        out = GRAPH.query(
+            "SELECT (SUM(?a) AS ?t) (AVG(?a) AS ?m) WHERE "
+            "{ ?s <http://x/age> ?b . FILTER (?b > 99) "
+            "OPTIONAL { ?s <http://x/none> ?a } }"
+        )
+        assert out[0]["m"] is None and str(out[0]["t"]) == "0"
+
+    def test_plain_var_must_be_grouped(self):
+        with pytest.raises(ProcessorException, match="GROUP BY"):
+            TAX.query(
+                PFX + "SELECT ?s (COUNT(?c) AS ?n) WHERE "
+                "{ ?s rdfs:subClassOf ?c }"
+            )
+
+    def test_order_by_aggregate_output(self):
+        out = TAX.query(
+            PFX + "SELECT ?s (COUNT(?c) AS ?n) WHERE "
+            "{ ?s rdfs:subClassOf+ ?c } GROUP BY ?s ORDER BY DESC(?n) LIMIT 1"
+        )
+        assert [str(r["s"]) for r in out] == ["http://o/Nsaid"]
+
+    def test_aggregate_subquery_joins_outward(self):
+        # the labelled class with exactly two transitive superclasses
+        out = TAX.query(
+            PFX + "SELECT ?l WHERE { "
+            "{ SELECT ?t (COUNT(?c) AS ?n) WHERE { ?t rdfs:subClassOf+ ?c } "
+            "GROUP BY ?t } "
+            "FILTER (?n = 2) ?t rdfs:label ?l }"
+        )
+        assert [str(r["l"]) for r in out] == ["nsaid"]
+
+    def test_group_by_without_aggregate_dedupes(self):
+        out = TAX.query(
+            PFX + "SELECT ?c WHERE { ?s rdfs:subClassOf+ ?c } GROUP BY ?c"
+        )
+        assert iris(out, "c") == ["http://o/Analgesic", "http://o/Drug"]
+
+    def test_count_star_distinct(self):
+        out = TAX.query(
+            PFX + "SELECT (COUNT(DISTINCT *) AS ?n) WHERE "
+            "{ ?s rdfs:subClassOf+ ?c }"
+        )
+        assert str(out[0]["n"]) == "3"
+
+    def test_mixed_star_and_items_raises(self):
+        with pytest.raises(ProcessorException, match="mixed"):
+            TAX.query(PFX + "SELECT * ?s WHERE { ?s a o:Nsaid }")
+
+
 class TestUnsupportedConstructsStillRaise:
     def test_graph_raises(self):
         with pytest.raises(ProcessorException, match="GRAPH"):
