@@ -62,11 +62,13 @@ Supported query subset (sufficient for workflow-style ontology lookups):
   solutions is 0, per SPARQL). COUNT yields an integer literal;
   SUM/AVG skip non-numeric/unbound values and render integral results
   without a decimal point; MIN/MAX use the ORDER BY term ordering.
-  HAVING is not supported (filter in an outer query instead).
+  ``HAVING ( expr )`` filters the aggregated rows with the same
+  expression language as FILTER, referencing the output names
+  (``HAVING (?n > 1)``).
 
 Still unsupported (raises, never silently drops): GRAPH, SERVICE,
-negated property sets ``!(...)``, HAVING. Workflows needing those
-should pre-materialize the lookup as mapping pairs instead.
+negated property sets ``!(...)``. Workflows needing those should
+pre-materialize the lookup as mapping pairs instead.
 """
 
 from __future__ import annotations
@@ -138,7 +140,7 @@ _UNSUPPORTED_KW = re.compile(r"(?i)^(SELECT|GRAPH|SERVICE)(?![\w:-])")
 _SUBSELECT_HEAD = re.compile(
     r"(?is)\s*SELECT\s+(DISTINCT\s+)?(.+?)\s*WHERE\s*\{"
 )
-_MOD_AT = re.compile(r"(?is)\s*(GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b")
+_MOD_AT = re.compile(r"(?is)\s*(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET)\b")
 # selection items: (AGG(...) AS ?name) | ?var | *
 _SEL_ITEM = re.compile(
     r"(?is)\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?"
@@ -468,6 +470,7 @@ def _parse_subselect(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
     cur.expect("}")
     # in-cursor modifiers: stop at the subquery's closing brace
     group_by: List[str] = []
+    having = None
     order: List[Tuple[str, bool]] = []
     limit = offset = None
     while True:
@@ -476,7 +479,9 @@ def _parse_subselect(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
             break
         kw = re.sub(r"\s+", " ", km.group(1).upper())
         cur.i = km.end()
-        if kw == "GROUP BY":
+        if kw == "HAVING":
+            having = _parse_filter(_scan_filter(cur), prefixes)
+        elif kw == "GROUP BY":
             while True:
                 gm = _GROUP_VAR.match(cur.s, cur.i)
                 if gm is None:
@@ -512,7 +517,10 @@ def _parse_subselect(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
                     raise ProcessorException(f"Duplicate OFFSET in: {cur.ctx!r}")
                 offset = int(nm.group(1))
             cur.i += nm.end()
-    return ("subselect", sel, group, distinct, limit, offset, order, group_by)
+    return (
+        "subselect", sel, group, distinct, limit, offset, order, group_by,
+        having,
+    )
 
 
 def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
@@ -588,11 +596,13 @@ _ORDER_KEY = re.compile(
 )
 
 
-def _parse_modifiers(tail: str, ctx: str):
-    """``[GROUP BY ?v+] [ORDER BY key+] [LIMIT n] [OFFSET n]``
-    (LIMIT/OFFSET either order) →
-    (group_by: [var], order: [(var, desc?)], limit, offset)."""
+def _parse_modifiers(tail: str, ctx: str, prefixes: Dict[str, str]):
+    """``[GROUP BY ?v+] [HAVING (expr)] [ORDER BY key+] [LIMIT n]
+    [OFFSET n]`` (LIMIT/OFFSET either order) →
+    (group_by: [var], having expr|None, order: [(var, desc?)], limit,
+    offset)."""
     group_by: List[str] = []
+    having = None
     order: List[Tuple[str, bool]] = []
     limit = offset = None
     m = re.match(r"(?is)\s*GROUP\s+BY\b", tail)
@@ -606,6 +616,11 @@ def _parse_modifiers(tail: str, ctx: str):
             tail = tail[gm.end():]
         if not group_by:
             raise ProcessorException(f"Empty GROUP BY in: {ctx!r}")
+    m = re.match(r"(?is)\s*HAVING\b", tail)
+    if m:
+        cur = _Cur(tail[m.end():], ctx)
+        having = _parse_filter(_scan_filter(cur), prefixes)
+        tail = cur.s[cur.i:]
     m = re.match(r"(?is)\s*ORDER\s+BY\b", tail)
     if m:
         tail = tail[m.end():]
@@ -636,7 +651,7 @@ def _parse_modifiers(tail: str, ctx: str):
         else:
             offset = int(lm.group(2))
         tail = tail[lm.end():]
-    return group_by, order, limit, offset
+    return group_by, having, order, limit, offset
 
 
 def parse_query(where_clause: str):
@@ -663,10 +678,10 @@ def parse_query(where_clause: str):
             f"Trailing where-clause content {cur.s[cur.i:].strip()!r} "
             f"in: {where_clause!r}"
         )
-    group_by, order, limit, offset = _parse_modifiers(
-        body[m.end():], where_clause
+    group_by, having, order, limit, offset = _parse_modifiers(
+        body[m.end():], where_clause, prefixes
     )
-    return sel, group, distinct, limit, offset, order, group_by
+    return sel, group, distinct, limit, offset, order, group_by, having
 
 
 # ---------------------------------------------------------------------------
@@ -1224,9 +1239,10 @@ class MiniGraph:
             elif kind == "subselect":
                 # SPARQL subquery: evaluated bottom-up on an empty
                 # binding; only the projected vars join outward
-                _, sel, sub, distinct, limit, offset, order, group_by = el
+                (_, sel, sub, distinct, limit, offset, order, group_by,
+                 having) = el
                 rows = self._solve(
-                    sub, sel, distinct, limit, offset, order, group_by
+                    sub, sel, distinct, limit, offset, order, group_by, having
                 )
                 nxt = []
                 for b in bindings:
@@ -1290,15 +1306,21 @@ class MiniGraph:
 
     def _solve(
         self, group: _Group, selected, distinct, limit, offset, order,
-        group_by=(),
+        group_by=(), having=None,
     ) -> List[Dict[str, object]]:
         """Evaluate a group on an empty binding and apply the solution
-        modifiers: GROUP BY/aggregate → ORDER BY → projection →
+        modifiers: GROUP BY/aggregate → HAVING → ORDER BY → projection →
         DISTINCT → OFFSET → LIMIT."""
         bindings = self._eval_group(group, [{}])
         has_agg = selected != ["*"] and any(it[0] == "agg" for it in selected)
+        if having is not None and not (has_agg or group_by):
+            raise ProcessorException(
+                "HAVING requires GROUP BY or an aggregate in the SELECT clause"
+            )
         if has_agg or group_by:
             rows = self._aggregate(bindings, selected, list(group_by))
+            if having is not None:
+                rows = [r for r in rows if _try_eval(having, r)]
             for var, desc in reversed(order):
                 rows.sort(key=lambda r: _order_key(r.get(var)), reverse=desc)
         else:
@@ -1332,10 +1354,11 @@ class MiniGraph:
         return rows
 
     def query(self, where_clause: str) -> List[Dict[str, object]]:
-        sel, group, distinct, limit, offset, order, group_by = parse_query(
-            where_clause
+        (sel, group, distinct, limit, offset, order, group_by,
+         having) = parse_query(where_clause)
+        return self._solve(
+            group, sel, distinct, limit, offset, order, group_by, having
         )
-        return self._solve(group, sel, distinct, limit, offset, order, group_by)
 
 
 # ---------------------------------------------------------------------------

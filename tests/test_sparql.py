@@ -632,6 +632,28 @@ class TestAggregates:
         with pytest.raises(ProcessorException, match="mixed"):
             TAX.query(PFX + "SELECT * ?s WHERE { ?s a o:Nsaid }")
 
+    def test_having_filters_groups(self):
+        out = TAX.query(
+            PFX + "SELECT ?s (COUNT(?c) AS ?n) WHERE "
+            "{ ?s rdfs:subClassOf+ ?c } GROUP BY ?s HAVING (?n > 1)"
+        )
+        got = [(str(r["s"]), str(r["n"])) for r in out]
+        assert got == [("http://o/Nsaid", "2")]
+
+    def test_having_in_subquery(self):
+        out = TAX.query(
+            PFX + "SELECT ?l WHERE { "
+            "{ SELECT ?t (COUNT(?c) AS ?n) WHERE { ?t rdfs:subClassOf+ ?c } "
+            "GROUP BY ?t HAVING (?n >= 2) } ?t rdfs:label ?l }"
+        )
+        assert [str(r["l"]) for r in out] == ["nsaid"]
+
+    def test_having_without_grouping_raises(self):
+        with pytest.raises(ProcessorException, match="HAVING"):
+            TAX.query(
+                PFX + "SELECT ?s WHERE { ?s a o:Nsaid } HAVING (?s = o:x)"
+            )
+
 
 class TestUnsupportedConstructsStillRaise:
     def test_graph_raises(self):
