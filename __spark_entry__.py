@@ -1100,6 +1100,26 @@ def q_text_vocab(spark, sf_dir):
     return TD.corpus_vocabulary(_docs(spark, sf_dir), top_k=100)
 
 
+def q_text_pack(spark, sf_dir):
+    """GPT-style sequence packing under the gate: the text_chunks stream
+    in (id, chunk_id) order cut every 512 tokens via the distributed
+    prefix-sum (range-repartition → per-partition cumsum → driver offsets
+    over n_parts totals — never a single-task global window)."""
+    chunks = TD.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
+    return TD.pack_chunks(chunks, capacity=512).select(
+        "id", "chunk_id", "bin_id", "offset_in_bin"
+    )
+
+
+def q_corpus_stratified(spark, sf_dir):
+    """Deterministic per-language sample under the gate: the 20 rows of
+    each stratum with the smallest md5 hash — balanced sampling without
+    a random seed, stable across engines and partitionings."""
+    return TD.stratified_sample(_docs(spark, sf_dir), "lang", k=20).select(
+        F.col("doc_id").alias("id"), "lang"
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """The corpus curation SUMMARY under the gate: totals, keep/drop
     split, per-reason drop counts and language mix as one tall integer
@@ -1462,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "text_vocab": q_text_vocab,
+        "text_pack": q_text_pack,
+        "corpus_stratified": q_corpus_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2242,6 +2264,49 @@ FROM (
         "corpus_sample": """
 SELECT doc_id AS id FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2500
+""",
+        # packing oracle: the same chunk stream, exclusive running sum in
+        # (id, chunk_id) order, bin = prev div 512, offset = prev mod 512
+        "text_pack": r"""
+WITH w AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+), n AS (
+  SELECT id, words, len(words) AS nw FROM w
+), c AS (
+  SELECT id,
+         unnest(generate_series(
+           0, CASE WHEN nw <= 32 THEN 0 ELSE (nw - 32 + 16 - 1) // 16 END
+         )) AS chunk_id,
+         nw
+  FROM n
+), sized AS (
+  SELECT id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         CAST(least(32, nw - chunk_id*16) AS BIGINT) AS n_words
+  FROM c
+), p AS (
+  SELECT id, chunk_id, n_words,
+         CAST(COALESCE(SUM(n_words) OVER (
+           ORDER BY id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prev
+  FROM sized
+)
+SELECT id, chunk_id,
+       CAST(prev // 512 AS BIGINT) AS bin_id,
+       CAST(prev % 512 AS INTEGER) AS offset_in_bin
+FROM p
+""",
+        "corpus_stratified": """
+SELECT id, lang FROM (
+  SELECT doc_id AS id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
 """,
         "text_vocab": r"""
 WITH per_doc AS (

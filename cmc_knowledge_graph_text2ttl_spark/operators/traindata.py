@@ -14,9 +14,9 @@ so every result is bit-reproducible against the DuckDB oracle
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_int
@@ -26,6 +26,8 @@ __all__ = [
     "assign_split",
     "deterministic_sample",
     "corpus_vocabulary",
+    "pack_chunks",
+    "stratified_sample",
 ]
 
 
@@ -124,6 +126,118 @@ def deterministic_sample(
     if not 0 <= rate_bp <= 10_000:
         raise ValueError("rate_bp must be in [0, 10000]")
     return df.where(md5_int(F.col(id_col).cast("string")) % 10_000 < rate_bp)
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame, order_cols: List[str], weight_col: str, n_parts: int
+) -> DataFrame:
+    """df + ``_prev`` = sum of ``weight_col`` over all rows strictly
+    before this one in ``order_cols`` order — the distributed prefix
+    sum (scan) primitive.
+
+    A window with a global ORDER BY and no PARTITION BY would funnel
+    the whole dataset through ONE task; instead: range-repartition on
+    the order key (partition i holds keys below partition i+1), cumsum
+    within each partition, then offset each partition by the totals of
+    the partitions before it. The driver handles n_parts totals —
+    bounded by the partition count, never by the data.
+
+    The eager localCheckpoint pins ONE materialization of the range
+    partitioning: RangePartitioner samples its boundaries per action,
+    so without it the totals pass and the output pass could disagree on
+    which partition a key landed in — offsets joined on _part would
+    silently corrupt the scan. The prefix sum itself depends only on
+    key order, so the OUTPUT is deterministic regardless of where the
+    sampled boundaries fall.
+    """
+    parts = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r._part: r.total
+        for r in parts.groupBy("_part")
+        .agg(F.sum(weight_col).cast("bigint").alias("total"))
+        .collect()
+    }
+    offset = 0
+    offsets = []
+    for p in sorted(totals):
+        offsets.append((p, offset))
+        offset += totals[p]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_part int, _offset bigint")
+    )
+    w = Window.partitionBy("_part").orderBy(*order_cols)
+    return (
+        parts.withColumn("_run", F.sum(weight_col).over(w).cast("bigint"))
+        .join(off_df, "_part")
+        .withColumn(
+            "_prev", (F.col("_offset") + F.col("_run") - F.col(weight_col))
+        )
+        .drop("_part", "_run", "_offset")
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int,
+    id_col: str = "id",
+    chunk_col: str = "chunk_id",
+    weight_col: str = "n_words",
+    n_parts: int = 32,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate chunks in (id, chunk_id)
+    order and cut every ``capacity`` tokens → chunks + (bin_id,
+    offset_in_bin).
+
+    ``bin_id`` is the training sequence where the chunk STARTS
+    (prefix_sum div capacity) and ``offset_in_bin`` its position there
+    (prefix_sum mod capacity); a chunk may spill into the next bin, as
+    in token-stream packing. Built on the distributed prefix-sum above,
+    so packing a 100-TB chunk stream never serializes through one task;
+    the result is a pure function of the (id, chunk_id) order.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    out = _exclusive_prefix_sum(
+        chunks, [id_col, chunk_col], weight_col, n_parts
+    )
+    return out.select(
+        *chunks.columns,
+        F.expr(f"_prev div {capacity}").cast("bigint").alias("bin_id"),
+        (F.col("_prev") % capacity).cast("int").alias("offset_in_bin"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``k`` rows of each stratum
+    with the smallest md5 hash (id tie-break) — balanced sampling by
+    language/domain/source without a random seed, stable across
+    engines, runs, and partitionings.
+
+    One shuffle (the window partition by stratum); the per-stratum sort
+    is bounded by stratum size. For heavily skewed strata sizes the
+    md5 order means early rows are a uniform draw, so the cap is an
+    unbiased subsample, not a prefix of crawl order.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_int(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def corpus_vocabulary(

@@ -142,6 +142,92 @@ class TestDeterministicSample:
             td.deterministic_sample(docs, 10_001)
 
 
+class TestPackChunks:
+    def _toy(self, spark):
+        rows = [
+            (0, 0, 6), (0, 1, 6), (1, 0, 3), (2, 0, 5), (2, 1, 2),
+        ]
+        return spark.createDataFrame(
+            rows, "id int, chunk_id int, n_words int"
+        )
+
+    def test_hand_computed_bins(self, spark):
+        out = {
+            (r.id, r.chunk_id): (r.bin_id, r.offset_in_bin)
+            for r in td.pack_chunks(self._toy(spark), capacity=8).collect()
+        }
+        # prefix sums: 0,6,12,15,20 → bins 0,0,1,1,2 offsets 0,6,4,7,4
+        assert out == {
+            (0, 0): (0, 0),
+            (0, 1): (0, 6),
+            (1, 0): (1, 4),
+            (2, 0): (1, 7),
+            (2, 1): (2, 4),
+        }
+
+    def test_parallelism_invariant(self, spark, docs):
+        chunks = td.chunk_documents(docs, window=16, stride=16)
+        a = sorted(
+            (r.id, r.chunk_id, r.bin_id, r.offset_in_bin)
+            for r in td.pack_chunks(chunks, 1024, n_parts=1).collect()
+        )
+        b = sorted(
+            (r.id, r.chunk_id, r.bin_id, r.offset_in_bin)
+            for r in td.pack_chunks(chunks, 1024, n_parts=16).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_total_token_conservation(self, spark, docs):
+        # the last chunk's prev + weight equals the total token count
+        chunks = td.chunk_documents(docs, window=16, stride=16)
+        packed = td.pack_chunks(chunks, 512)
+        total = chunks.agg(F.sum("n_words")).collect()[0][0]
+        last = (
+            packed.orderBy(F.desc("bin_id"), F.desc("offset_in_bin"))
+            .limit(1)
+            .collect()[0]
+        )
+        assert last.bin_id * 512 + last.offset_in_bin + last.n_words == total
+
+    def test_empty_input(self, spark):
+        empty = spark.createDataFrame([], "id int, chunk_id int, n_words int")
+        assert td.pack_chunks(empty, 8).count() == 0
+
+    def test_bad_capacity_raises(self, spark):
+        with pytest.raises(ValueError):
+            td.pack_chunks(self._toy(spark), 0)
+
+
+class TestStratifiedSample:
+    def test_per_stratum_cap_and_determinism(self, spark, docs):
+        out = td.stratified_sample(docs, "lang", k=20)
+        sizes = {r.lang: r.n for r in out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        full = {r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        for lang, n in sizes.items():
+            assert n == min(20, full[lang])
+        again = td.stratified_sample(docs, "lang", k=20)
+        assert sorted(r.doc_id for r in out.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
+    def test_partitioning_invariant(self, spark, docs):
+        a = sorted(
+            r.doc_id
+            for r in td.stratified_sample(docs.repartition(1), "source", 5).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in td.stratified_sample(docs.repartition(13), "source", 5).collect()
+        )
+        assert a == b
+
+    def test_bad_k_raises(self, spark, docs):
+        with pytest.raises(ValueError):
+            td.stratified_sample(docs, "lang", 0)
+
+
 class TestCorpusVocabulary:
     def test_counts_against_python(self, spark):
         df = spark.createDataFrame(
