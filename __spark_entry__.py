@@ -1120,6 +1120,13 @@ def q_corpus_stratified(spark, sf_dir):
     )
 
 
+def q_text_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality score under the gate — the cheap
+    perplexity proxy, all-integer ((T*1e6) div tf, floored mean) so both
+    engines agree bit-exactly where libm log() would not."""
+    return TD.unigram_surprisal(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark, sf_dir):
     """The corpus curation SUMMARY under the gate: totals, keep/drop
     split, per-reason drop counts and language mix as one tall integer
@@ -1484,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_pack": q_text_pack,
         "corpus_stratified": q_corpus_stratified,
+        "text_surprisal": q_text_surprisal,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2296,6 +2304,30 @@ SELECT id, chunk_id,
        CAST(prev // 512 AS BIGINT) AS bin_id,
        CAST(prev % 512 AS INTEGER) AS offset_in_bin
 FROM p
+""",
+        # all-integer unigram surprisal: (T*1e6) div tf per token,
+        # floored tf-weighted mean per doc — no floats, no libm
+        "text_surprisal": r"""
+WITH per_doc AS (
+  SELECT doc_id AS id, token, CAST(COUNT(*) AS BIGINT) AS tf_doc
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents WHERE length(trim(text)) > 0
+  )
+  GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf FROM per_doc GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS t FROM vocab
+), dim AS (
+  SELECT token, CAST((t * 1000000) // tf AS BIGINT) AS surprisal
+  FROM vocab, tot
+)
+SELECT id,
+       CAST(SUM(tf_doc) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf_doc * surprisal) // SUM(tf_doc) AS BIGINT) AS surprisal_scaled
+FROM per_doc JOIN dim USING (token)
+GROUP BY id
 """,
         "corpus_stratified": """
 SELECT id, lang FROM (

@@ -28,6 +28,7 @@ __all__ = [
     "corpus_vocabulary",
     "pack_chunks",
     "stratified_sample",
+    "unigram_surprisal",
 ]
 
 
@@ -237,6 +238,61 @@ def stratified_sample(
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Unigram-LM surprisal score per document → (id, n_tokens,
+    surprisal_scaled): the mean scaled surprisal of the document's
+    tokens under the corpus's own unigram distribution. Documents full
+    of corpus-rare tokens (gibberish, boilerplate hashes, wrong-language
+    fragments) score high — the classic cheap perplexity proxy for
+    quality filtering, without a trained LM.
+
+    All-integer arithmetic so the score is bit-identical on every
+    engine: token surprisal ≈ (T * scale) div tf (a monotone transform
+    of 1/p, standing in for -log p whose libm rounding differs between
+    JVM and C), document score = floor(sum(tf_doc * surprisal) /
+    n_tokens). No floats anywhere.
+
+    Shape: one explode + per-(doc, token) count (map-side combinable,
+    the shuffle carries per-document vocabularies), a corpus-level token
+    dimension joined back on token (pass broadcast_vocab=True when the
+    vocabulary fits in memory; at web scale leave it to a shuffle join —
+    AQE will still broadcast a small build side), and a final per-doc
+    rollup that reuses the doc-keyed clustering.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    per_doc = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_doc"))
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("tf_doc").cast("bigint").alias("tf")
+    )
+    total = vocab.agg(F.sum("tf").cast("bigint").alias("t"))
+    dim = vocab.crossJoin(F.broadcast(total)).select(
+        "token", F.expr(f"(t * {scale}) div tf").alias("surprisal")
+    )
+    if broadcast_vocab:
+        dim = F.broadcast(dim)
+    return (
+        per_doc.join(dim, "token")
+        .groupBy("id")
+        .agg(
+            F.sum("tf_doc").cast("bigint").alias("n_tokens"),
+            F.expr("sum(tf_doc * surprisal) div sum(tf_doc)")
+            .cast("bigint")
+            .alias("surprisal_scaled"),
+        )
     )
 
 

@@ -228,6 +228,44 @@ class TestStratifiedSample:
             td.stratified_sample(docs, "lang", 0)
 
 
+class TestUnigramSurprisal:
+    def test_hand_computed(self, spark):
+        # corpus: "a a b" + "a c" → T=5, tf: a=3 b=1 c=1
+        # surprisal(scale=10): a=(50 div 3)=16, b=50, c=50
+        # doc0: (2*16 + 1*50) div 3 = 82 div 3 = 27 ; doc1: (16+50) div 2 = 33
+        df = spark.createDataFrame(
+            [(0, "a a b"), (1, "a c")], "doc_id int, text string"
+        )
+        got = {
+            r.id: (r.n_tokens, r.surprisal_scaled)
+            for r in td.unigram_surprisal(df, scale=10).collect()
+        }
+        assert got == {0: (3, 27), 1: (2, 33)}
+
+    def test_rare_token_doc_scores_higher(self, spark, docs):
+        from pyspark.sql import Row
+
+        planted = docs.select("doc_id", "text").union(
+            docs.sparkSession.createDataFrame(
+                [Row(doc_id=999_999, text="zzqx vvwk qqjy xxzv wwvv")]
+            )
+        )
+        out = td.unigram_surprisal(planted).cache()
+        gibberish = out.where(F.col("id") == 999_999).collect()[0]
+        mean_rest = out.where(F.col("id") != 999_999).agg(
+            F.avg("surprisal_scaled")
+        ).collect()[0][0]
+        assert gibberish.surprisal_scaled > 10 * mean_rest
+        out.unpersist()
+
+    def test_broadcast_variant_equal(self, spark, docs):
+        a = sorted(map(tuple, td.unigram_surprisal(docs).collect()))
+        b = sorted(
+            map(tuple, td.unigram_surprisal(docs, broadcast_vocab=True).collect())
+        )
+        assert a == b
+
+
 class TestCorpusVocabulary:
     def test_counts_against_python(self, spark):
         df = spark.createDataFrame(
