@@ -198,6 +198,45 @@ class TestPackChunks:
             td.pack_chunks(self._toy(spark), 0)
 
 
+class TestPackChunksProperty:
+    def test_random_streams_match_naive_cumsum(self, spark):
+        """Distributed prefix-sum == single-process cumulative sum on a
+        batch of random chunk streams (one Spark job for the whole
+        batch; hypothesis-style coverage without per-example jobs)."""
+        import random
+
+        rng = random.Random(20260816)
+        cases = []
+        for case in range(25):
+            n_chunks = rng.randint(0, 40)
+            cases.append(
+                [
+                    (case, i, rng.randint(1, 50))
+                    for i in range(n_chunks)
+                ]
+            )
+        flat = [row for case in cases for row in case]
+        if not flat:
+            return
+        cap = 17
+        df = spark.createDataFrame(
+            flat, "stream int, chunk_id int, n_words int"
+        ).repartition(7)
+        got = {
+            (r.stream, r.chunk_id): (r.bin_id, r.offset_in_bin)
+            for r in td.pack_chunks(
+                df, cap, id_col="stream", n_parts=5
+            ).collect()
+        }
+        # naive: one global cumsum in (stream, chunk_id) order
+        prev = 0
+        expected = {}
+        for stream, chunk_id, w in sorted(flat):
+            expected[(stream, chunk_id)] = (prev // cap, prev % cap)
+            prev += w
+        assert got == expected
+
+
 class TestStratifiedSample:
     def test_per_stratum_cap_and_determinism(self, spark, docs):
         out = td.stratified_sample(docs, "lang", k=20)
