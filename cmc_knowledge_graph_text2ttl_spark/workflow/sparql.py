@@ -66,9 +66,15 @@ Supported query subset (sufficient for workflow-style ontology lookups):
   expression language as FILTER, referencing the output names
   (``HAVING (?n > 1)``).
 
-Still unsupported (raises, never silently drops): GRAPH, SERVICE,
-negated property sets ``!(...)``. Workflows needing those should
-pre-materialize the lookup as mapping pairs instead.
+* negated property sets ``!p`` / ``!(p1|^p2|...)`` in the predicate
+  position: forward edges whose predicate is outside the forward set,
+  plus inverse edges whose predicate is outside the inverse set (SPARQL
+  §9.1 NPS translation); composes with closures like any path element.
+
+Still unsupported (raises, never silently drops): GRAPH and SERVICE —
+named-graph and federation infrastructure that the broadcast
+single-graph design replaces by construction. Workflows needing those
+should pre-materialize the lookup as mapping pairs instead.
 """
 
 from __future__ import annotations
@@ -248,6 +254,52 @@ class _Cur:
 def _parse_path_elt(cur: _Cur, prefixes: Dict[str, str]) -> tuple:
     if cur.try_ch("^"):
         return ("inv", _parse_path_elt(cur, prefixes))
+    if cur.try_ch("!"):
+        # negated property set !(p1|^p2|...) or bare !p — matches any
+        # forward edge whose predicate is not in the forward set plus
+        # any backward edge whose predicate is not in the inverse set
+        fwd_excl: List[str] = []
+        bwd_excl: List[str] = []
+        has_fwd = has_bwd = False
+
+        def one_member() -> None:
+            nonlocal has_fwd, has_bwd
+            inv = cur.try_ch("^")
+            cur.ws()
+            m = _PATH_IRI_AT.match(cur.s, cur.i)
+            if m is None:
+                raise ProcessorException(
+                    f"Cannot parse negated-property-set member near "
+                    f"{cur.s[cur.i:cur.i + 30]!r} in: {cur.ctx!r}"
+                )
+            cur.i = m.end()
+            iri = _parse_term(m.group(0), prefixes)[1]
+            if inv:
+                bwd_excl.append(iri)
+                has_bwd = True
+            else:
+                fwd_excl.append(iri)
+                has_fwd = True
+
+        if cur.try_ch("("):
+            one_member()
+            while cur.try_ch("|"):
+                one_member()
+            cur.expect(")")
+        else:
+            one_member()
+        node = (
+            "negset",
+            frozenset(fwd_excl),
+            frozenset(bwd_excl),
+            has_fwd,
+            has_bwd,
+        )
+        if cur.i < len(cur.s) and cur.s[cur.i] in "*+?":
+            mod = {"*": "star", "+": "plus", "?": "maybe"}[cur.s[cur.i]]
+            cur.i += 1
+            node = (mod, node)
+        return node
     if cur.try_ch("("):
         node = _parse_path(cur, prefixes)
         cur.expect(")")
@@ -996,6 +1048,59 @@ class MiniGraph:
         for r in self.rows:
             self._by_pred.setdefault(r[1], []).append(r)
         self._nodes_cache: Optional[List[object]] = None
+        self._subj_cache: Optional[Dict[str, List[GraphRow]]] = None
+        self._obj_cache: Optional[Dict[object, List[GraphRow]]] = None
+
+    def _by_subj(self) -> Dict[str, List[GraphRow]]:
+        if self._subj_cache is None:
+            ix: Dict[str, List[GraphRow]] = {}
+            for r in self.rows:
+                ix.setdefault(r[0], []).append(r)
+            self._subj_cache = ix
+        return self._subj_cache
+
+    def _by_obj(self) -> Dict[object, List[GraphRow]]:
+        if self._obj_cache is None:
+            ix: Dict[object, List[GraphRow]] = {}
+            for r in self.rows:
+                ix.setdefault(self._term_of(r, 2), []).append(r)
+            self._obj_cache = ix
+        return self._obj_cache
+
+    def _negset_step(self, ast, node, forward: bool) -> set:
+        """One negated-property-set hop from ``node``. ``forward`` walks
+        path direction (fwd members leave via subject, inverse members
+        arrive via object); False mirrors both components."""
+        _, fwd_excl, bwd_excl, has_fwd, has_bwd = ast
+        out: set = set()
+        if has_fwd:
+            if forward:
+                if isinstance(node, IriNode):
+                    out.update(
+                        self._term_of(r, 2)
+                        for r in self._by_subj().get(node.value, ())
+                        if r[1] not in fwd_excl
+                    )
+            else:
+                out.update(
+                    IriNode(r[0])
+                    for r in self._by_obj().get(node, ())
+                    if r[1] not in fwd_excl
+                )
+        if has_bwd:
+            if forward:
+                out.update(
+                    IriNode(r[0])
+                    for r in self._by_obj().get(node, ())
+                    if r[1] not in bwd_excl
+                )
+            elif isinstance(node, IriNode):
+                out.update(
+                    self._term_of(r, 2)
+                    for r in self._by_subj().get(node.value, ())
+                    if r[1] not in bwd_excl
+                )
+        return out
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -1040,6 +1145,8 @@ class MiniGraph:
     def _path_fwd(self, ast, start) -> set:
         """All terms reachable from ``start`` via ``ast``."""
         k = ast[0]
+        if k == "negset":
+            return self._negset_step(ast, start, forward=True)
         if k == "pred":
             if not isinstance(start, IriNode):
                 return set()
@@ -1073,6 +1180,8 @@ class MiniGraph:
     def _path_bwd(self, ast, end) -> set:
         """All terms that reach ``end`` via ``ast`` (mirror of _path_fwd)."""
         k = ast[0]
+        if k == "negset":
+            return self._negset_step(ast, end, forward=False)
         if k == "pred":
             return {
                 IriNode(r[0])

@@ -306,6 +306,57 @@ class TestPropertyPaths:
         assert iris(out, "c") == ["http://c/a", "http://c/b"]
 
 
+class TestNegatedPropertySets:
+    def test_bare_negation(self):
+        out = TAX.query(PFX + "SELECT ?x WHERE { o:Nsaid !a ?x }")
+        got = sorted(str(r["x"]) for r in out)
+        assert got == ["http://o/Analgesic", "nsaid"]
+        out2 = TAX.query(PFX + "SELECT ?x WHERE { o:Nsaid !rdfs:subClassOf ?x }")
+        assert [str(r["x"]) for r in out2] == ["nsaid"]
+
+    def test_set_excludes_all_members(self):
+        out = TAX.query(
+            PFX + "SELECT ?x WHERE { o:Nsaid !(rdfs:subClassOf|rdfs:label) ?x }"
+        )
+        assert out == []
+
+    def test_inverse_only_member(self):
+        # !(^a): ONLY inverse edges match (no forward member), and the
+        # rdf:type inverse edge from paracetamol is excluded
+        out = TAX.query(PFX + "SELECT ?x WHERE { o:Analgesic !(^a) ?x }")
+        assert [str(r["x"]) for r in out] == ["http://o/Nsaid"]
+
+    def test_mixed_forward_and_inverse(self):
+        out = TAX.query(
+            PFX + "SELECT ?x WHERE { o:Analgesic !(rdfs:label|^a) ?x }"
+        )
+        got = sorted(str(r["x"]) for r in out)
+        assert got == ["http://o/Drug", "http://o/Nsaid"]
+
+    def test_negset_with_star_closure(self):
+        out = TAX.query(
+            PFX + "SELECT ?x WHERE { o:aspirin !(rdfs:label)* ?x }"
+        )
+        got = sorted(str(r["x"]) for r in out)
+        assert got == [
+            "http://o/Analgesic",
+            "http://o/Drug",
+            "http://o/Nsaid",
+            "http://o/aspirin",
+        ]
+
+    def test_backward_eval_bound_object(self):
+        out = TAX.query(
+            PFX + "SELECT ?s WHERE { ?s !rdfs:label o:Analgesic }"
+        )
+        got = sorted(str(r["s"]) for r in out)
+        assert got == ["http://o/Nsaid", "http://o/paracetamol"]
+
+    def test_bad_member_raises(self):
+        with pytest.raises(ProcessorException):
+            TAX.query(PFX + "SELECT ?x WHERE { o:Nsaid !(?v) ?x }")
+
+
 class TestSolutionModifiers:
     def test_distinct_collapses_duplicate_rows(self):
         # two typing routes to RelationalOp would duplicate ?c without it
