@@ -794,6 +794,44 @@ def q_kg_select_agg(spark, sf_dir):
     return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
 
 
+ALIAS_GRAPH = [
+    (_ONT + "op_join", _ONT + "alias", "literal", "hashjoin", None),
+    (_ONT + "op_scan", _ONT + "alias", "literal", "tablescan", None),
+]
+
+WF_SELECT_GRAPH = """
+- desc: select joining the default graph with a GRAPH-named sibling (oracle-checked)
+- prefix: ex
+  iri: http://example.org/kg/
+- prefix: prop
+  iri: http://example.org/prop/
+- match-every: '\\b(join|scan|sort|merge)\\b'
+  as: op
+  do:
+    - select: al
+      from: ont
+      where: 'PREFIX ex: <http://example.org/kg/> SELECT ?al WHERE { ex:op_@{op.1} a ?t . GRAPH <alias> { ex:op_@{op.1} ex:alias ?al } }'
+      do:
+        - subject: ex:doc_@{doc}
+          predicate: prop:aliasOf
+          object: "^@{al}"
+"""
+
+
+def q_kg_select_graph(spark, sf_dir):
+    """GRAPH under the gate: the default graph (ont) types the op via
+    ``a ?t``, then GRAPH <alias> consults a SECOND broadcast graph for
+    its alias. sort types via altType (fails the default-graph pattern)
+    and merge has no alias row, so only join/scan emit."""
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_workflows(
+        pages,
+        [compile_workflow(WF_SELECT_GRAPH, "wf_selgraph")],
+        graphs={"ont": SELECT_UNION_GRAPH, "alias": ALIAS_GRAPH},
+    )
+    return explode_triples(res).select("subj", "pred", "obj_kind", "obj_lexical")
+
+
 def q_kg_sideoutputs(spark, sf_dir):
     """any-of first-success + dump-to-file (texts column) + save-as
     (saved_as column) under the gate — the OutputHandler side channels
@@ -1463,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_select_modifiers": q_kg_select_modifiers,
         "kg_select_subquery": q_kg_select_subquery,
         "kg_select_agg": q_kg_select_agg,
+        "kg_select_graph": q_kg_select_graph,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
@@ -1963,6 +2002,23 @@ SELECT DISTINCT
   'literal' AS obj_kind,
   'http://example.org/kg/' || l AS obj_lexical
 FROM m JOIN cls USING (op)
+""",
+        # GRAPH gate: typed via `a` in the default graph AND aliased in
+        # the GRAPH <alias> sibling — only op_join/op_scan satisfy both
+        "kg_select_graph": r"""
+WITH m AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, '\b(join|scan|sort|merge)\b')) AS op
+  FROM documents
+), al AS (
+  SELECT * FROM (VALUES ('join', 'hashjoin'), ('scan', 'tablescan')) AS t(op, al)
+)
+SELECT DISTINCT
+  'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+  'http://example.org/prop/aliasOf' AS pred,
+  'literal' AS obj_kind,
+  al AS obj_lexical
+FROM m JOIN al USING (op)
 """,
         # subquery gate: the inner SELECT DISTINCT ?c ORDER BY ?c LIMIT 2
         # picks {AccessOp, Operator}; only op_scan (a ScanOp, ScanOp ⊑

@@ -70,11 +70,17 @@ Supported query subset (sufficient for workflow-style ontology lookups):
   position: forward edges whose predicate is outside the forward set,
   plus inverse edges whose predicate is outside the inverse set (SPARQL
   §9.1 NPS translation); composes with closures like any path element.
+* ``GRAPH <name> { group }`` / ``GRAPH ?g { group }`` over the runner's
+  named broadcast graphs (the ``graphs={...}`` dict): a constant name
+  evaluates the group against that sibling graph (the dict key,
+  resolved as the full IRI or its bare string), a variable ranges over
+  all named graphs in sorted key order binding ``?g`` to each key.
+  Nesting works; the default graph stays the ``from:`` graph.
 
-Still unsupported (raises, never silently drops): GRAPH and SERVICE —
-named-graph and federation infrastructure that the broadcast
-single-graph design replaces by construction. Workflows needing those
-should pre-materialize the lookup as mapping pairs instead.
+Still unsupported (raises, never silently drops): SERVICE — federated
+query against remote endpoints is per-row HTTP by construction, exactly
+what the broadcast design exists to avoid; pre-materialize remote
+lookups with ``workflow/remote.py`` instead.
 """
 
 from __future__ import annotations
@@ -140,9 +146,12 @@ _TERM_AT = re.compile(
 _PATH_IRI_AT = re.compile(r"<[^>]*>|[A-Za-z][\w-]*:[\w.#-]+|a(?![\w:-])")
 _KW_AT = {
     kw: re.compile(rf"(?i){kw}(?![\w:-])")
-    for kw in ("OPTIONAL", "FILTER", "UNION", "MINUS", "BIND", "VALUES", "UNDEF")
+    for kw in (
+        "OPTIONAL", "FILTER", "UNION", "MINUS", "BIND", "VALUES", "UNDEF",
+        "GRAPH",
+    )
 }
-_UNSUPPORTED_KW = re.compile(r"(?i)^(SELECT|GRAPH|SERVICE)(?![\w:-])")
+_UNSUPPORTED_KW = re.compile(r"(?i)^(SELECT|SERVICE)(?![\w:-])")
 _SUBSELECT_HEAD = re.compile(
     r"(?is)\s*SELECT\s+(DISTINCT\s+)?(.+?)\s*WHERE\s*\{"
 )
@@ -608,6 +617,18 @@ def _parse_group(cur: _Cur, prefixes: Dict[str, str]) -> _Group:
             g = _parse_group(cur, prefixes)
             cur.expect("}")
             elements.append(("minus", g))
+            continue
+        if cur.try_kw("GRAPH"):
+            flush()
+            gterm = _parse_term(cur.term(), prefixes)
+            if gterm[0] == "lit":
+                raise ProcessorException(
+                    f"GRAPH needs an IRI or variable in: {cur.ctx!r}"
+                )
+            cur.expect("{")
+            g = _parse_group(cur, prefixes)
+            cur.expect("}")
+            elements.append(("graphpat", gterm, g))
             continue
         if cur.try_kw("BIND"):
             flush()
@@ -1283,7 +1304,7 @@ class MiniGraph:
                 break
         return bindings
 
-    def _eval_group(self, group: _Group, bindings):
+    def _eval_group(self, group: _Group, bindings, named=None):
         for el in group.elements:
             kind = el[0]
             if kind == "bgp":
@@ -1293,18 +1314,48 @@ class MiniGraph:
                 # binding survives with the optional vars unbound
                 extended: List[Dict[str, object]] = []
                 for b in bindings:
-                    ext = self._eval_group(el[1], [b])
+                    ext = self._eval_group(el[1], [b], named)
                     extended.extend(ext if ext else [b])
                 bindings = extended
             elif kind == "group":
                 nxt: List[Dict[str, object]] = []
                 for b in bindings:
-                    nxt.extend(self._eval_group(el[1], [b]))
+                    nxt.extend(self._eval_group(el[1], [b], named))
+                bindings = nxt
+            elif kind == "graphpat":
+                gspec, sub = el[1], el[2]
+                graphs = named or {}
+                nxt = []
+                for b in bindings:
+                    if gspec[0] == "iri":
+                        keys = [gspec[1]]
+                    else:  # variable graph name
+                        bound = b.get(gspec[1])
+                        if bound is not None:
+                            keys = [
+                                bound.value if isinstance(bound, IriNode)
+                                else str(bound)
+                            ]
+                        else:
+                            keys = sorted(graphs)
+                    for key in keys:
+                        g2 = graphs.get(key)
+                        if g2 is None and gspec[0] == "iri":
+                            raise ProcessorException(
+                                f"Unknown graph {key!r} in GRAPH pattern "
+                                f"(known: {sorted(graphs)})"
+                            )
+                        if g2 is None:
+                            continue
+                        seed = dict(b)
+                        if gspec[0] == "var" and b.get(gspec[1]) is None:
+                            seed[gspec[1]] = IriNode(key)
+                        nxt.extend(g2._eval_group(sub, [seed], named))
                 bindings = nxt
             elif kind == "minus":
                 # SPARQL algebra: the MINUS group is evaluated
                 # INDEPENDENTLY — outer bindings do not flow in
-                m_solutions = self._eval_group(el[1], [{}])
+                m_solutions = self._eval_group(el[1], [{}], named)
                 bindings = [
                     b
                     for b in bindings
@@ -1351,7 +1402,8 @@ class MiniGraph:
                 (_, sel, sub, distinct, limit, offset, order, group_by,
                  having) = el
                 rows = self._solve(
-                    sub, sel, distinct, limit, offset, order, group_by, having
+                    sub, sel, distinct, limit, offset, order, group_by,
+                    having, named
                 )
                 nxt = []
                 for b in bindings:
@@ -1374,7 +1426,7 @@ class MiniGraph:
                 nxt = []
                 for b in bindings:
                     for arm in el[1]:
-                        nxt.extend(self._eval_group(arm, [b]))
+                        nxt.extend(self._eval_group(arm, [b], named))
                 bindings = nxt
             if not bindings:
                 break
@@ -1415,12 +1467,12 @@ class MiniGraph:
 
     def _solve(
         self, group: _Group, selected, distinct, limit, offset, order,
-        group_by=(), having=None,
+        group_by=(), having=None, named=None,
     ) -> List[Dict[str, object]]:
         """Evaluate a group on an empty binding and apply the solution
         modifiers: GROUP BY/aggregate → HAVING → ORDER BY → projection →
         DISTINCT → OFFSET → LIMIT."""
-        bindings = self._eval_group(group, [{}])
+        bindings = self._eval_group(group, [{}], named)
         has_agg = selected != ["*"] and any(it[0] == "agg" for it in selected)
         if having is not None and not (has_agg or group_by):
             raise ProcessorException(
@@ -1462,11 +1514,14 @@ class MiniGraph:
             rows = rows[:limit]
         return rows
 
-    def query(self, where_clause: str) -> List[Dict[str, object]]:
+    def query(
+        self, where_clause: str, named: Optional[Dict[str, "MiniGraph"]] = None
+    ) -> List[Dict[str, object]]:
         (sel, group, distinct, limit, offset, order, group_by,
          having) = parse_query(where_clause)
         return self._solve(
-            group, sel, distinct, limit, offset, order, group_by, having
+            group, sel, distinct, limit, offset, order, group_by, having,
+            named,
         )
 
 
@@ -1518,7 +1573,8 @@ def make_query_fn(graphs: Dict[str, MiniGraph]):
         g = graphs.get(from_graph)
         if g is None:
             raise ProcessorException(f"Unknown graph for select: {from_graph!r}")
-        rows = g.query(where_clause)
+        # every registered graph is addressable via GRAPH <name> { ... }
+        rows = g.query(where_clause, named=graphs)
         return [{v: r.get(v) for v in select_vars} for r in rows]
 
     return query_fn

@@ -706,13 +706,47 @@ class TestAggregates:
             )
 
 
-class TestUnsupportedConstructsStillRaise:
-    def test_graph_raises(self):
-        with pytest.raises(ProcessorException, match="GRAPH"):
+class TestGraphPattern:
+    NAMED = {"tax": TAX, "people": GRAPH}
+
+    def test_constant_named_graph(self):
+        out = TAX.query(
+            "SELECT ?n WHERE { GRAPH <people> { ?s <http://x/name> ?n } }",
+            named=self.NAMED,
+        )
+        assert names(out) == ["Alice", "Bob", "carol"]
+
+    def test_join_across_default_and_named(self):
+        # default graph (TAX) provides the subject; the named graph is
+        # consulted for a pattern sharing ?s — no cross product
+        out = GRAPH.query(
+            "SELECT ?n ?k WHERE { ?s <http://x/name> ?n . "
+            "GRAPH <people> { ?s <http://x/nick> ?k } }",
+            named=self.NAMED,
+        )
+        assert [(str(r["n"]), str(r["k"])) for r in out] == [("Alice", "Al")]
+
+    def test_variable_graph_ranges_and_binds(self):
+        out = TAX.query(
+            PFX + "SELECT ?g ?s WHERE { GRAPH ?g { ?s rdfs:label ?l } }",
+            named=self.NAMED,
+        )
+        got = sorted((str(r["g"]), str(r["s"])) for r in out)
+        assert got == [("tax", "http://o/Drug"), ("tax", "http://o/Nsaid")]
+
+    def test_unknown_constant_graph_raises(self):
+        with pytest.raises(ProcessorException, match="Unknown graph"):
             TAX.query(
-                PFX + "SELECT ?s WHERE { GRAPH <http://g> { ?s a o:Nsaid } }"
+                "SELECT ?s WHERE { GRAPH <nope> { ?s ?p ?o } }",
+                named=self.NAMED,
             )
 
+    def test_graph_without_named_dict_raises(self):
+        with pytest.raises(ProcessorException, match="Unknown graph"):
+            TAX.query(PFX + "SELECT ?s WHERE { GRAPH <g> { ?s a o:Nsaid } }")
+
+
+class TestUnsupportedConstructsStillRaise:
     def test_service_raises(self):
         with pytest.raises(ProcessorException, match="SERVICE"):
             TAX.query(
