@@ -1316,6 +1316,43 @@ def _synth_media(spark, sf_dir, solid: bool):
     return docs.mapInPandas(gen, schema="media_id string, blob binary")
 
 
+def _synth_audio(spark, sf_dir):
+    """Deterministic per-doc 16-bit PCM WAVs: doc d gets 200 + (d%7)*40
+    samples of v(i) = ((d*31 + i*17) mod 2003) - 1001 at 8 kHz."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + (did % 7) * 40
+                samples = [((did * 31 + i * 17) % 2003) - 1001 for i in range(n)]
+                ids.append(str(did))
+                blobs.append(MM.encode_wav(samples, 8000, 1))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(gen, schema="media_id string, blob binary")
+
+
+def q_media_audio(spark, sf_dir):
+    """REAL pure-stdlib WAV decode under the gate: deterministic PCM
+    waveforms → audio_features (integer acoustics: floored mean |v|,
+    peak, sign-product zero crossings, duration_ms) — the oracle
+    recomputes the same waveform with generate_series + a lag window,
+    so the full encode→binary→decode→feature path is bit-checked."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    return MM.audio_features(_synth_audio(spark, sf_dir)).select(
+        "media_id", "n_channels", "sample_rate", "n_samples",
+        "duration_ms", "mean_abs", "peak_abs", "zero_crossings",
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1537,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_pixels": q_media_pixels,
         "media_resize": q_media_resize,
+        "media_audio": q_media_audio,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2156,6 +2194,31 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(16 + doc_id % 13 AS INTEGER) AS width,
        CAST(9 + doc_id % 7 AS INTEGER) AS height
 FROM documents
+""",
+        # the oracle re-derives the synthetic waveform per doc and
+        # aggregates with the same integer rules as audio_features
+        "media_audio": """
+WITH base AS (
+  SELECT doc_id, 200 + (doc_id % 7) * 40 AS n FROM documents
+), s AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+), w AS (
+  SELECT doc_id, n, i, ((doc_id * 31 + i * 17) % 2003) - 1001 AS v FROM s
+), z AS (
+  SELECT doc_id, n, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM w
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(ABS(v)) // max(n) AS BIGINT) AS mean_abs,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM z GROUP BY doc_id
 """,
         "media_pixels": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, f.feature, f.value_scaled

@@ -766,3 +766,67 @@ class TestImageCodec:
         assert mm.sniff_media(mm.encode_gif_header(320, 200)) == (
             "image", "gif", 320, 200,
         )
+
+
+class TestAudioCodec:
+    """Pure-stdlib PCM WAV decode + integer acoustic features."""
+
+    def test_wav_roundtrip_mono_and_stereo(self):
+        mono = [((i * 37) % 4001) - 2000 for i in range(300)]
+        ch, rate, nf, out = mm.decode_wav(mm.encode_wav(mono, 16000, 1))
+        assert (ch, rate, nf, out) == (1, 16000, 300, mono)
+        stereo = [1, -1, 2, -2, 3, -3]
+        ch, rate, nf, out = mm.decode_wav(mm.encode_wav(stereo, 8000, 2))
+        assert (ch, rate, nf, out) == (2, 8000, 3, stereo)
+
+    def test_wav_8bit_recentred(self):
+        fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+        body = bytes([0, 128, 255])
+        raw = (b"RIFF" + struct.pack("<I", 4 + 16 + len(fmt) + len(body))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+        assert mm.decode_wav(raw) == (1, 4000, 3, [-128, 0, 127])
+
+    def test_wav_skips_unknown_chunks(self):
+        base = mm.encode_wav([5, -5], 8000, 1)
+        # splice a LIST chunk between fmt and data
+        fmt_end = 12 + 8 + 16
+        spliced = (base[:fmt_end] + b"LIST" + struct.pack("<I", 4) + b"INFO"
+                   + base[fmt_end:])
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        assert mm.decode_wav(spliced)[3] == [5, -5]
+
+    def test_rejects_non_pcm_and_garbage(self):
+        with pytest.raises(ValueError):
+            mm.decode_wav(b"not audio at all")
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float PCM
+        raw = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        with pytest.raises(NotImplementedError):
+            mm.decode_wav(raw)
+
+    def test_audio_features_integer_stats(self, spark):
+        samples = [100, -50, 0, 200, -200, 300]
+        df = spark.createDataFrame(
+            [("a1", bytearray(mm.encode_wav(samples, 8000, 1))),
+             ("bad", bytearray(b"RIFFxxxxWAVE"))],
+            "media_id string, blob binary",
+        )
+        rows = {r.media_id: r for r in mm.audio_features(df).collect()}
+        a = rows["a1"]
+        # sum_abs=850 → mean 141; crossings: 100→-50, -50→0(no: product 0),
+        # 200→-200, -200→300 → 3
+        assert (a.n_channels, a.sample_rate, a.n_samples) == (1, 8000, 6)
+        assert a.duration_ms == 6 * 1000 // 8000
+        assert (a.mean_abs, a.peak_abs, a.zero_crossings) == (141, 300, 3)
+        assert a.error is None
+        assert rows["bad"].error is not None
+
+    def test_audio_features_stereo_uses_channel_zero(self, spark):
+        interleaved = [10, -999, -10, 999, 10, -999]
+        df = spark.createDataFrame(
+            [("s1", bytearray(mm.encode_wav(interleaved, 8000, 2)))],
+            "media_id string, blob binary",
+        )
+        r = mm.audio_features(df).collect()[0]
+        assert (r.n_samples, r.peak_abs, r.zero_crossings) == (3, 10, 2)
