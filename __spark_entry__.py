@@ -1353,6 +1353,43 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+GIF_PALETTE = [(j * 37, j * 59, j * 83) for j in range(4)]
+
+
+def _synth_gifs(spark, sf_dir):
+    """Deterministic per-doc GIFs: doc d is (8 + d%5) × (6 + d%3) with
+    pixel index (d + i) mod 4 into GIF_PALETTE."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 5, 6 + did % 3
+                idx = [(did + i) % 4 for i in range(w * h)]
+                ids.append(str(did))
+                blobs.append(MM.encode_gif(w, h, idx, GIF_PALETTE))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(gen, schema="media_id string, blob binary")
+
+
+def q_media_gif(spark, sf_dir):
+    """REAL pure-stdlib GIF decode under the gate: deterministic
+    palette-indexed frames → extract_features' default decoder (now
+    real for GIF: color-table walk + full LZW) emits dimensions and
+    exact per-channel means; the oracle re-derives every pixel from the
+    generation formula."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    return MM.extract_features(_synth_gifs(spark, sf_dir))
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1575,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels": q_media_pixels,
         "media_resize": q_media_resize,
         "media_audio": q_media_audio,
+        "media_gif": q_media_gif,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2194,6 +2232,30 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(16 + doc_id % 13 AS INTEGER) AS width,
        CAST(9 + doc_id % 7 AS INTEGER) AS height
 FROM documents
+""",
+        # GIF decode oracle: re-derive every pixel from the generation
+        # formula (index (d+i)%4 into the j*37/j*59/j*83 palette);
+        # means are IEEE double divisions on both engines
+        "media_gif": """
+WITH base AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), s AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM base
+), px AS (
+  SELECT doc_id, w, h, (doc_id + i) % 4 AS j FROM s
+), agg AS (
+  SELECT doc_id, max(w) AS w, max(h) AS h,
+         CAST(SUM(j * 37) AS DOUBLE) / (max(w) * max(h)) AS m0,
+         CAST(SUM(j * 59) AS DOUBLE) / (max(w) * max(h)) AS m1,
+         CAST(SUM(j * 83) AS DOUBLE) / (max(w) * max(h)) AS m2
+  FROM px GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id, f.feature, f.value
+FROM agg, LATERAL (VALUES
+  ('width', CAST(w AS DOUBLE)), ('height', CAST(h AS DOUBLE)),
+  ('channels', CAST(3 AS DOUBLE)),
+  ('mean_c0', m0), ('mean_c1', m1), ('mean_c2', m2)
+) AS f(feature, value)
 """,
         # the oracle re-derives the synthetic waveform per doc and
         # aggregates with the same integer rules as audio_features

@@ -227,17 +227,181 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
 
 
 def decode_image(data: bytes):
-    """bytes → (width, height, channels, raw pixels). Real for PNG (pure
-    stdlib, see :func:`decode_png`); other formats raise
-    ``NotImplementedError`` — inject a decoder via
+    """bytes → (width, height, channels, raw pixels). Real for PNG and
+    GIF (pure stdlib, see :func:`decode_png` / :func:`decode_gif`);
+    other formats raise ``NotImplementedError`` — inject a decoder via
     ``extract_features(decoder=...)`` for codec-library formats."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     mtype, fmt, _, _ = sniff_media(data)
     raise NotImplementedError(
-        f"no pure-Python decoder for {mtype}/{fmt}; PNG is supported — "
-        "inject decoder= for other codecs"
+        f"no pure-Python decoder for {mtype}/{fmt}; PNG and GIF are "
+        "supported — inject decoder= for other codecs"
     )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> List[int]:
+    """GIF-variant LZW decode (LSB-first bit packing, growing code
+    sizes up to 12 bits, CLEAR resets) → color indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: List[List[int]] = [[i] for i in range(clear)] + [[], []]
+    out: List[int] = []
+    prev: Optional[List[int]] = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table) and table[code]:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                raise ValueError(f"GIF LZW bad code {code}")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: List[int], min_code_size: int) -> bytes:
+    """Deterministic GIF LZW stream: literal codes with a CLEAR before
+    the table would force a wider code size, so every code stays
+    ``min_code_size + 1`` bits — valid (if uncompressed) for any
+    decoder, and byte-stable for fixtures."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    limit = (1 << code_size) - 2
+    codes: List[int] = [clear]
+    next_code = end + 1
+    first_after_clear = True
+    for k in indices:
+        if next_code >= limit:
+            codes.append(clear)
+            next_code = end + 1
+            first_after_clear = True
+        codes.append(k)
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            next_code += 1
+    codes.append(end)
+    acc = nbits = 0
+    buf = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Real pure-Python GIF decode: (width, height, 3, RGB pixels) of
+    the FIRST image frame. stdlib only — logical screen descriptor,
+    global/local color tables, extension-block skipping, sub-block
+    reassembly, full LZW (growing codes, CLEAR, the KwKwK case).
+    Interlaced frames raise (the synthetic corpus never interlaces)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct: Optional[bytes] = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos]:
+                blen = data[pos]
+                lzw += data[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            indices = _gif_lzw_decode(bytes(lzw), mcs)[: w * h]
+            if len(indices) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            ncolors = len(ct) // 3
+            out = bytearray(w * h * 3)
+            for i, k in enumerate(indices):
+                if k >= ncolors:
+                    raise ValueError(f"GIF index {k} outside color table")
+                out[i * 3 : i * 3 + 3] = ct[k * 3 : k * 3 + 3]
+            return (w, h, 3, bytes(out))
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF bad block marker 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(
+    width: int, height: int, indices: List[int], palette: List[tuple]
+) -> bytes:
+    """Deterministic single-frame GIF87a encoder — the fixture/oracle
+    counterpart of :func:`decode_gif`. ``palette`` is [(r, g, b), ...]
+    (padded to a power of two); ``indices`` index into it row-major."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer size mismatch")
+    bits = max(1, (len(palette) - 1).bit_length())
+    size = 1 << bits
+    ct = bytearray()
+    for j in range(size):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        ct += bytes((r, g, b))
+    mcs = max(2, bits)
+    head = b"GIF87a" + struct.pack(
+        "<HHBBB", width, height, 0x80 | (bits - 1), 0, 0
+    )
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _gif_lzw_encode(indices, mcs)
+    blocks = bytearray([mcs])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return head + bytes(ct) + desc + bytes(blocks) + b"\x3b"
 
 
 def decode_wav(data: bytes) -> Tuple[int, int, int, List[int]]:

@@ -830,3 +830,72 @@ class TestAudioCodec:
         )
         r = mm.audio_features(df).collect()[0]
         assert (r.n_samples, r.peak_abs, r.zero_crossings) == (3, 10, 2)
+
+
+class TestGifCodec:
+    """Pure-stdlib GIF decode: full LZW (growing codes, CLEAR, KwKwK),
+    sub-block reassembly, color-table mapping."""
+
+    PAL4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+    def test_roundtrip_various_sizes_and_palettes(self):
+        import random
+
+        rng = random.Random(11)
+        for _ in range(10):
+            w, h = rng.randint(1, 30), rng.randint(1, 20)
+            nc = rng.choice([2, 4, 7, 16, 256])
+            pal = [(rng.randrange(256),) * 3 for _ in range(nc)]
+            idx = [rng.randrange(nc) for _ in range(w * h)]
+            dw, dh, ch, px = mm.decode_gif(mm.encode_gif(w, h, idx, pal))
+            assert (dw, dh, ch) == (w, h, 3)
+            assert px == b"".join(bytes(pal[k]) for k in idx)
+
+    def test_large_image_multiblock_stream(self):
+        w, h = 120, 90
+        idx = [(x * 7 + y * 3) % 4 for y in range(h) for x in range(w)]
+        blob = mm.encode_gif(w, h, idx, self.PAL4)
+        assert len(blob) > 255  # forces >1 LZW sub-block
+        dw, dh, _, px = mm.decode_gif(blob)
+        assert (dw, dh) == (w, h)
+        assert px == b"".join(bytes(self.PAL4[k]) for k in idx)
+
+    def test_extension_blocks_are_skipped(self):
+        blob = mm.encode_gif(2, 2, [0, 1, 2, 3], self.PAL4)
+        # splice a graphic-control extension right before the descriptor
+        at = blob.index(b"\x2c")
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        spliced = blob[:at] + gce + blob[at:]
+        assert mm.decode_gif(spliced) == mm.decode_gif(blob)
+
+    def test_kwkwk_lzw_case(self):
+        # CLEAR(4), 1, 6 with mcs=2: code 6 is the next unassigned
+        # entry → prev + prev[0] = [1, 1]
+        codes, size = [4, 1, 6, 5], 3
+        acc = nbits = 0
+        buf = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += size
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            buf.append(acc & 0xFF)
+        assert mm._gif_lzw_decode(bytes(buf), 2) == [1, 1, 1]
+
+    def test_rejects_garbage_and_interlace(self):
+        with pytest.raises(ValueError):
+            mm.decode_gif(b"not a gif")
+        blob = bytearray(mm.encode_gif(2, 2, [0, 1, 2, 3], self.PAL4))
+        at = blob.index(b"\x2c")
+        blob[at + 9] |= 0x40  # set the interlace flag
+        with pytest.raises(NotImplementedError):
+            mm.decode_gif(bytes(blob))
+
+    def test_decode_image_dispatches_gif(self):
+        blob = mm.encode_gif(3, 1, [1, 2, 3], self.PAL4)
+        w, h, ch, px = mm.decode_image(blob)
+        assert (w, h, ch) == (3, 1, 3)
+        assert px == b"\xff\x00\x00\x00\xff\x00\x00\x00\xff"
