@@ -1390,6 +1390,61 @@ def q_media_gif(spark, sf_dir):
     return MM.extract_features(_synth_gifs(spark, sf_dir))
 
 
+def _linked_html(spark, sf_dir):
+    """Per-doc HTML with two absolute anchors (targets derived from the
+    doc id) plus a relative decoy the extractor must drop."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="http://s/p'),
+        ((F.col("doc_id") * 7 + 1) % n).cast("string"),
+        F.lit('">'),
+        F.substring("text", 1, 10),
+        F.lit('</a> mid <A HREF="http://s/p'),
+        ((F.col("doc_id") * 13 + 2) % n).cast("string"),
+        F.lit('" class="x">'),
+        F.substring("text", 11, 10),
+        F.lit('</A><a href="/relative">skip</a></body></html>'),
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_links_extract(spark, sf_dir):
+    """href extraction under the gate: real anchor elements (mixed-case
+    tags, extra attributes, a relative decoy) built from each document,
+    parsed by pure column regexes — the oracle states the expected
+    (src, dst, anchor) rows closed-form from the same id arithmetic."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
+
+    return LK.extract_links(_linked_html(spark, sf_dir))
+
+
+def q_links_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank under the gate: a formula-derived edge
+    set (doc d links to (d*7 + k*13) mod N for k = 1..(d%3)+1), five
+    iterations of rank div outdeg contributions with (85·Σ) div 100
+    damping — the oracle unrolls the same five iterations as chained
+    aggregations, so every rank is compared bit-exactly."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("k"),
+    ).select(
+        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
+    )
+    return LK.pagerank(edges, iterations=5).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1613,6 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_audio": q_media_audio,
         "media_gif": q_media_gif,
+        "links_extract": q_links_extract,
+        "links_pagerank": q_links_pagerank,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -1665,6 +1722,38 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        CAST(NULL AS VARCHAR) AS extract_error
 FROM cc
 """
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 1_000_000, damping: int = 85) -> str:
+    """Unrolled integer PageRank: one chained CTE per iteration — the
+    recursive-CTE form can't aggregate over the recursive table, and
+    materialized CTEs avoid DuckDB re-evaluating the edge set per
+    reference (the dedup_clusters lesson)."""
+    teleport = (100 - damping) * scale // 100
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents,
+       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) AS t(k)
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), outdeg AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src
+), r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", r{i} AS (
+  SELECT n.node,
+         CAST({teleport} + COALESCE(({damping} * s.c) // 100, 0) AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // o.deg) AS c
+    FROM e JOIN r{i - 1} r ON r.node = e.src
+           JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node)""")
+    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)
 
 
 def _minhash_sql(n_hashes: int, shingle_n: int = 5) -> str:
@@ -2233,6 +2322,22 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(9 + doc_id % 7 AS INTEGER) AS height
 FROM documents
 """,
+        # expected links stated closed-form from the same id arithmetic
+        # the HTML builder uses; the Spark side does REAL extraction
+        "links_extract": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS src,
+       'http://s/p' || CAST((doc_id * 7 + 1) %
+         (SELECT count(*) FROM documents) AS VARCHAR) AS dst,
+       trim(substr(text, 1, 10)) AS anchor
+FROM documents
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+       'http://s/p' || CAST((doc_id * 13 + 2) %
+         (SELECT count(*) FROM documents) AS VARCHAR),
+       trim(substr(text, 11, 10))
+FROM documents
+""",
+        "links_pagerank": _pagerank_sql(iters=5),
         # GIF decode oracle: re-derive every pixel from the generation
         # formula (index (d+i)%4 into the j*37/j*59/j*83 palette);
         # means are IEEE double divisions on both engines

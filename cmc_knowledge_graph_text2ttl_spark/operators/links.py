@@ -1,0 +1,128 @@
+"""Web link-graph operators: href extraction and integer-scaled
+PageRank.
+
+The reference stops at per-document extraction; a corpus engine also
+needs the cross-document link structure — the classic inputs to crawl
+prioritization and document-quality ranking. Link extraction is pure
+column expressions (regex over the raw HTML, no parser, no UDF);
+PageRank is the second iterative graph operator next to
+``canonicalize.connected_components`` and follows the same scale rules:
+per-iteration shuffles keyed on the node id, lineage truncated with
+localCheckpoint, never a driver-side adjacency structure.
+
+All PageRank arithmetic is integer (rank `div` out-degree per edge,
+``(damping_pct * sum) div 100`` per node), so results are bit-identical
+across engines and partitionings — the same trade the rest of the
+engine makes (see CLAUDE.md hashing rules). The integer floor drops a
+little rank mass per hop (documented, deterministic) — fine for
+ranking, where only the order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["extract_links", "pagerank"]
+
+# full anchor elements; href value then inner text pulled per element
+_A_TAG = r'(?is)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
+_HREF = r'(?is)href="([^"]*)"'
+_INNER = r"(?is)>(.*)</a"
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(src, dst, anchor) for every ``<a href="...">`` element →
+    one row per link.
+
+    Pure column expressions: `regexp_extract_all` pulls whole anchor
+    elements, a `transform` lambda pulls the href and inner text per
+    element, inner markup is stripped and the anchor trimmed. Only
+    absolute http(s) targets survive (relative resolution needs a base
+    URL joiner — compose with ``urls.canonicalize_urls`` for that).
+    Double-quoted hrefs only, matching the crawl corpus; tags are
+    case-insensitive.
+    """
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+    tags = F.regexp_extract_all(html, F.lit(_A_TAG), 0)
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, _HREF, 1).alias("dst"),
+            F.trim(
+                F.regexp_replace(F.regexp_extract(t, _INNER, 1), "<[^>]*>", "")
+            ).alias("anchor"),
+        ),
+    )
+    return (
+        df.select(F.col(url_col).alias("src"), F.explode(pairs).alias("l"))
+        .select("src", F.col("l.dst").alias("dst"), F.col("l.anchor").alias("anchor"))
+        .where(F.col("dst").startswith("http"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-scaled PageRank over an edge list → (node, rank).
+
+    rank₀ = ``scale`` for every node; each iteration
+    ``rank'(v) = ((100 - damping_pct) * scale) div 100 +
+    (damping_pct * Σ_{u→v} (rank(u) div outdeg(u))) div 100``.
+    Dangling-node mass is dropped (deterministic, documented) — the
+    usual redistribution term needs a global scalar per iteration and
+    buys nothing for ranking order.
+
+    Scale shape: the per-iteration plan is one join keyed on the edge
+    source (broadcastable out-degree side when small), one aggregation
+    keyed on the destination, and a left join back onto the node set —
+    all map-side-combinable shuffles on node ids. ``localCheckpoint``
+    per iteration truncates the lineage exactly like the CC loop
+    (canonicalize.py), so 10 iterations at 10^12 edges never rebuilds a
+    10-deep plan.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.coalesce(
+                        F.expr(f"({damping_pct} * c) div 100"), F.lit(0)
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

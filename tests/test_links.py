@@ -1,0 +1,100 @@
+"""Link-graph operators (operators/links.py): href extraction +
+integer-scaled PageRank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cmc_knowledge_graph_text2ttl_spark.operators import links as lk
+
+
+class TestExtractLinks:
+    HTML = (
+        '<html><body><a href="http://x/a">First <b>bold</b> link</a>'
+        "<p>noise</p>"
+        '<A HREF="http://x/b" class="z">second</A>'
+        '<a href="/relative">rel</a>'
+        '<a href="https://x/c"></a></body></html>'
+    )
+
+    def _df(self, spark, binary=False):
+        blob = self.HTML.encode() if binary else self.HTML
+        schema = "url string, html " + ("binary" if binary else "string")
+        return spark.createDataFrame([("doc://1", blob)], schema)
+
+    def test_extraction_case_and_inner_markup(self, spark):
+        rows = sorted(
+            (r.src, r.dst, r.anchor)
+            for r in lk.extract_links(self._df(spark)).collect()
+        )
+        assert rows == [
+            ("doc://1", "http://x/a", "First bold link"),
+            ("doc://1", "http://x/b", "second"),
+            ("doc://1", "https://x/c", ""),
+        ]
+
+    def test_relative_links_dropped(self, spark):
+        dsts = {r.dst for r in lk.extract_links(self._df(spark)).collect()}
+        assert "/relative" not in dsts
+
+    def test_binary_html_column(self, spark):
+        a = sorted(map(tuple, lk.extract_links(self._df(spark)).collect()))
+        b = sorted(
+            map(tuple, lk.extract_links(self._df(spark, binary=True)).collect())
+        )
+        assert a == b
+
+    def test_no_links_no_rows(self, spark):
+        df = spark.createDataFrame(
+            [("u", "<html><p>plain</p></html>")], "url string, html string"
+        )
+        assert lk.extract_links(df).count() == 0
+
+
+class TestPageRank:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_hand_computed_two_iterations(self, spark):
+        # a→b, a→c, b→a; c dangling. scale=100, damping=85, teleport=15.
+        # iter1: a=15+85=100, b=c=15+(85*50)div100=57
+        # iter2: a=15+(85*57)div100=63, b=c=15+(85*(100 div 2))div100=57
+        e = self._edges(spark, [("a", "b"), ("a", "c"), ("b", "a")])
+        got = {
+            r.node: r.rank
+            for r in lk.pagerank(e, iterations=2, scale=100).collect()
+        }
+        assert got == {"a": 63, "b": 57, "c": 57}
+
+    def test_partitioning_invariant(self, spark):
+        rows = [
+            (f"n{i}", f"n{(i * 7 + j * 13) % 40}")
+            for i in range(40)
+            for j in range(1, i % 3 + 2)
+        ]
+        a = sorted(
+            map(tuple, lk.pagerank(
+                self._edges(spark, rows).repartition(1), iterations=4
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, lk.pagerank(
+                self._edges(spark, rows).repartition(13), iterations=4
+            ).collect())
+        )
+        assert a == b and len(a) > 0
+
+    def test_hub_outranks_leaves(self, spark):
+        # everyone links to h; h links to one leaf
+        e = self._edges(
+            spark, [(f"l{i}", "h") for i in range(5)] + [("h", "l0")]
+        )
+        got = {r.node: r.rank for r in lk.pagerank(e, iterations=5).collect()}
+        assert got["h"] > got["l0"] > got["l1"]
+        assert got["l1"] == got["l2"] == got["l3"] == got["l4"]
+
+    def test_bad_params_raise(self, spark):
+        e = self._edges(spark, [("a", "b")])
+        with pytest.raises(ValueError):
+            lk.pagerank(e, iterations=0)
+        with pytest.raises(ValueError):
+            lk.pagerank(e, damping_pct=101)
