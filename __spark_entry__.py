@@ -1445,6 +1445,15 @@ def q_links_pagerank(spark, sf_dir):
     )
 
 
+def q_links_anchors(spark, sf_dir):
+    """Anchor-text aggregation under the gate: top-2 anchors per link
+    target with link/source counts, deterministic (count desc, anchor)
+    cut — fed by the real extraction over the synthetic anchor HTML."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
+
+    return LK.anchor_summaries(LK.extract_links(_linked_html(spark, sf_dir)), k=2)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1670,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif": q_media_gif,
         "links_extract": q_links_extract,
         "links_pagerank": q_links_pagerank,
+        "links_anchors": q_links_anchors,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2338,6 +2348,33 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "links_anchors": """
+WITH l AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS src,
+         'http://s/p' || CAST((doc_id * 7 + 1) %
+           (SELECT count(*) FROM documents) AS VARCHAR) AS dst,
+         trim(substr(text, 1, 10)) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+         'http://s/p' || CAST((doc_id * 13 + 2) %
+           (SELECT count(*) FROM documents) AS VARCHAR),
+         trim(substr(text, 11, 10))
+  FROM documents
+), agg AS (
+  SELECT dst, anchor,
+         CAST(COUNT(*) AS BIGINT) AS n_links,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+  FROM l WHERE length(anchor) > 0
+  GROUP BY dst, anchor
+)
+SELECT dst, anchor, n_links, n_sources, CAST(rn AS INTEGER) AS rank_in_dst
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY dst ORDER BY n_links DESC, anchor ASC
+  ) AS rn FROM agg
+) WHERE rn <= 2
+""",
         # GIF decode oracle: re-derive every pixel from the generation
         # formula (index (d+i)%4 into the j*37/j*59/j*83 palette);
         # means are IEEE double divisions on both engines

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "pagerank"]
+__all__ = ["extract_links", "pagerank", "anchor_summaries"]
 
 # full anchor elements; href value then inner text pulled per element
 _A_TAG = r'(?is)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
@@ -62,6 +62,38 @@ def extract_links(
         df.select(F.col(url_col).alias("src"), F.explode(pairs).alias("l"))
         .select("src", F.col("l.dst").alias("dst"), F.col("l.anchor").alias("anchor"))
         .where(F.col("dst").startswith("http"))
+    )
+
+
+def anchor_summaries(links: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` anchor texts per link target →
+    (dst, anchor, n_links, n_sources, rank_in_dst).
+
+    Anchor text is the classic off-page relevance signal: what OTHER
+    pages call a document. One aggregation keyed on (dst, anchor) with
+    map-side combine, then a per-dst window bounded by each target's
+    distinct-anchor count — ties broken by anchor so the cut is
+    deterministic. Empty anchors are dropped (self-evidently useless as
+    descriptions).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    agg = (
+        links.where(F.length("anchor") > 0)
+        .groupBy("dst", "anchor")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
+        )
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        agg.withColumn("rank_in_dst", F.row_number().over(w).cast("int"))
+        .where(F.col("rank_in_dst") <= k)
     )
 
 

@@ -50,6 +50,34 @@ class TestExtractLinks:
         assert lk.extract_links(df).count() == 0
 
 
+class TestAnchorSummaries:
+    def test_topk_counts_and_tiebreak(self, spark):
+        rows = [
+            ("s1", "http://t/a", "alpha"),
+            ("s2", "http://t/a", "alpha"),
+            ("s2", "http://t/a", "beta"),
+            ("s3", "http://t/a", "gamma"),
+            ("s1", "http://t/b", ""),
+            ("s1", "http://t/b", "only"),
+        ]
+        df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+        got = {
+            (r.dst, r.anchor): (r.n_links, r.n_sources, r.rank_in_dst)
+            for r in lk.anchor_summaries(df, k=2).collect()
+        }
+        # alpha: 2 links from 2 sources; beta/gamma tie at 1 → beta wins
+        assert got == {
+            ("http://t/a", "alpha"): (2, 2, 1),
+            ("http://t/a", "beta"): (1, 1, 2),
+            ("http://t/b", "only"): (1, 1, 1),
+        }
+
+    def test_bad_k_raises(self, spark):
+        df = spark.createDataFrame([], "src string, dst string, anchor string")
+        with pytest.raises(ValueError):
+            lk.anchor_summaries(df, k=0)
+
+
 class TestPageRank:
     def _edges(self, spark, rows):
         return spark.createDataFrame(rows, "src string, dst string")
