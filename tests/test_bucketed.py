@@ -1,0 +1,92 @@
+"""Bucketed-table storage (sources/bucketed.py): the write-time shuffle
+that makes doc-keyed joins and aggregations exchange-free."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cmc_knowledge_graph_text2ttl_spark.sources import bucketed as bk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stats = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_words")
+    )
+    bk.write_bucketed(
+        docs.select("doc_id", "lang", "source"),
+        "t_docs_b", "doc_id", 8, path=str(root / "docs"),
+        sort_cols=["doc_id"],
+    )
+    bk.write_bucketed(
+        stats, "t_stats_b", "doc_id", 8, path=str(root / "stats"),
+        sort_cols=["doc_id"],
+    )
+    yield "t_docs_b", "t_stats_b"
+    spark.sql("DROP TABLE IF EXISTS t_docs_b")
+    spark.sql("DROP TABLE IF EXISTS t_stats_b")
+
+
+def _no_broadcast(spark):
+    return spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestBucketedJoin:
+    def test_join_has_zero_exchanges(self, spark, tables):
+        t1, t2 = tables
+        prev = _no_broadcast(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bk.read_bucketed(spark, t1).join(
+                bk.read_bucketed(spark, t2), "doc_id"
+            )
+            assert bk.bucketed_exchange_count(joined) == 0
+            # the same join over plain parquet shuffles BOTH sides
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            plain = docs.select("doc_id", "lang").join(
+                docs.select("doc_id", F.length("text").alias("n")), "doc_id"
+            )
+            assert bk.bucketed_exchange_count(plain) >= 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_join_results_match_plain_join(self, spark, tables):
+        t1, t2 = tables
+        got = sorted(
+            (r.doc_id, r.lang, r.n_words)
+            for r in bk.read_bucketed(spark, t1)
+            .join(bk.read_bucketed(spark, t2), "doc_id")
+            .select("doc_id", "lang", "n_words")
+            .collect()
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        expected = sorted(
+            (r.doc_id, r.lang, r.n_words)
+            for r in docs.select(
+                "doc_id", "lang",
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+            ).collect()
+        )
+        assert got == expected
+
+    def test_groupby_on_bucket_key_has_zero_exchanges(self, spark, tables):
+        t1, _ = tables
+        agg = bk.read_bucketed(spark, t1).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert bk.bucketed_exchange_count(agg) == 0
+
+    def test_groupby_on_other_key_still_shuffles(self, spark, tables):
+        t1, _ = tables
+        agg = bk.read_bucketed(spark, t1).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert bk.bucketed_exchange_count(agg) == 1
+
+    def test_bad_bucket_count_raises(self, spark):
+        df = spark.range(3)
+        with pytest.raises(ValueError):
+            bk.write_bucketed(df, "t_x", "id", 0)
