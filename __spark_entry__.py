@@ -1454,6 +1454,45 @@ def q_links_anchors(spark, sf_dir):
     return LK.anchor_summaries(LK.extract_links(_linked_html(spark, sf_dir)), k=2)
 
 
+def _synth_jpegs(spark, sf_dir):
+    """Deterministic grayscale baseline JPEGs: doc d is a
+    (1+d%3)×(1+d%2) grid of solid 8×8 blocks, block i carrying value
+    (d*17 + i*29) mod 256 — DC-only coefficients with quantizer 8, so
+    the decoded pixels are exactly the block values."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 3, 1 + did % 2
+                blocks = [
+                    [((did * 17 + i * 29) % 256) - 128] + [0] * 63
+                    for i in range(bw * bh)
+                ]
+                ids.append(str(did))
+                blobs.append(JP.encode_jpeg_blocks(bw * 8, bh * 8, blocks))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(gen, schema="media_id string, blob binary")
+
+
+def q_media_jpeg(spark, sf_dir):
+    """REAL baseline JPEG decode under the gate: marker parse → Huffman
+    entropy decode → dequant → IDCT per block, through
+    extract_features' default decoder. DC-only fixtures make every
+    decoded pixel closed-form, so the oracle re-derives dimensions and
+    exact channel means from the block-value formula."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    return MM.extract_features(_synth_jpegs(spark, sf_dir))
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1677,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_audio": q_media_audio,
         "media_gif": q_media_gif,
+        "media_jpeg": q_media_jpeg,
         "links_extract": q_links_extract,
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
@@ -2374,6 +2414,28 @@ FROM (
     PARTITION BY dst ORDER BY n_links DESC, anchor ASC
   ) AS rn FROM agg
 ) WHERE rn <= 2
+""",
+        # JPEG decode oracle: DC-only blocks decode to their exact block
+        # values, so dims and channel means are closed-form
+        "media_jpeg": """
+WITH base AS (
+  SELECT doc_id, (1 + doc_id % 3) AS bw, (1 + doc_id % 2) AS bh
+  FROM documents
+), blk AS (
+  SELECT doc_id, bw, bh, unnest(generate_series(0, bw * bh - 1)) AS i
+  FROM base
+), v AS (
+  SELECT doc_id, bw, bh, (doc_id * 17 + i * 29) % 256 AS val FROM blk
+), agg AS (
+  SELECT doc_id, max(bw) * 8 AS w, max(bh) * 8 AS h,
+         CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
+  FROM v GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id, f.feature, f.value
+FROM agg, LATERAL (VALUES
+  ('width', CAST(w AS DOUBLE)), ('height', CAST(h AS DOUBLE)),
+  ('channels', CAST(1 AS DOUBLE)), ('mean_c0', m)
+) AS f(feature, value)
 """,
         # GIF decode oracle: re-derive every pixel from the generation
         # formula (index (d+i)%4 into the j*37/j*59/j*83 palette);

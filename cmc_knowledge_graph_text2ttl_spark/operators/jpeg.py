@@ -1,0 +1,458 @@
+"""Baseline JPEG codec, pure Python + numpy (both in the base image).
+
+Completes the multimodal decode story next to the stdlib PNG/GIF/WAV
+codecs: marker parse (SOI/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI, APPn/COM
+skipped), Huffman entropy decode with byte un-stuffing, dequantize +
+inverse zigzag, separable float IDCT, per-component nearest
+upsampling, and JFIF YCbCr→RGB with explicit round-half-up — every
+step deterministic, so the same bytes decode to the same pixels on
+every executor.
+
+Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, any
+H/V sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0). Progressive
+(SOF2), arithmetic coding and 12-bit raise ``NotImplementedError``.
+
+The encoder is the deterministic fixture counterpart: it writes
+baseline JPEGs from ALREADY-QUANTIZED coefficient blocks using the
+JPEG Annex K example Huffman tables, which lets tests verify the full
+entropy/zigzag/dequant path against an independent IDCT, and lets the
+gate use DC-only blocks whose decoded pixels are closed-form
+(quantizer 8 → a solid block of exactly ``dc + 128``).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg_blocks", "encode_jpeg_ycbcr444", "ZIGZAG"]
+
+# zigzag scan order: index i in the stream → position ZIGZAG[i] (row*8+col)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# JPEG Annex K example tables (the spec's own public constants)
+_DC_LUM_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_SYMBOLS = list(range(12))
+_AC_LUM_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8x8 DCT basis matrix: C[k, x] = c(k)/2 * cos((2x+1)kπ/16)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _x in range(8):
+        _c = np.sqrt(0.5) if _k == 0 else 1.0
+        _C[_k, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _k * np.pi / 16.0)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    """2-D type-III DCT of one dequantized 8x8 coefficient block."""
+    return _C.T @ block @ _C
+
+
+def _build_huffman(counts: List[int], symbols: List[int]) -> Dict[Tuple[int, int], int]:
+    """(bit-length, code) → symbol, canonical JPEG code assignment."""
+    table: Dict[Tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huffman_codes(counts: List[int], symbols: List[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol → (code, bit-length), inverse of :func:`_build_huffman`."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _build_huffman(counts, symbols).items()
+    }
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment; 0xFF00
+    stuffing removed, RSTn markers surfaced to the caller."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def skip_restart(self) -> None:
+        """Consume the RSTn marker bytes at the current byte position."""
+        assert self.data[self.pos] == 0xFF
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _decode_symbol(br: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map t-bit magnitude v to its signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
+    """bytes → (width, height, channels, pixels row-major)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: Dict[int, List[int]] = {}
+    huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    comps: List[dict] = []
+    w = h = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker byte at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantizers unsupported")
+                vals = list(body[i + 1 : i + 65])
+                table = [0] * 64
+                for j, v in enumerate(vals):
+                    table[ZIGZAG[j]] = v
+                qt[tq] = table
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF 0x{marker:02X} unsupported (baseline SOF0 only)"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_huffman(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            ns = body[0]
+            for ci in range(ns):
+                cid, tdta = body[1 + ci * 2], body[2 + ci * 2]
+                for c in comps:
+                    if c["id"] == cid:
+                        c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
+            scan_pos = pos + 2 + seglen
+            return _decode_scan(
+                data, scan_pos, w, h, comps, qt, huff, restart_interval
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    for c in comps:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        c["plane"] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        c["pred"] = 0
+    br = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align()
+                br.skip_restart()
+                for c in comps:
+                    c["pred"] = 0
+            try:
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _decode_block(
+                                br, c, qt[c["tq"]],
+                                huff[(0, c["td"])], huff[(1, c["ta"])],
+                                (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8,
+                            )
+            except _RestartMarker:
+                raise ValueError("restart marker inside an MCU")
+            mcu_count += 1
+    # upsample to full resolution and color-convert
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(np.floor(planes[0] + 128.5), 0, 255).astype(np.uint8)
+        return (w, h, 1, gray.tobytes())
+    y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return (w, h, 3, rgb.tobytes())
+
+
+def _decode_block(br, comp, q, dc_table, ac_table, oy, ox):
+    coeffs = np.zeros(64, dtype=np.float64)
+    t = _decode_symbol(br, dc_table)
+    diff = _extend(br.read_bits(t), t) if t else 0
+    comp["pred"] += diff
+    coeffs[0] = comp["pred"] * q[0]
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(br, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k >= 64:
+            raise ValueError("AC run past end of block")
+        coeffs[ZIGZAG[k]] = _extend(br.read_bits(size), size) * q[ZIGZAG[k]]
+        k += 1
+    comp["plane"][oy : oy + 8, ox : ox + 8] = _idct2(coeffs.reshape(8, 8))
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder: baseline JPEG from already-quantized coefficient blocks
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s per spec
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _write_block(bwr: "_BitWriter", blk: List[int], pred: int,
+                 dc_codes, ac_codes) -> int:
+    """Entropy-code one quantized block; returns the new DC predictor."""
+    diff = blk[0] - pred
+    t = _category(diff)
+    code, length = dc_codes[t]
+    bwr.write(code, length)
+    if t:
+        mag = diff if diff >= 0 else diff + (1 << t) - 1
+        bwr.write(mag & ((1 << t) - 1), t)
+    run = 0
+    for i in range(1, 64):
+        v = blk[ZIGZAG[i]]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bwr.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        bwr.write(code, length)
+        mag = v if v >= 0 else v + (1 << s) - 1
+        bwr.write(mag & ((1 << s) - 1), s)
+        run = 0
+    if run > 0:
+        # EOB only when trailing zeros remain — a coded coefficient 63
+        # ends the block WITHOUT an EOB (decoders stop at k == 64 and
+        # would misread an extra EOB as the next DC symbol)
+        code, length = ac_codes[0x00]
+        bwr.write(code, length)
+    return blk[0]
+
+
+def encode_jpeg_blocks(
+    width: int,
+    height: int,
+    blocks: List[List[int]],
+    quant: Optional[List[int]] = None,
+) -> bytes:
+    """Deterministic grayscale baseline JPEG from quantized coefficient
+    blocks (natural order, 64 ints each; blocks row-major over the
+    ceil(w/8) × ceil(h/8) grid). Default quantizer is all-8s, so a
+    DC-only block decodes to the solid value ``dc + 128`` exactly."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    if len(blocks) != bw * bh:
+        raise ValueError(f"need {bw * bh} blocks, got {len(blocks)}")
+    q = quant if quant is not None else [8] * 64
+    dc_codes = _huffman_codes(_DC_LUM_COUNTS, _DC_LUM_SYMBOLS)
+    ac_codes = _huffman_codes(_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)
+    bwr = _BitWriter()
+    pred = 0
+    for blk in blocks:
+        pred = _write_block(bwr, blk, pred, dc_codes, ac_codes)
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
+        + b"\x10" + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
+    )
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_ycbcr444(
+    width: int,
+    height: int,
+    y_blocks: List[List[int]],
+    cb_blocks: List[List[int]],
+    cr_blocks: List[List[int]],
+    quant: Optional[List[int]] = None,
+) -> bytes:
+    """Deterministic 3-component 4:4:4 baseline JPEG from quantized
+    coefficient blocks (one block per component per MCU, shared quant
+    and Huffman tables, per-component DC predictors) — exercises the
+    decoder's interleaved-MCU walk and YCbCr→RGB conversion."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    for name, blks in (("y", y_blocks), ("cb", cb_blocks), ("cr", cr_blocks)):
+        if len(blks) != bw * bh:
+            raise ValueError(f"{name}: need {bw * bh} blocks, got {len(blks)}")
+    q = quant if quant is not None else [8] * 64
+    dc_codes = _huffman_codes(_DC_LUM_COUNTS, _DC_LUM_SYMBOLS)
+    ac_codes = _huffman_codes(_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)
+    bwr = _BitWriter()
+    preds = [0, 0, 0]
+    for i in range(bw * bh):
+        for ci, blks in enumerate((y_blocks, cb_blocks, cr_blocks)):
+            preds[ci] = _write_block(bwr, blks[i], preds[ci], dc_codes, ac_codes)
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
+        + b"\x10" + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
+    )
+    sos = seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"

@@ -228,17 +228,21 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
 
 def decode_image(data: bytes):
     """bytes → (width, height, channels, raw pixels). Real for PNG and
-    GIF (pure stdlib, see :func:`decode_png` / :func:`decode_gif`);
-    other formats raise ``NotImplementedError`` — inject a decoder via
-    ``extract_features(decoder=...)`` for codec-library formats."""
+    GIF (pure stdlib) and baseline JPEG (``operators/jpeg.py``, pure
+    Python + numpy); other formats raise ``NotImplementedError`` —
+    inject a decoder via ``extract_features(decoder=...)``."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     mtype, fmt, _, _ = sniff_media(data)
     raise NotImplementedError(
-        f"no pure-Python decoder for {mtype}/{fmt}; PNG and GIF are "
-        "supported — inject decoder= for other codecs"
+        f"no pure-Python decoder for {mtype}/{fmt}; PNG, GIF and baseline "
+        "JPEG are supported — inject decoder= for other codecs"
     )
 
 

@@ -1,0 +1,132 @@
+"""Baseline JPEG codec (operators/jpeg.py): marker parse, Huffman
+entropy coding, dequant/zigzag, IDCT, color conversion."""
+
+import numpy as np
+import pytest
+
+from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as J
+from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as mm
+
+
+def _ref_plane(blocks, q, bw, bh, h_img, w_img):
+    """Independent reconstruction: dequant → IDCT per block → crop."""
+    out = np.zeros((bh * 8, bw * 8))
+    qm = np.array(q, float).reshape(8, 8)
+    for i, blk in enumerate(blocks):
+        by, bx = divmod(i, bw)
+        coef = np.array(blk, float).reshape(8, 8) * qm
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = J._C.T @ coef @ J._C
+    return out[:h_img, :w_img]
+
+
+def _rand_blocks(rng, n, dense=0.3):
+    out = []
+    for _ in range(n):
+        b = rng.randint(-25, 26, 64) * (rng.rand(64) < dense)
+        b[0] = rng.randint(-110, 111)
+        out.append([int(x) for x in b])
+    return out
+
+
+class TestGrayscale:
+    def test_dc_only_solid_blocks_exact(self):
+        blocks = [[-28] + [0] * 63, [72] + [0] * 63]
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg_blocks(16, 8, blocks))
+        a = np.frombuffer(px, np.uint8).reshape(8, 16)
+        assert (w, h, ch) == (16, 8, 1)
+        assert (a[:, :8] == 100).all() and (a[:, 8:] == 200).all()
+
+    def test_random_blocks_match_independent_idct(self):
+        rng = np.random.RandomState(42)
+        for _ in range(15):
+            bw, bh = rng.randint(1, 5), rng.randint(1, 4)
+            w_img = bw * 8 - rng.randint(0, 8)
+            h_img = bh * 8 - rng.randint(0, 8)
+            q = [8] + [int(x) for x in rng.randint(1, 20, 63)]
+            blocks = _rand_blocks(rng, bw * bh, dense=rng.rand())
+            w, h, ch, px = J.decode_jpeg(
+                J.encode_jpeg_blocks(w_img, h_img, blocks, quant=q)
+            )
+            got = np.frombuffer(px, np.uint8).reshape(h, w)
+            ref = np.clip(
+                np.floor(_ref_plane(blocks, q, bw, bh, h_img, w_img) + 128.5),
+                0, 255,
+            )
+            assert (got == ref).all()
+
+    def test_coefficient_63_ends_block_without_eob(self):
+        # regression: an extra EOB after a coded coefficient 63
+        # desynchronizes the next block's DC
+        full = [1] * 64
+        blocks = [full, [0] * 64]
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg_blocks(16, 8, blocks))
+        a = np.frombuffer(px, np.uint8).reshape(8, 16)
+        assert (a[:, 8:] == 128).all()  # second block stays neutral
+
+
+class TestColor:
+    def test_solid_ycbcr_conversion_exact(self):
+        def conv(yv, cbv, crv):
+            y = yv + 128.0
+            r = y + 1.402 * crv
+            g = y - 0.344136 * cbv - 0.714136 * crv
+            b = y + 1.772 * cbv
+            return [int(np.clip(np.floor(x + 0.5), 0, 255)) for x in (r, g, b)]
+
+        yb = [[10] + [0] * 63]
+        cb = [[5] + [0] * 63]
+        cr = [[-9] + [0] * 63]
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg_ycbcr444(8, 8, yb, cb, cr))
+        a = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
+        assert (w, h, ch) == (8, 8, 3)
+        assert (a == conv(10, 5, -9)).all()
+
+    def test_random_color_blocks_match(self):
+        rng = np.random.RandomState(5)
+        bw, bh, w_img, h_img = 2, 2, 13, 11
+        yb, cbb, crb = (_rand_blocks(rng, 4) for _ in range(3))
+        q = [8] + [int(x) for x in rng.randint(1, 16, 63)]
+        w, h, ch, px = J.decode_jpeg(
+            J.encode_jpeg_ycbcr444(w_img, h_img, yb, cbb, crb, quant=q)
+        )
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(float)
+        y = _ref_plane(yb, q, bw, bh, h_img, w_img) + 128.0
+        cb = _ref_plane(cbb, q, bw, bh, h_img, w_img)
+        cr = _ref_plane(crb, q, bw, bh, h_img, w_img)
+        ref = np.stack(
+            [
+                np.clip(np.floor(y + 1.402 * cr + 0.5), 0, 255),
+                np.clip(
+                    np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255
+                ),
+                np.clip(np.floor(y + 1.772 * cb + 0.5), 0, 255),
+            ],
+            axis=-1,
+        )
+        assert (got == ref).all()
+
+
+class TestRobustness:
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(b"not a jpeg")
+
+    def test_rejects_progressive(self):
+        blob = bytearray(J.encode_jpeg_blocks(8, 8, [[0] * 64]))
+        at = blob.index(b"\xff\xc0")
+        blob[at + 1] = 0xC2  # SOF2 progressive
+        with pytest.raises(NotImplementedError):
+            J.decode_jpeg(bytes(blob))
+
+    def test_block_count_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            J.encode_jpeg_blocks(16, 16, [[0] * 64])
+
+    def test_decode_image_dispatches_jpeg(self):
+        blob = J.encode_jpeg_blocks(8, 8, [[-28] + [0] * 63])
+        w, h, ch, px = mm.decode_image(blob)
+        assert (w, h, ch) == (8, 8, 1) and px == bytes([100] * 64)
+
+    def test_header_sniff_agrees_with_decode(self):
+        blob = J.encode_jpeg_blocks(24, 16, [[0] * 64] * 6)
+        assert mm.sniff_media(blob) == ("image", "jpeg", 24, 16)
