@@ -27,7 +27,13 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg_blocks", "encode_jpeg_ycbcr444", "ZIGZAG"]
+__all__ = [
+    "decode_jpeg",
+    "encode_jpeg_blocks",
+    "encode_jpeg_ycbcr444",
+    "encode_jpeg_ycbcr420",
+    "ZIGZAG",
+]
 
 # zigzag scan order: index i in the stream → position ZIGZAG[i] (row*8+col)
 ZIGZAG = [
@@ -448,6 +454,67 @@ def encode_jpeg_ycbcr444(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 3)
         + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
+        + b"\x10" + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
+    )
+    sos = seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_ycbcr420(
+    width: int,
+    height: int,
+    y_blocks: List[List[int]],
+    cb_blocks: List[List[int]],
+    cr_blocks: List[List[int]],
+    quant: Optional[List[int]] = None,
+) -> bytes:
+    """Deterministic 4:2:0 baseline JPEG: each MCU interleaves four Y
+    blocks (2×2) with one Cb and one Cr block — exercises the decoder's
+    chroma upsampling. ``y_blocks`` covers a (2·mcus_x)×(2·mcus_y)
+    grid row-major; the chroma grids are mcus_x×mcus_y."""
+    mcus_x = (width + 15) // 16
+    mcus_y = (height + 15) // 16
+    if len(y_blocks) != 4 * mcus_x * mcus_y:
+        raise ValueError(
+            f"y: need {4 * mcus_x * mcus_y} blocks, got {len(y_blocks)}"
+        )
+    for name, blks in (("cb", cb_blocks), ("cr", cr_blocks)):
+        if len(blks) != mcus_x * mcus_y:
+            raise ValueError(
+                f"{name}: need {mcus_x * mcus_y} blocks, got {len(blks)}"
+            )
+    q = quant if quant is not None else [8] * 64
+    dc_codes = _huffman_codes(_DC_LUM_COUNTS, _DC_LUM_SYMBOLS)
+    ac_codes = _huffman_codes(_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)
+    bwr = _BitWriter()
+    preds = [0, 0, 0]
+    yw = 2 * mcus_x  # Y block-grid width
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    idx = (my * 2 + by) * yw + mx * 2 + bx
+                    preds[0] = _write_block(
+                        bwr, y_blocks[idx], preds[0], dc_codes, ac_codes
+                    )
+            ci = my * mcus_x + mx
+            preds[1] = _write_block(bwr, cb_blocks[ci], preds[1], dc_codes, ac_codes)
+            preds[2] = _write_block(bwr, cr_blocks[ci], preds[2], dc_codes, ac_codes)
+    scan = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",
     )
     dht = seg(
         0xC4,

@@ -106,6 +106,45 @@ class TestColor:
         assert (got == ref).all()
 
 
+class TestSubsampling:
+    def test_420_solid_blocks_and_upsampling(self):
+        # 16x16 → 1 MCU: 4 distinct solid Y blocks, one Cb, one Cr.
+        # Chroma is upsampled 2x2, so every pixel's (Cb, Cr) is the
+        # same; per-quadrant Y differs.
+        def conv(yv, cbv, crv):
+            y = yv + 128.0
+            r = y + 1.402 * crv
+            g = y - 0.344136 * cbv - 0.714136 * crv
+            b = y + 1.772 * cbv
+            return [int(np.clip(np.floor(x + 0.5), 0, 255)) for x in (r, g, b)]
+
+        yb = [[v] + [0] * 63 for v in (10, -40, 60, -90)]
+        cb = [[6] + [0] * 63]
+        cr = [[-12] + [0] * 63]
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg_ycbcr420(16, 16, yb, cb, cr))
+        a = np.frombuffer(px, np.uint8).reshape(16, 16, 3)
+        assert (w, h, ch) == (16, 16, 3)
+        assert (a[:8, :8] == conv(10, 6, -12)).all()
+        assert (a[:8, 8:] == conv(-40, 6, -12)).all()
+        assert (a[8:, :8] == conv(60, 6, -12)).all()
+        assert (a[8:, 8:] == conv(-90, 6, -12)).all()
+
+    def test_420_cropped_dims(self):
+        # 20x12 → still 1 MCU wide? no: mcus_x=2, mcus_y=1; crop to 20x12
+        yb = [[i] + [0] * 63 for i in range(8)]
+        cb = [[0] + [0] * 63, [0] + [0] * 63]
+        cr = [[0] + [0] * 63, [0] + [0] * 63]
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg_ycbcr420(20, 12, yb, cb, cr))
+        assert (w, h, ch) == (20, 12, 3)
+        a = np.frombuffer(px, np.uint8).reshape(12, 20, 3)
+        # top-left Y block is 0 → gray 128 everywhere in that quadrant
+        assert (a[:8, :8, 0] == 128).all()
+
+    def test_420_block_count_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            J.encode_jpeg_ycbcr420(16, 16, [[0] * 64] * 3, [[0] * 64], [[0] * 64])
+
+
 class TestRobustness:
     def test_rejects_garbage(self):
         with pytest.raises(ValueError):
