@@ -1165,6 +1165,18 @@ def q_text_surprisal(spark, sf_dir):
     return TD.unigram_surprisal(_docs(spark, sf_dir))
 
 
+def q_skew_collect(spark, sf_dir):
+    """Salted two-phase collect under the gate: per-language doc-id
+    arrays built with bounded phase-1 buffers (md5 salt), merged and
+    sorted — bit-identical to a direct grouped list on any engine."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import skew as SK
+
+    out = SK.salted_collect_list(
+        _docs(spark, sf_dir), "lang", "doc_id", n_salts=16
+    )
+    return out.select(F.col("key").alias("lang"), F.col("values").alias("vals"))
+
+
 def q_corpus_report(spark, sf_dir):
     """The corpus curation SUMMARY under the gate: totals, keep/drop
     split, per-reason drop counts and language mix as one tall integer
@@ -1708,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
+        "skew_collect": q_skew_collect,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2713,6 +2726,10 @@ SELECT id,
        CAST(SUM(tf_doc * surprisal) // SUM(tf_doc) AS BIGINT) AS surprisal_scaled
 FROM per_doc JOIN dim USING (token)
 GROUP BY id
+""",
+        "skew_collect": """
+SELECT lang, list_sort(list(doc_id)) AS vals
+FROM documents GROUP BY lang
 """,
         "corpus_stratified": """
 SELECT id, lang FROM (
