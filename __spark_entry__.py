@@ -1505,6 +1505,44 @@ def q_media_jpeg(spark, sf_dir):
     return MM.extract_features(_synth_jpegs(spark, sf_dir))
 
 
+def q_warc_read(spark, sf_dir):
+    """Common-Crawl-style WARC ingestion under the gate: the documents
+    are wrapped as HTTP response records in 8 deterministic WARC
+    segment files (the fixture side of sources/warc.py), read back with
+    one task per file, and checked byte-exactly — the md5 of each
+    extracted HTTP payload must equal DuckDB's md5 over the same
+    reconstructed HTML string."""
+    import os
+    import tempfile
+
+    from cmc_knowledge_graph_text2ttl_spark.sources import warc as W
+
+    docs = sorted(
+        (int(r.doc_id), r.text)
+        for r in _docs(spark, sf_dir).select("doc_id", "text").collect()
+    )
+    root = tempfile.mkdtemp(prefix="warc_gate_")
+    groups: dict = {}
+    for did, text in docs:
+        groups.setdefault(did % 8, []).append(
+            (
+                f"doc://{did}",
+                f"2024-01-{1 + did % 27:02d}T00:00:00Z",
+                f"<html><body>{text}</body></html>".encode(),
+            )
+        )
+    for g, recs in groups.items():
+        with open(os.path.join(root, f"seg{g}.warc"), "wb") as f:
+            f.write(W.build_warc(recs))
+    out = W.read_warc(spark, root).where("error is null")
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("ts_day"),
+        F.length("html").cast("bigint").alias("n_bytes"),
+        F.md5("html").alias("digest"),
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1733,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_extract": q_links_extract,
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
+        "warc_read": q_warc_read,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2401,6 +2440,16 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        # byte-exact WARC round-trip: the HTTP payload written into the
+        # fixture segments is exactly this reconstructed HTML string
+        "warc_read": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       '2024-01-' || lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0') AS ts_day,
+       CAST(length('<html><body>' || text || '</body></html>') AS BIGINT)
+         AS n_bytes,
+       md5('<html><body>' || text || '</body></html>') AS digest
+FROM documents
+""",
         "links_anchors": """
 WITH l AS (
   SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS src,

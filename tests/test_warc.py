@@ -1,0 +1,102 @@
+"""WARC source (sources/warc.py): record framing, HTTP payload split,
+per-file error isolation."""
+
+import pytest
+
+from cmc_knowledge_graph_text2ttl_spark.sources import warc as W
+
+
+class TestParse:
+    def test_roundtrip(self):
+        recs = [
+            ("http://a/1", "2024-01-01T00:00:00Z", b"<html>one</html>"),
+            ("http://a/2", "2024-01-02T00:00:00Z", b"<html>two</html>"),
+        ]
+        got = list(W.parse_warc_records(W.build_warc(recs)))
+        assert got == recs
+
+    def test_skips_non_response_records(self):
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\n"
+            b"hello\r\n\r\n"
+        )
+        resp = W.build_warc([("http://x", "2024-01-01T00:00:00Z", b"body")])
+        got = list(W.parse_warc_records(info + resp))
+        assert got == [("http://x", "2024-01-01T00:00:00Z", b"body")]
+
+    def test_bare_lf_header_endings(self):
+        body = b"HTTP/1.1 200 OK\n\npayload"
+        rec = (
+            b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://lf\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\n\n"
+            + body + b"\n\n"
+        )
+        got = list(W.parse_warc_records(rec))
+        assert got == [("http://lf", "2024-01-01T00:00:00Z", b"payload")]
+
+    def test_binary_safe_payload(self):
+        payload = bytes(range(256)) * 3
+        recs = [("http://bin", "2024-01-01T00:00:00Z", payload)]
+        got = list(W.parse_warc_records(W.build_warc(recs)))
+        assert got[0][2] == payload
+
+    def test_truncated_record_raises(self):
+        blob = W.build_warc([("http://x", "2024-01-01T00:00:00Z", b"full body")])
+        with pytest.raises(ValueError, match="truncated|unterminated"):
+            list(W.parse_warc_records(blob[:-20]))
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError, match="WARC record start"):
+            list(W.parse_warc_records(b"not a warc at all"))
+
+
+class TestReadWarc:
+    def test_read_two_files(self, spark, tmp_path):
+        for i in range(2):
+            recs = [
+                (
+                    f"http://f{i}/p{j}",
+                    f"2024-01-0{j + 1}T00:00:00Z",
+                    f"<html>doc {i}-{j}</html>".encode(),
+                )
+                for j in range(3)
+            ]
+            (tmp_path / f"seg{i}.warc").write_bytes(W.build_warc(recs))
+        out = W.read_warc(spark, str(tmp_path)).collect()
+        ok = [r for r in out if r.error is None]
+        assert len(ok) == 6
+        by_url = {r.url: r for r in ok}
+        assert bytes(by_url["http://f1/p2"].html) == b"<html>doc 1-2</html>"
+        assert by_url["http://f0/p0"].warc_ts.isoformat().startswith("2024-01-01")
+
+    def test_malformed_file_isolated(self, spark, tmp_path):
+        (tmp_path / "good.warc").write_bytes(
+            W.build_warc([("http://ok", "2024-01-01T00:00:00Z", b"x")])
+        )
+        (tmp_path / "bad.warc").write_bytes(b"corrupt bytes")
+        out = W.read_warc(spark, str(tmp_path)).collect()
+        good = [r for r in out if r.error is None]
+        bad = [r for r in out if r.error is not None]
+        assert len(good) == 1 and good[0].url == "http://ok"
+        assert len(bad) == 1 and "bad.warc" in bad[0].warc_file
+
+    def test_feeds_extraction_pipeline(self, spark, tmp_path):
+        from cmc_knowledge_graph_text2ttl_spark.operators import extract_text
+        from pyspark.sql import functions as F
+
+        recs = [
+            ("doc://1", "2024-01-01T00:00:00Z", b"<html><p>alpha beta</p></html>")
+        ]
+        (tmp_path / "a.warc").write_bytes(W.build_warc(recs))
+        pages = (
+            W.read_warc(spark, str(tmp_path))
+            .where("error is null")
+            .select(
+                "url", "warc_ts", "html",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
+        out = extract_text(pages).collect()
+        assert len(out) == 1 and "alpha beta" in out[0].text
