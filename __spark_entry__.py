@@ -1543,6 +1543,41 @@ def q_warc_read(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance under the gate: per-host policies parsed
+    once into a broadcast rules dimension, longest-rule-wins decisions
+    (Allow /p<g>/ok outranks Disallow /p<g>) as pure column logic. The
+    oracle states every verdict closed-form from the same id
+    arithmetic."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import robots as RB
+
+    docs = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 7).cast("string")
+    robots = (
+        docs.select((F.col("doc_id") % 7).alias("gid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("gid").cast("string")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p"),
+                F.col("gid").cast("string"),
+                F.lit("\nAllow: /p"),
+                F.col("gid").cast("string"),
+                F.lit("/ok\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("http://h"), g, F.lit("/p"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, "/ok/page/d").otherwise("/page/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return RB.robots_allowed(urls, RB.robots_rules(robots))
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1772,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
         "warc_read": q_warc_read,
+        "robots_filter": q_robots_filter,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2440,6 +2476,17 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        # robots verdicts closed-form: host h(g)=doc_id%7 disallows
+        # /p<g> but allows /p<g>/ok; the url's section is doc_id%3, so
+        # only odd docs whose section equals their host group are denied
+        "robots_filter": """
+SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+         || '/p' || CAST(doc_id % 3 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/ok/page/d' ELSE '/page/d' END
+         || CAST(doc_id AS VARCHAR) AS url,
+       NOT ((doc_id % 3) = (doc_id % 7) AND doc_id % 2 = 1) AS allowed
+FROM documents
+""",
         # byte-exact WARC round-trip: the HTTP payload written into the
         # fixture segments is exactly this reconstructed HTML string
         "warc_read": """
