@@ -1578,6 +1578,45 @@ def q_robots_filter(spark, sf_dir):
     return RB.robots_allowed(urls, RB.robots_rules(robots))
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Generation diff under the gate: docs with doc_id%4==0 change
+    content, ==1 vanish, ==2 stay AND spawn a new url, ==3 stay — one
+    digest-only full-outer join classifies all four ways."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import recrawl as RC
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    old = docs.select(url.alias("url"), F.col("text").alias("content"))
+    survived = docs.where(F.col("doc_id") % 4 != 1).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("content"),
+    )
+    spawned = docs.where(F.col("doc_id") % 4 == 2).select(
+        F.concat(F.lit("doc://n"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("content"),
+    )
+    return RC.crawl_delta(old, survived.union(spawned))
+
+
+def q_crawl_batches(spark, sf_dir):
+    """Polite per-host fetch scheduling under the gate: md5-ordered
+    row_number split into batches of 20 — deterministic, seed-free,
+    partitioning-independent."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import recrawl as RC
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+    )
+    return RC.fetch_batches(urls, batch_size=20)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1808,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_anchors": q_links_anchors,
         "warc_read": q_warc_read,
         "robots_filter": q_robots_filter,
+        "crawl_delta": q_crawl_delta,
+        "crawl_batches": q_crawl_batches,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2476,6 +2517,33 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "crawl_delta": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CASE doc_id % 4 WHEN 0 THEN 'changed' WHEN 1 THEN 'gone'
+            ELSE 'unchanged' END AS status
+FROM documents
+UNION ALL
+SELECT 'doc://n' || CAST(doc_id AS VARCHAR), 'new'
+FROM documents WHERE doc_id % 4 = 2
+""",
+        "crawl_batches": """
+SELECT url, host,
+       CAST((rn - 1) // 20 AS INTEGER) AS batch_id,
+       CAST((rn - 1) % 20 AS INTEGER) AS pos_in_batch
+FROM (
+  SELECT url, host,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY ('0x' || substr(md5(url), 1, 8))::BIGINT, url
+         ) AS rn
+  FROM (
+    SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+             || '/p' || CAST(doc_id AS VARCHAR) AS url,
+           'h' || CAST(doc_id % 7 AS VARCHAR) AS host
+    FROM documents
+  )
+)
+""",
         # robots verdicts closed-form: host h(g)=doc_id%7 disallows
         # /p<g> but allows /p<g>/ok; the url's section is doc_id%3, so
         # only odd docs whose section equals their host group are denied

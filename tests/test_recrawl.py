@@ -1,0 +1,64 @@
+"""Recrawl operators (operators/recrawl.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cmc_knowledge_graph_text2ttl_spark.operators import recrawl as rc
+
+
+class TestCrawlDelta:
+    def test_all_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [("u1", "same"), ("u2", "before"), ("u3", "bye")],
+            "url string, content string",
+        )
+        new = spark.createDataFrame(
+            [("u1", "same"), ("u2", "after"), ("u4", "hello")],
+            "url string, content string",
+        )
+        got = {r.url: r.status for r in rc.crawl_delta(old, new).collect()}
+        assert got == {
+            "u1": "unchanged",
+            "u2": "changed",
+            "u3": "gone",
+            "u4": "new",
+        }
+
+    def test_binary_content_column(self, spark):
+        old = spark.createDataFrame(
+            [("u", bytearray(b"\x00\xffbin"))], "url string, content binary"
+        )
+        new = spark.createDataFrame(
+            [("u", bytearray(b"\x00\xffbin"))], "url string, content binary"
+        )
+        assert rc.crawl_delta(old, new).collect()[0].status == "unchanged"
+
+
+class TestFetchBatches:
+    def _urls(self, spark, n=100, hosts=4):
+        return spark.createDataFrame(
+            [(f"http://h{i % hosts}/p{i}", f"h{i % hosts}") for i in range(n)],
+            "url string, host string",
+        )
+
+    def test_batch_sizes_and_positions(self, spark):
+        out = rc.fetch_batches(self._urls(spark), batch_size=7).collect()
+        per = {}
+        for r in out:
+            per.setdefault((r.host, r.batch_id), []).append(r.pos_in_batch)
+        for (host, bid), positions in per.items():
+            assert sorted(positions) == list(range(len(positions)))
+            assert len(positions) <= 7
+        # 25 urls per host → batches 0..3 with the last holding 4
+        sizes = sorted(len(v) for k, v in per.items() if k[0] == "h0")
+        assert sizes == [4, 7, 7, 7]
+
+    def test_partitioning_invariant(self, spark):
+        urls = self._urls(spark)
+        a = sorted(map(tuple, rc.fetch_batches(urls.repartition(1), 5).collect()))
+        b = sorted(map(tuple, rc.fetch_batches(urls.repartition(13), 5).collect()))
+        assert a == b
+
+    def test_bad_batch_size_raises(self, spark):
+        with pytest.raises(ValueError):
+            rc.fetch_batches(self._urls(spark, 5), 0)
