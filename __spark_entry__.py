@@ -342,6 +342,47 @@ def q_kg_mentions(spark, sf_dir):
     )
 
 
+def q_kg_stream_triples(spark, sf_dir):
+    """Structured Streaming under the FULL gate: the same WF_OPS
+    workflow runs as a pages STREAM (file source, maxFilesPerTrigger=3
+    over 8 files → several micro-batches, availableNow trigger,
+    exactly-once parquet sink) and its triples must hash-match the
+    batch oracle bit-for-bit — the streaming mode reuses the identical
+    fused kernel, so this pins 'streaming == batch', not just 'streaming
+    runs'."""
+    import tempfile
+
+    from cmc_knowledge_graph_text2ttl_spark.streaming.ingest import (
+        read_pages_stream,
+        stream_triples,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_gate_")
+    pages = (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        .repartition(8)
+    )
+    pages.write.mode("overwrite").parquet(root + "/pages")
+    stream = read_pages_stream(spark, root + "/pages", max_files_per_trigger=3)
+    q = stream_triples(
+        stream,
+        [compile_workflow(WF_OPS, "wf_ops")],
+        root + "/out",
+        root + "/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(root + "/out").select(
+        "subj", "pred", "obj_kind", "obj_lexical", "obj_lang"
+    )
+
+
 def q_kg_doc_stats(spark, sf_dir):
     pages = _docs_as_pages(spark, sf_dir)
     res = run_workflows(pages, [compile_workflow(WF_OPS, "wf_ops")])
@@ -1781,6 +1822,7 @@ def q_events_json_props(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
+        "kg_stream_triples": q_kg_stream_triples,
         "kg_doc_stats": q_kg_doc_stats,
         "kg_best_workflow": q_kg_best_workflow,
         "kg_typed_literals": q_kg_typed_literals,
@@ -2016,6 +2058,27 @@ FROM m
 UNION ALL
 -- label triples are deduped PER DOCUMENT (graph set semantics are
 -- per-doc in the engine), so one row per (doc, op) here too
+SELECT 'http://example.org/kg/op_' || op AS subj,
+       'http://example.org/prop/label' AS pred,
+       'literal' AS obj_kind,
+       op AS obj_lexical,
+       'en' AS obj_lang
+FROM m
+""",
+        # the streaming run must reproduce the batch result exactly —
+        # identical oracle to kg_mentions by design
+        "kg_stream_triples": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '{OPS_PATTERN}')) AS op
+  FROM documents
+)
+SELECT 'http://example.org/kg/doc_' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://example.org/prop/mentions' AS pred,
+       'iri' AS obj_kind,
+       'http://example.org/kg/op_' || op AS obj_lexical,
+       CAST(NULL AS VARCHAR) AS obj_lang
+FROM m
+UNION ALL
 SELECT 'http://example.org/kg/op_' || op AS subj,
        'http://example.org/prop/label' AS pred,
        'literal' AS obj_kind,
