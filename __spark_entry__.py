@@ -1199,6 +1199,27 @@ def q_corpus_stratified(spark, sf_dir):
     )
 
 
+def q_corpus_curate(spark, sf_dir):
+    """The CAPSTONE curation chain in one gated query: quality/
+    repetition/language keep-verdict (corpus_filter) → deterministic
+    train split (assign_split) → sliding-window chunking → sequence
+    packing via the distributed prefix-sum — the end-to-end path a
+    training run consumes, every stage already individually gated, here
+    verified COMPOSED."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.filtering import corpus_filter
+
+    docs = _docs(spark, sf_dir)
+    kept = corpus_filter(docs).where("keep").select("id")
+    docs_kept = docs.join(
+        kept, docs.doc_id == kept.id, "left_semi"
+    )
+    train = TD.assign_split(docs_kept).where("split = 'train'")
+    chunks = TD.chunk_documents(train, window=32, stride=16)
+    return TD.pack_chunks(chunks, capacity=256).select(
+        "id", "chunk_id", "n_words", "bin_id", "offset_in_bin"
+    )
+
+
 def q_text_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score under the gate — the cheap
     perplexity proxy, all-integer ((T*1e6) div tf, floored mean) so both
@@ -1875,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
         "skew_collect": q_skew_collect,
+        "corpus_curate": q_corpus_curate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2042,7 +2064,7 @@ FROM m
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _base_oracles() -> dict[str, str]:
     return {
         "kg_mentions": f"""
 WITH m AS (
@@ -3118,6 +3140,49 @@ SELECT event_type, user_id, total_cents, rnk FROM (
 ) WHERE rnk <= 5
 """,
     } | _generated_oracles()
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811 — composed wrapper
+    d = _base_oracles()
+    # the capstone chains the EXACT corpus_filter verdict: keep → train
+    # split (md5 bucket < 90) → 32/16 chunking → 256-token packing
+    d["corpus_curate"] = f"""
+WITH kept AS (
+  SELECT id FROM ({d["corpus_filter"]}) WHERE keep
+), train AS (
+  SELECT d.doc_id AS id, d.text
+  FROM documents d JOIN kept k ON k.id = d.doc_id
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+), w AS (
+  SELECT id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM train WHERE length(trim(text)) > 0
+), n AS (
+  SELECT id, words, len(words) AS nw FROM w
+), c AS (
+  SELECT id,
+         unnest(generate_series(
+           0, CASE WHEN nw <= 32 THEN 0 ELSE (nw - 32 + 16 - 1) // 16 END
+         )) AS chunk_id,
+         nw
+  FROM n
+), sized AS (
+  SELECT id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         CAST(least(32, nw - chunk_id * 16) AS INTEGER) AS n_words
+  FROM c
+), p AS (
+  SELECT id, chunk_id, n_words,
+         CAST(COALESCE(SUM(n_words) OVER (
+           ORDER BY id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prev
+  FROM sized
+)
+SELECT id, chunk_id, n_words,
+       CAST(prev // 256 AS BIGINT) AS bin_id,
+       CAST(prev % 256 AS INTEGER) AS offset_in_bin
+FROM p
+"""
+    return d
 
 
 def _generated_oracles() -> dict[str, str]:
