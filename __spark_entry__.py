@@ -1199,6 +1199,13 @@ def q_corpus_stratified(spark, sf_dir):
     )
 
 
+def q_emb_hashed(spark, sf_dir):
+    """Feature-hashing embeddings under the gate: ±tf into md5 buckets
+    with md5-parity signs, densified per document — the all-integer
+    embed stage whose output the ANN/near-dup operators consume."""
+    return TD.embed_documents(_docs(spark, sf_dir), dim=32)
+
+
 def q_corpus_curate(spark, sf_dir):
     """The CAPSTONE curation chain in one gated query: quality/
     repetition/language keep-verdict (corpus_filter) → deterministic
@@ -1897,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": q_text_surprisal,
         "skew_collect": q_skew_collect,
         "corpus_curate": q_corpus_curate,
+        "emb_hashed": q_emb_hashed,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -2979,6 +2987,30 @@ GROUP BY id
         "skew_collect": """
 SELECT lang, list_sort(list(doc_id)) AS vals
 FROM documents GROUP BY lang
+""",
+        # hashing-trick embeddings: ±1 per token into md5 buckets,
+        # densified over a 0..31 grid in bucket order
+        "emb_hashed": r"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), sp AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS INTEGER)
+           AS bucket,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5('s' || token), 1, 8))::BIGINT
+                            % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM tok GROUP BY id, bucket
+), ids AS (
+  SELECT DISTINCT id FROM sp
+), grid AS (
+  SELECT id, j FROM ids, LATERAL unnest(generate_series(0, 31)) AS t(j)
+)
+SELECT g.id, list(COALESCE(sp.val, 0) ORDER BY g.j) AS embedding
+FROM grid g LEFT JOIN sp ON sp.id = g.id AND sp.bucket = g.j
+GROUP BY g.id
 """,
         "corpus_stratified": """
 SELECT id, lang FROM (

@@ -29,6 +29,7 @@ __all__ = [
     "pack_chunks",
     "stratified_sample",
     "unigram_surprisal",
+    "embed_documents",
 ]
 
 
@@ -293,6 +294,58 @@ def unigram_surprisal(
             .cast("bigint")
             .alias("surprisal_scaled"),
         )
+    )
+
+
+def embed_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing document embeddings → (id, embedding
+    array<bigint>): the hashing trick (Weinberger et al. 2009) — token
+    ``t`` adds ``±tf`` to bucket ``md5(t) mod dim``, the sign drawn
+    from an independent md5 slice so collisions cancel in expectation.
+
+    Produces the embedding column the similarity/near-dup operators
+    consume (cast to float and L2-normalize downstream — normalization
+    is a float op and deliberately NOT baked in here, keeping this
+    stage all-integer and bit-reproducible across engines).
+
+    Scale shape: explode → per-(doc, bucket) sum (map-side combinable,
+    at most ``dim`` rows per document after the combine) → one
+    map_from_entries per document densified against a static index
+    sequence. No UDFs, no driver state.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+    )
+    bucket = (md5_int(F.col("token")) % dim).cast("int")
+    sign = F.when(
+        md5_int(F.concat(F.lit("s"), F.col("token"))) % 2 == 0, 1
+    ).otherwise(-1)
+    sparse = (
+        tok.withColumn("bucket", bucket)
+        .withColumn("sign", sign)
+        .groupBy("id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+    )
+    dense = sparse.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "val"))
+        ).alias("_m")
+    )
+    idxs = F.sequence(F.lit(0), F.lit(dim - 1))
+    return dense.select(
+        "id",
+        F.transform(
+            idxs, lambda j: F.coalesce(F.col("_m")[j], F.lit(0).cast("bigint"))
+        ).alias("embedding"),
     )
 
 

@@ -305,6 +305,59 @@ class TestUnigramSurprisal:
         assert a == b
 
 
+class TestEmbedDocuments:
+    def test_hand_computed_against_python(self, spark):
+        import hashlib
+
+        def md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        texts = ["alpha beta alpha", "gamma"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = {
+            r.id: list(r.embedding)
+            for r in td.embed_documents(df, dim=8).collect()
+        }
+        for i, t in enumerate(texts):
+            exp = [0] * 8
+            for tok in t.split():
+                b = md5i(tok) % 8
+                s = 1 if md5i("s" + tok) % 2 == 0 else -1
+                exp[b] += s
+            assert got[i] == exp, (i, got[i], exp)
+
+    def test_partitioning_invariant_and_dim(self, spark, docs):
+        e1 = sorted(
+            (r.id, tuple(r.embedding))
+            for r in td.embed_documents(docs.repartition(1), dim=16).collect()
+        )
+        e2 = sorted(
+            (r.id, tuple(r.embedding))
+            for r in td.embed_documents(docs.repartition(9), dim=16).collect()
+        )
+        assert e1 == e2
+        assert all(len(v) == 16 for _, v in e1)
+
+    def test_feeds_cosine_topk(self, spark, docs):
+        from cmc_knowledge_graph_text2ttl_spark.operators import similarity as sim
+
+        emb = td.embed_documents(docs, dim=16).select(
+            F.col("id").alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        q = [float(x) for x in emb.first().embedding]
+        top = sim.cosine_topk(emb, q, k=3).collect()
+        assert len(top) == 3
+
+    def test_bad_dim_raises(self, spark, docs):
+        with pytest.raises(ValueError):
+            td.embed_documents(docs, dim=0)
+
+
 class TestCorpusVocabulary:
     def test_counts_against_python(self, spark):
         df = spark.createDataFrame(
