@@ -1686,6 +1686,33 @@ def q_crawl_batches(spark, sf_dir):
     return RC.fetch_batches(urls, batch_size=20)
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap URL discovery under the gate: per-doc XML with two url
+    entries (one with lastmod and an &amp; escape, one bare) plus an
+    index entry — real bytes through the column-regex parser, expected
+    rows stated closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import sitemaps as SM
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://s/p"), d,
+        F.lit("?a=1&amp;b=2</loc><lastmod>2024-01-"),
+        F.lpad((1 + F.col("doc_id") % 27).cast("string"), 2, "0"),
+        F.lit("</lastmod></url><url><loc> http://s/q"), d,
+        F.lit(" </loc></url></urlset><sitemapindex><sitemap><loc>http://s/sm"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    sm_df = docs.select(
+        F.concat(F.lit("http://s/sitemap"), d, F.lit(".xml")).alias(
+            "sitemap_url"
+        ),
+        F.encode(xml, "UTF-8").alias("sitemap_xml"),
+    )
+    return SM.parse_sitemaps(sm_df)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1921,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
+        "sitemap_parse": q_sitemap_parse,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2610,6 +2638,21 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "sitemap_parse": """
+SELECT 'http://s/sitemap' || CAST(doc_id AS VARCHAR) || '.xml' AS src,
+       'url' AS kind,
+       'http://s/p' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+       '2024-01-' || lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0') AS lastmod
+FROM documents
+UNION ALL
+SELECT 'http://s/sitemap' || CAST(doc_id AS VARCHAR) || '.xml',
+       'url', 'http://s/q' || CAST(doc_id AS VARCHAR), NULL
+FROM documents
+UNION ALL
+SELECT 'http://s/sitemap' || CAST(doc_id AS VARCHAR) || '.xml',
+       'sitemap', 'http://s/sm' || CAST(doc_id % 10 AS VARCHAR) || '.xml', NULL
+FROM documents
+""",
         "crawl_delta": """
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        CASE doc_id % 4 WHEN 0 THEN 'changed' WHEN 1 THEN 'gone'
