@@ -1190,6 +1190,15 @@ def q_text_pack(spark, sf_dir):
     )
 
 
+def q_text_pack_manifests(spark, sf_dir):
+    """Per-bin manifests under the gate: what a training loader needs
+    to assemble each fixed-capacity sequence — ordered chunk spans,
+    chunk and token counts per bin."""
+    chunks = TD.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
+    packed = TD.pack_chunks(chunks, capacity=512)
+    return TD.bin_manifests(packed, capacity=512)
+
+
 def q_corpus_stratified(spark, sf_dir):
     """Deterministic per-language sample under the gate: the 20 rows of
     each stratum with the smallest md5 hash — balanced sampling without
@@ -1927,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "text_vocab": q_text_vocab,
         "text_pack": q_text_pack,
+        "text_pack_manifests": q_text_pack_manifests,
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
         "skew_collect": q_skew_collect,
@@ -3002,6 +3012,42 @@ SELECT id, chunk_id,
        CAST(prev // 512 AS BIGINT) AS bin_id,
        CAST(prev % 512 AS INTEGER) AS offset_in_bin
 FROM p
+""",
+        # per-bin loader manifests over the same packed stream
+        "text_pack_manifests": r"""
+WITH w AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+), n AS (
+  SELECT id, words, len(words) AS nw FROM w
+), c AS (
+  SELECT id,
+         unnest(generate_series(
+           0, CASE WHEN nw <= 32 THEN 0 ELSE (nw - 32 + 16 - 1) // 16 END
+         )) AS chunk_id,
+         nw
+  FROM n
+), sized AS (
+  SELECT id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         CAST(least(32, nw - chunk_id * 16) AS BIGINT) AS n_words
+  FROM c
+), p AS (
+  SELECT id, chunk_id, n_words,
+         CAST(COALESCE(SUM(n_words) OVER (
+           ORDER BY id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prev
+  FROM sized
+)
+SELECT CAST(prev // 512 AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS INTEGER) AS n_chunks,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       list(
+         CAST(id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
+           || '@' || CAST(prev % 512 AS VARCHAR)
+         ORDER BY prev % 512
+       ) AS spans
+FROM p GROUP BY prev // 512
 """,
         # all-integer unigram surprisal: (T*1e6) div tf per token,
         # floored tf-weighted mean per doc — no floats, no libm

@@ -30,6 +30,7 @@ __all__ = [
     "stratified_sample",
     "unigram_surprisal",
     "embed_documents",
+    "bin_manifests",
 ]
 
 
@@ -211,6 +212,43 @@ def pack_chunks(
         *chunks.columns,
         F.expr(f"_prev div {capacity}").cast("bigint").alias("bin_id"),
         (F.col("_prev") % capacity).cast("int").alias("offset_in_bin"),
+    )
+
+
+def bin_manifests(packed: DataFrame, capacity: int) -> DataFrame:
+    """Packed chunks → one manifest row per training sequence:
+    (bin_id, n_chunks, n_tokens, spans) where ``spans`` is the ordered
+    array of "id:chunk_id@offset" strings a loader needs to assemble
+    the bin (chunks that START in it; a chunk may spill into bin_id+1,
+    per token-stream packing).
+
+    One aggregation keyed on bin_id; the array is bounded by
+    capacity (at most ``capacity`` chunks start in one bin), so the
+    buffer is bounded by construction — no salting needed.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    span = F.concat_ws(
+        "@",
+        F.concat_ws(":", F.col("id").cast("string"),
+                    F.col("chunk_id").cast("string")),
+        F.col("offset_in_bin").cast("string"),
+    )
+    return (
+        packed.select("bin_id", F.col("n_words"), span.alias("span"),
+                      "offset_in_bin")
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("offset_in_bin", "span"))
+            ).alias("_s"),
+        )
+        .select(
+            "bin_id", "n_chunks", "n_tokens",
+            F.transform(F.col("_s"), lambda s: s["span"]).alias("spans"),
+        )
     )
 
 

@@ -237,6 +237,41 @@ class TestPackChunksProperty:
         assert got == expected
 
 
+class TestBinManifests:
+    def test_manifest_contents(self, spark):
+        rows = [(0, 0, 6), (0, 1, 6), (1, 0, 3), (2, 0, 5), (2, 1, 2)]
+        chunks = spark.createDataFrame(rows, "id int, chunk_id int, n_words int")
+        packed = td.pack_chunks(chunks, capacity=8)
+        got = {
+            r.bin_id: (r.n_chunks, r.n_tokens, list(r.spans))
+            for r in td.bin_manifests(packed, capacity=8).collect()
+        }
+        # prefix sums 0,6,12,15,20 → bins 0,0,1,1,2 offsets 0,6,4,7,4
+        assert got == {
+            0: (2, 12, ["0:0@0", "0:1@6"]),
+            1: (2, 8, ["1:0@4", "2:0@7"]),
+            2: (1, 2, ["2:1@4"]),
+        }
+
+    def test_token_totals_conserved(self, spark, docs):
+        chunks = td.chunk_documents(docs, window=16, stride=16)
+        packed = td.pack_chunks(chunks, 256)
+        manifests = td.bin_manifests(packed, 256)
+        total_chunks = chunks.count()
+        total_tokens = chunks.agg(F.sum("n_words")).collect()[0][0]
+        agg = manifests.agg(
+            F.sum("n_chunks").alias("c"), F.sum("n_tokens").alias("t")
+        ).collect()[0]
+        assert (agg.c, agg.t) == (total_chunks, total_tokens)
+
+    def test_bad_capacity_raises(self, spark):
+        empty = spark.createDataFrame(
+            [], "id int, chunk_id int, n_words int, bin_id long, offset_in_bin int"
+        )
+        with pytest.raises(ValueError):
+            td.bin_manifests(empty, 0)
+
+
 class TestStratifiedSample:
     def test_per_stratum_cap_and_determinism(self, spark, docs):
         out = td.stratified_sample(docs, "lang", k=20)
