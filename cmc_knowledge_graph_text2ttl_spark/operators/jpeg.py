@@ -168,7 +168,21 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
-    """bytes → (width, height, channels, pixels row-major)."""
+    """bytes → (width, height, channels, pixels row-major).
+
+    All malformed-input failures surface as ``ValueError`` (truncated
+    streams and missing tables would otherwise escape as IndexError/
+    KeyError past the callers' per-row error containment and kill the
+    whole Spark task instead of producing an error row)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, KeyError, struct.error) as ex:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(ex).__name__}: {ex}"
+        ) from ex
+
+
+def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -347,6 +361,33 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _assemble_jpeg(
+    width: int, height: int, q: List[int], comps_sof: bytes,
+    sos_comps: bytes, scan: bytes,
+) -> bytes:
+    """Shared segment framing for all fixture encoders: DQT (zigzag,
+    table 0) + SOF0 + the Annex K DHT pair + SOS + scan + EOI."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
+    ncomp = len(comps_sof) // 3
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + zz_q)
+        + seg(0xC0, struct.pack(">BHHB", 8, height, width, ncomp) + comps_sof)
+        + seg(
+            0xC4,
+            b"\x00" + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
+            + b"\x10" + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
+        )
+        + seg(0xDA, sos_comps)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 def _write_block(bwr: "_BitWriter", blk: List[int], pred: int,
                  dc_codes, ac_codes) -> int:
     """Entropy-code one quantized block; returns the new DC predictor."""
@@ -403,20 +444,9 @@ def encode_jpeg_blocks(
     for blk in blocks:
         pred = _write_block(bwr, blk, pred, dc_codes, ac_codes)
     scan = bwr.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
-    dqt = seg(0xDB, b"\x00" + zz_q)
-    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
-        + b"\x10" + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
+    return _assemble_jpeg(
+        width, height, q, b"\x01\x11\x00", b"\x01\x01\x00\x00\x3f\x00", scan
     )
-    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_ycbcr444(
@@ -444,24 +474,11 @@ def encode_jpeg_ycbcr444(
         for ci, blks in enumerate((y_blocks, cb_blocks, cr_blocks)):
             preds[ci] = _write_block(bwr, blks[i], preds[ci], dc_codes, ac_codes)
     scan = bwr.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
-    dqt = seg(0xDB, b"\x00" + zz_q)
-    sof = seg(
-        0xC0,
-        struct.pack(">BHHB", 8, height, width, 3)
-        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    return _assemble_jpeg(
+        width, height, q,
+        b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+        b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00", scan,
     )
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
-        + b"\x10" + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
-    )
-    sos = seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_ycbcr420(
@@ -505,21 +522,8 @@ def encode_jpeg_ycbcr420(
             preds[1] = _write_block(bwr, cb_blocks[ci], preds[1], dc_codes, ac_codes)
             preds[2] = _write_block(bwr, cr_blocks[ci], preds[2], dc_codes, ac_codes)
     scan = bwr.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
-    dqt = seg(0xDB, b"\x00" + zz_q)
-    sof = seg(
-        0xC0,
-        struct.pack(">BHHB", 8, height, width, 3)
-        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",
+    return _assemble_jpeg(
+        width, height, q,
+        b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",
+        b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00", scan,
     )
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
-        + b"\x10" + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
-    )
-    sos = seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"

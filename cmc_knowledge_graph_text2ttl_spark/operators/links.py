@@ -128,10 +128,14 @@ def pagerank(
         raise ValueError("damping_pct must be in [0, 100]")
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
+    # nodes is re-read in EVERY iteration's left join — checkpoint it
+    # too, or each of the 10 rank plans re-runs the union+distinct
+    # shuffle over the full edge list
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)

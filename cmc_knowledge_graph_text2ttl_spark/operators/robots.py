@@ -125,20 +125,27 @@ def robots_allowed(
     (rule_len, allow) — longest rule wins, Allow wins ties — with
     allowed=true when nothing matches. All column expressions after
     the parse; the URL table is never collected or re-parsed."""
+    # scheme and host are case-insensitive per RFC 3986 — lowercase the
+    # extracted host and match the scheme case-insensitively, otherwise
+    # 'HTTP://EXAMPLE.com/...' silently bypasses every rule (paths stay
+    # case-sensitive, as robots rules are)
     u = urls_df.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(url_col, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1).alias(
-            "host"
-        ),
+        F.lower(
+            F.regexp_extract(url_col, r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+        ).alias("host"),
         F.coalesce(
             F.nullif(
-                F.regexp_extract(url_col, r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1),
+                F.regexp_extract(
+                    url_col, r"(?i)^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1
+                ),
                 F.lit(""),
             ),
             F.lit("/"),
         ).alias("path"),
     )
-    j = u.join(F.broadcast(rules_df), "host", "left")
+    rules = rules_df.withColumn("host", F.lower(F.col("host")))
+    j = u.join(F.broadcast(rules), "host", "left")
     hit = F.when(
         F.col("prefix").isNotNull() & F.col("path").startswith(F.col("prefix")),
         F.struct(

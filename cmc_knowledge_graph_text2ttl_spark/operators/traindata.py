@@ -173,7 +173,16 @@ def _exclusive_prefix_sum(
     off_df = F.broadcast(
         spark.createDataFrame(offsets or [(0, 0)], "_part int, _offset bigint")
     )
-    w = Window.partitionBy("_part").orderBy(*order_cols)
+    # explicit ROWS frame: the default RANGE frame includes ORDER-BY
+    # peers, so duplicate order keys would each receive the full peer
+    # sum and the exclusive prefix double-counts (order keys must still
+    # be unique for a well-defined scan — pack_chunks' (id, chunk_id)
+    # are by construction)
+    w = (
+        Window.partitionBy("_part")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         parts.withColumn("_run", F.sum(weight_col).over(w).cast("bigint"))
         .join(off_df, "_part")
@@ -300,6 +309,13 @@ def unigram_surprisal(
     JVM and C), document score = floor(sum(tf_doc * surprisal) /
     n_tokens). No floats anywhere.
 
+    Integer-range contract: ``T * scale`` must stay below 2^63 — a
+    runtime assertion fails loudly (instead of int64 silently wrapping
+    under non-ANSI Spark) when the corpus outgrows the scale; at the
+    default 1e6 that ceiling is ~9.2e12 tokens, so corpora beyond
+    ~10 TB of text should pass a smaller ``scale``. The per-document
+    sum is similarly bounded by ``doc_tokens * T * scale``.
+
     Shape: one explode + per-(doc, token) count (map-side combinable,
     the shuffle carries per-document vocabularies), a corpus-level token
     dimension joined back on token (pass broadcast_vocab=True when the
@@ -318,8 +334,20 @@ def unigram_surprisal(
         F.sum("tf_doc").cast("bigint").alias("tf")
     )
     total = vocab.agg(F.sum("tf").cast("bigint").alias("t"))
+    max_t = (2**63 - 1) // scale
     dim = vocab.crossJoin(F.broadcast(total)).select(
-        "token", F.expr(f"(t * {scale}) div tf").alias("surprisal")
+        "token",
+        F.when(
+            F.col("t") <= max_t, F.expr(f"(t * {scale}) div tf")
+        ).otherwise(
+            F.assert_true(
+                F.col("t") <= max_t,
+                F.lit(
+                    "unigram_surprisal: corpus token count * scale exceeds "
+                    "int64 — pass a smaller scale"
+                ),
+            ).cast("bigint")
+        ).alias("surprisal"),
     )
     if broadcast_vocab:
         dim = F.broadcast(dim)

@@ -108,13 +108,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows: List[tuple] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
+                # buffer per file: a mid-file framing error must drop
+                # the records already parsed from THAT file, or a
+                # re-fetch of the flagged file would duplicate them
+                frows: List[tuple] = []
                 try:
                     for uri, date, payload in parse_warc_records(bytes(content)):
                         ts = None
                         if date:
                             ts = pd.Timestamp(date.replace("Z", "+00:00"))
                             ts = ts.tz_convert(None) if ts.tzinfo else ts
-                        rows.append((uri, ts, payload, fpath, None))
+                        frows.append((uri, ts, payload, fpath, None))
+                    rows.extend(frows)
                 except ValueError as ex:
                     rows.append((None, None, None, fpath, str(ex)))
             if rows:

@@ -1142,10 +1142,13 @@ class MiniGraph:
         if kind == "iri":
             return isinstance(term, IriNode) and term.value == term_spec[1]
         if kind == "lit":
+            # strict RDF term equality: a plain literal does NOT match a
+            # language-tagged one ("foo" != "foo"@en) — the same rule
+            # path evaluation and VALUES already apply via LitNode
             return (
                 isinstance(term, LitNode)
                 and term.lexical == term_spec[1]
-                and (term_spec[2] is None or term.lang == term_spec[2])
+                and term.lang == term_spec[2]
             )
         return True  # var
 
@@ -1256,6 +1259,16 @@ class MiniGraph:
                     nb = dict(b)
                     nb[s_spec[1]] = st
                     out.append(nb)
+            elif s_spec[1] == o_spec[1]:
+                # SAME unbound variable on both ends (?x path ?x): only
+                # terms that reach THEMSELVES qualify — writing the
+                # source then the target into one binding slot would
+                # silently keep mismatched pairs
+                for n in self._all_nodes():
+                    if n in self._path_fwd(ast, n):
+                        nb = dict(b)
+                        nb[s_spec[1]] = n
+                        out.append(nb)
             else:
                 # both endpoints unbound: range over the graph's terms
                 for n in self._all_nodes():
@@ -1474,6 +1487,11 @@ class MiniGraph:
         DISTINCT → OFFSET → LIMIT."""
         bindings = self._eval_group(group, [{}], named)
         has_agg = selected != ["*"] and any(it[0] == "agg" for it in selected)
+        if selected == ["*"] and group_by:
+            raise ProcessorException(
+                "SELECT * cannot be combined with GROUP BY — name the "
+                "grouped variables explicitly"
+            )
         if having is not None and not (has_agg or group_by):
             raise ProcessorException(
                 "HAVING requires GROUP BY or an aggregate in the SELECT clause"

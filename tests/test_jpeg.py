@@ -150,6 +150,29 @@ class TestRobustness:
         with pytest.raises(ValueError):
             J.decode_jpeg(b"not a jpeg")
 
+    def test_truncated_and_tableless_raise_valueerror_not_index_key(self):
+        # regression: these used to escape as IndexError/KeyError past
+        # the per-row error containment in extract_features
+        blob = J.encode_jpeg_blocks(16, 16, [[5] + [0] * 63] * 4)
+        with pytest.raises(ValueError):
+            J.decode_jpeg(blob[:-6])  # truncated mid-scan
+        at = blob.index(b"\xff\xc4")  # drop the DHT segment
+        (seglen,) = __import__("struct").unpack(">H", blob[at + 2 : at + 4])
+        with pytest.raises(ValueError):
+            J.decode_jpeg(blob[:at] + blob[at + 2 + seglen :])
+
+    def test_corrupt_jpeg_becomes_error_row_in_features(self, spark):
+        good = J.encode_jpeg_blocks(8, 8, [[-28] + [0] * 63])
+        df = spark.createDataFrame(
+            [("ok", bytearray(good)), ("bad", bytearray(good[:-6]))],
+            "media_id string, blob binary",
+        )
+        feats = {}
+        for r in mm.extract_features(df).collect():
+            feats.setdefault(r.media_id, set()).add(r.feature)
+        assert "mean_c0" in feats["ok"]
+        assert feats["bad"] == {"decode_error"}
+
     def test_rejects_progressive(self):
         blob = bytearray(J.encode_jpeg_blocks(8, 8, [[0] * 64]))
         at = blob.index(b"\xff\xc0")

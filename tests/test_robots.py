@@ -78,6 +78,17 @@ class TestDecision:
         got = R.robots_allowed(urls, rules).collect()[0]
         assert got.allowed is False  # "/" matches Disallow: /
 
+    def test_host_and_scheme_case_insensitive(self, spark, rules):
+        # regression: 'HTTP://H2/x' used to bypass the Disallow: / rule
+        urls = spark.createDataFrame(
+            [("HTTP://H2/anything",), ("http://H1/private/page",)], "url string"
+        )
+        got = {r.url: r.allowed for r in R.robots_allowed(urls, rules).collect()}
+        assert got == {
+            "HTTP://H2/anything": False,
+            "http://H1/private/page": False,
+        }
+
     def test_every_url_appears_once(self, spark, rules):
         urls = spark.createDataFrame(
             [(f"http://h1/p{i}",) for i in range(20)], "url string"

@@ -292,6 +292,24 @@ class TestPropertyPaths:
         out = TAX.query(PFX + "SELECT ?c WHERE { o:Nsaid rdfs:subClassOf ?c }")
         assert iris(out, "c") == ["http://o/Analgesic"]
 
+    def test_same_variable_both_ends_requires_self_reachability(self):
+        # regression: ?x p+ ?x used to bind ?x to the path TARGET and
+        # return spurious rows; only self-reaching terms qualify
+        out = TAX.query(PFX + "SELECT ?x WHERE { ?x rdfs:subClassOf+ ?x }")
+        assert out == []
+        cyc = MiniGraph(
+            [
+                ("http://c/a", SUBCLASS, "iri", "http://c/b", None),
+                ("http://c/b", SUBCLASS, "iri", "http://c/a", None),
+                ("http://c/x", SUBCLASS, "iri", "http://c/y", None),
+            ]
+        )
+        out2 = cyc.query(
+            "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+            "SELECT ?x WHERE { ?x rdfs:subClassOf+ ?x }"
+        )
+        assert iris(out2, "x") == ["http://c/a", "http://c/b"]
+
     def test_cycle_terminates(self):
         cyc = MiniGraph(
             [
@@ -704,6 +722,27 @@ class TestAggregates:
             TAX.query(
                 PFX + "SELECT ?s WHERE { ?s a o:Nsaid } HAVING (?s = o:x)"
             )
+
+
+class TestLiteralTermEquality:
+    LANGG = MiniGraph(
+        [
+            ("http://x/s", "http://x/p", "literal", "foo", "en"),
+            ("http://x/t", "http://x/p", "literal", "foo", None),
+        ]
+    )
+
+    def test_plain_literal_does_not_match_language_tagged(self):
+        # regression: lang=None used to act as a wildcard in BGP
+        # patterns while path evaluation compared strictly
+        out = self.LANGG.query('SELECT ?s WHERE { ?s <http://x/p> "foo" }')
+        assert [str(r["s"]) for r in out] == ["http://x/t"]
+        out2 = self.LANGG.query('SELECT ?s WHERE { ?s <http://x/p> "foo"@en }')
+        assert [str(r["s"]) for r in out2] == ["http://x/s"]
+
+    def test_select_star_with_group_by_raises(self):
+        with pytest.raises(ProcessorException, match="SELECT \\*"):
+            TAX.query(PFX + "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s")
 
 
 class TestGraphPattern:

@@ -81,6 +81,16 @@ class TestReadWarc:
         assert len(good) == 1 and good[0].url == "http://ok"
         assert len(bad) == 1 and "bad.warc" in bad[0].warc_file
 
+    def test_midfile_error_drops_partial_rows(self, spark, tmp_path):
+        # regression: records parsed before a framing error used to
+        # survive alongside the error row for the same file
+        good = W.build_warc(
+            [(f"http://p/{j}", "2024-01-01T00:00:00Z", b"x" * 10) for j in range(3)]
+        )
+        (tmp_path / "part.warc").write_bytes(good + b"WARC/1.0\r\ngarbage")
+        out = W.read_warc(spark, str(tmp_path)).collect()
+        assert len(out) == 1 and out[0].error is not None
+
     def test_feeds_extraction_pipeline(self, spark, tmp_path):
         from cmc_knowledge_graph_text2ttl_spark.operators import extract_text
         from pyspark.sql import functions as F
