@@ -160,6 +160,20 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     """Real pure-Python PNG decode: (width, height, channels, raw pixels).
 
+    Malformed input always surfaces as ``ValueError``/``zlib.error`` —
+    truncated chunks would otherwise escape as struct.error/IndexError
+    past the per-row containment in extract_features/resize_media and
+    kill the whole Spark task (same contract as decode_jpeg).
+    """
+    try:
+        return _decode_png_impl(data)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt PNG stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_png_impl(data: bytes) -> Tuple[int, int, int, bytes]:
+    """(see :func:`decode_png`)
+
     stdlib only — zlib inflate of the IDAT stream, then per-scanline
     reverse filtering (None/Sub/Up/Average/Paeth per the PNG spec §9).
     Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
@@ -323,6 +337,16 @@ def _gif_lzw_encode(indices: List[int], min_code_size: int) -> bytes:
 
 
 def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Real pure-Python GIF decode with error containment: malformed
+    input raises ``ValueError``, never struct.error/IndexError (same
+    contract as decode_jpeg/decode_png)."""
+    try:
+        return _decode_gif_impl(data)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt GIF stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
     """Real pure-Python GIF decode: (width, height, 3, RGB pixels) of
     the FIRST image frame. stdlib only — logical screen descriptor,
     global/local color tables, extension-block skipping, sub-block
@@ -409,6 +433,15 @@ def encode_gif(
 
 
 def decode_wav(data: bytes) -> Tuple[int, int, int, List[int]]:
+    """Error-contained wrapper: malformed WAV input raises ValueError
+    (struct.error/IndexError never escape the per-row containment)."""
+    try:
+        return _decode_wav_impl(data)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt WAV stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_wav_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
     """Real pure-Python WAV decode: (channels, sample_rate, n_frames,
     samples) — stdlib only, PCM 8/16-bit (RIFF/WAVE fmt+data chunk walk;
     unknown chunks are skipped by their declared size, as the spec
@@ -440,6 +473,8 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, List[int]]:
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if channels is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if channels < 1 or (rate is not None and rate < 1):
+        raise ValueError(f"WAV fmt declares channels={channels} rate={rate}")
     if bits == 16:
         n = len(frames) // 2
         samples = list(struct.unpack(f"<{n}h", frames[: n * 2]))
@@ -720,7 +755,9 @@ def frame_sample_plan(
     to decode later). Planning is metadata-only; the decode stage consumes
     the plan. Duration is unknown without a decoder → plan covers the
     first minute (bounded), flagged `estimated`."""
-    n = int(60 / every_n_seconds)
+    if every_n_seconds <= 0 or assumed_fps <= 0:
+        raise ValueError("every_n_seconds and assumed_fps must be > 0")
+    n = max(1, int(60 / every_n_seconds))  # at least one frame per video
     step = int(assumed_fps * every_n_seconds)
     idxs = F.array(*[F.lit(i * step) for i in range(n)])
     return meta.filter(F.col("media_type") == "video").select(

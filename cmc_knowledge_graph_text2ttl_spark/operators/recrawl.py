@@ -35,19 +35,25 @@ def crawl_delta(
     pipelines feed ``changed`` + ``new`` into extraction and ``gone``
     into triple tombstoning.
     """
+    # presence is tracked SEPARATELY from the digest: md5(NULL) is NULL,
+    # so keying 'new'/'gone' off digest nullability would misclassify a
+    # URL whose fetch produced NULL content (failed fetch) as absent —
+    # and a recrawl pipeline would wrongly tombstone a live URL
     o = old.select(
         F.col(url_col).alias("url"),
         F.md5(F.col(content_col).cast("binary")).alias("_old"),
+        F.lit(True).alias("_has_old"),
     )
     n = new.select(
         F.col(url_col).alias("url"),
         F.md5(F.col(content_col).cast("binary")).alias("_new"),
+        F.lit(True).alias("_has_new"),
     )
     j = o.join(n, "url", "full_outer")
     status = (
-        F.when(F.col("_old").isNull(), "new")
-        .when(F.col("_new").isNull(), "gone")
-        .when(F.col("_old") == F.col("_new"), "unchanged")
+        F.when(F.col("_has_old").isNull(), "new")
+        .when(F.col("_has_new").isNull(), "gone")
+        .when(F.col("_old").eqNullSafe(F.col("_new")), "unchanged")
         .otherwise("changed")
     )
     return j.select("url", status.alias("status"))

@@ -25,15 +25,24 @@ _LOC = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
 _LASTMOD = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
 
 
+def _xml_unescape(col):
+    """All five spec-mandated XML entity escapes, ampersand LAST so
+    double-escapes like ``&amp;lt;`` resolve to the literal ``&lt;``."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def _entries(xml, pattern: str, kind: str):
     elts = F.regexp_extract_all(xml, F.lit(pattern), 0)
     return F.transform(
         elts,
         lambda e: F.struct(
             F.lit(kind).alias("kind"),
-            F.replace(
-                F.regexp_extract(e, _LOC, 1), F.lit("&amp;"), F.lit("&")
-            ).alias("loc"),
+            _xml_unescape(F.regexp_extract(e, _LOC, 1)).alias("loc"),
             F.nullif(F.regexp_extract(e, _LASTMOD, 1), F.lit("")).alias(
                 "lastmod"
             ),

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import md5_int
+
 __all__ = ["salted_collect_list"]
 
 
@@ -46,11 +48,9 @@ def salted_collect_list(
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
     # salt over the RENAMED column — value_col no longer exists after
-    # the select (regression: only surfaced when value_col != "v")
-    salt = (
-        F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % n_salts
-    )
+    # the select (regression: only surfaced when value_col != "v");
+    # md5_int is the canonical oracle-parity hash helper
+    salt = md5_int(F.col("v").cast("string")) % n_salts
     partial = (
         df.select(F.col(key_col).alias("key"), F.col(value_col).alias("v"))
         .withColumn("_salt", salt)

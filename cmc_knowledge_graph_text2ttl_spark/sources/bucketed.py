@@ -68,8 +68,11 @@ def bucketed_exchange_count(df: DataFrame) -> int:
     counted: broadcasting a small side is the desired plan, not a
     shuffle of the fact table)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # every shuffle Exchange counts — hash, range AND SinglePartition
+    # (a global-aggregate shuffle is still a shuffle); only broadcast
+    # distribution is excluded
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+        if "Exchange" in line and "BroadcastExchange" not in line
     )

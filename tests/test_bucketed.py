@@ -86,6 +86,16 @@ class TestBucketedJoin:
         )
         assert bk.bucketed_exchange_count(agg) == 1
 
+    def test_exchange_count_sees_single_partition_shuffle(self, spark):
+        # regression: a global-aggregate Exchange SinglePartition was
+        # not counted, certifying a shuffling plan as exchange-free
+        from pyspark.sql import functions as FF
+
+        df = spark.read.parquet(f"{SF_DIR}/documents.parquet").agg(
+            FF.sum("n_chars")
+        )
+        assert bk.bucketed_exchange_count(df) >= 1
+
     def test_bad_bucket_count_raises(self, spark):
         df = spark.range(3)
         with pytest.raises(ValueError):

@@ -677,6 +677,14 @@ class TestMultimodal:
         assert rows["channels"] == 3.0
         assert (rows["mean_c0"], rows["mean_c1"], rows["mean_c2"]) == (10.0, 20.0, 30.0)
 
+    def test_frame_sample_plan_validates_args(self, spark):
+        meta = mm.media_metadata(self._media_df(spark))
+        with pytest.raises(ValueError):
+            mm.frame_sample_plan(meta, every_n_seconds=0.0)
+        # sparser than the planning window still yields one frame
+        plan = mm.frame_sample_plan(meta, every_n_seconds=90.0).collect()
+        assert [r.frame_index for r in plan] == [0]
+
     def test_frame_sample_plan(self, spark):
         meta = mm.media_metadata(self._media_df(spark))
         plan = mm.frame_sample_plan(meta, every_n_seconds=2.0).collect()

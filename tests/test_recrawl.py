@@ -24,6 +24,20 @@ class TestCrawlDelta:
             "u4": "new",
         }
 
+    def test_null_content_is_presence_not_absence(self, spark):
+        # regression: md5(NULL) is NULL, which used to read as "row
+        # absent" — a live URL with a failed fetch was tombstoned
+        old = spark.createDataFrame(
+            [("u1", None), ("u2", "x"), ("u3", None)],
+            "url string, content string",
+        )
+        new = spark.createDataFrame(
+            [("u1", "now"), ("u2", None), ("u3", None)],
+            "url string, content string",
+        )
+        got = {r.url: r.status for r in rc.crawl_delta(old, new).collect()}
+        assert got == {"u1": "changed", "u2": "changed", "u3": "unchanged"}
+
     def test_binary_content_column(self, spark):
         old = spark.createDataFrame(
             [("u", bytearray(b"\x00\xffbin"))], "url string, content binary"

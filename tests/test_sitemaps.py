@@ -45,6 +45,13 @@ class TestParseSitemaps:
             ("sitemap", "http://x/sitemap2.xml", None),
         ]
 
+    def test_all_xml_entities_unescaped(self, spark):
+        xml = ("<urlset><url><loc>http://x/o&apos;brien?a=1&amp;b=&quot;q&quot;"
+               "&amp;lt;</loc></url></urlset>")
+        rows = sm.parse_sitemaps(_df(spark, xml)).collect()
+        # &amp;lt; is a double escape for the literal text &lt;
+        assert rows[0].loc == 'http://x/o\'brien?a=1&b="q"&lt;'
+
     def test_binary_column(self, spark):
         a = sorted(map(tuple, sm.parse_sitemaps(_df(spark, XML)).collect()))
         b = sorted(
