@@ -1722,6 +1722,34 @@ def q_sitemap_parse(spark, sf_dir):
     return SM.parse_sitemaps(sm_df)
 
 
+def q_jsonld_triples(spark, sf_dir):
+    """schema.org JSON-LD extraction under the gate: real script blocks
+    built per document (typed node with @id, an integer and a string
+    property), parsed and flattened to triples — the structured-markup
+    half of KG construction. Oracle states the triples closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import structured as ST
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@context": "https://schema.org", "@id": "http://e/d'),
+        d,
+        F.lit('", "@type": "Article", "wordCount": '),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(', "headline": "'),
+        F.substring("text", 1, 12),
+        F.lit('"}</script></head><body>x</body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), d).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return ST.extract_jsonld(pages).where("error is null").select(
+        "src", "subj", "pred", "obj_kind", "obj"
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1959,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
+        "jsonld_triples": q_jsonld_triples,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2648,6 +2677,25 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "jsonld_triples": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS src,
+       'http://e/d' || CAST(doc_id AS VARCHAR) AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'iri' AS obj_kind,
+       'https://schema.org/Article' AS obj
+FROM documents
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+       'http://e/d' || CAST(doc_id AS VARCHAR),
+       'https://schema.org/wordCount', 'literal',
+       CAST(doc_id % 100 AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+       'http://e/d' || CAST(doc_id AS VARCHAR),
+       'https://schema.org/headline', 'literal', substr(text, 1, 12)
+FROM documents
+""",
         "sitemap_parse": """
 SELECT 'http://s/sitemap' || CAST(doc_id AS VARCHAR) || '.xml' AS src,
        'url' AS kind,
