@@ -1750,6 +1750,42 @@ def q_jsonld_triples(spark, sf_dir):
     )
 
 
+def q_page_meta(spark, sf_dir):
+    """Head-section metadata under the gate: title/description/
+    canonical/robots-meta/lang from real HTML whose ATTRIBUTE ORDER
+    flips with doc parity — both extraction orders must work; noindex
+    set on every 5th doc; lang echoes the documents table's own lang."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import pagemeta as PM
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    desc = F.substring("text", 1, 15)
+    robots_val = F.when(
+        F.col("doc_id") % 5 == 0, "noindex, follow"
+    ).otherwise("index, follow")
+    fwd = F.concat(
+        F.lit('<meta name="description" content="'), desc,
+        F.lit('"><link rel="canonical" href="http://c/'), d, F.lit('">'),
+    )
+    rev = F.concat(
+        F.lit('<meta content="'), desc,
+        F.lit('" name="description"><link href="http://c/'), d,
+        F.lit('" rel="canonical">'),
+    )
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>'),
+        F.substring("text", 1, 8), F.lit("</title>"),
+        F.when(F.col("doc_id") % 2 == 0, fwd).otherwise(rev),
+        F.lit('<meta name="robots" content="'), robots_val,
+        F.lit('"></head><body>x</body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), d).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return PM.extract_page_meta(pages)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -1988,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
         "jsonld_triples": q_jsonld_triples,
+        "page_meta": q_page_meta,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2677,6 +2714,16 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "page_meta": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       trim(substr(text, 1, 8)) AS title,
+       substr(text, 1, 15) AS description,
+       'http://c/' || CAST(doc_id AS VARCHAR) AS canonical,
+       doc_id % 5 = 0 AS noindex,
+       CAST(false AS BOOLEAN) AS nofollow,
+       lang
+FROM documents
+""",
         "jsonld_triples": """
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS src,
        'http://e/d' || CAST(doc_id AS VARCHAR) AS subj,

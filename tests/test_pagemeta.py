@@ -1,0 +1,47 @@
+"""Page-metadata extraction (operators/pagemeta.py)."""
+
+from cmc_knowledge_graph_text2ttl_spark.operators import pagemeta as pm
+
+HTML = """<!DOCTYPE html><HTML lang="en-GB"><head>
+<TITLE> My Page </TITLE>
+<meta content="A fine page" name="description">
+<META NAME="robots" CONTENT="NOINDEX, nofollow">
+<link href='http://x/canon' rel='canonical'>
+</head><body></body></html>"""
+
+
+def _df(spark, html=HTML, binary=False):
+    blob = html.encode() if binary else html
+    schema = "url string, html " + ("binary" if binary else "string")
+    return spark.createDataFrame([("http://pg", blob)], schema)
+
+
+class TestExtractPageMeta:
+    def test_all_fields_mixed_case_and_attr_order(self, spark):
+        r = pm.extract_page_meta(_df(spark)).collect()[0]
+        assert r.title == "My Page"
+        # content= BEFORE name= — reversed attribute order
+        assert r.description == "A fine page"
+        assert r.canonical == "http://x/canon"  # href before rel, single quotes
+        assert r.noindex is True and r.nofollow is True
+        assert r.lang == "en-GB"
+
+    def test_missing_fields_are_null_and_flags_false(self, spark):
+        r = pm.extract_page_meta(
+            _df(spark, "<html><body>bare</body></html>")
+        ).collect()[0]
+        assert r.title is None and r.description is None
+        assert r.canonical is None and r.lang is None
+        assert r.noindex is False and r.nofollow is False
+
+    def test_binary_html(self, spark):
+        a = pm.extract_page_meta(_df(spark)).collect()
+        b = pm.extract_page_meta(_df(spark, binary=True)).collect()
+        assert a == b
+
+    def test_forward_attr_order_also_matches(self, spark):
+        html = ('<html><head><meta name="description" content="fwd order">'
+                '<link rel="canonical" href="http://x/c2"></head></html>')
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.description == "fwd order"
+        assert r.canonical == "http://x/c2"
