@@ -1729,6 +1729,9 @@ def q_jsonld_triples(spark, sf_dir):
     half of KG construction. Oracle states the triples closed-form."""
     from cmc_knowledge_graph_text2ttl_spark.operators import structured as ST
 
+    # NB the spliced text is safe inside JSON/HTML by the corpus
+    # invariant (documents text is strictly [a-z ] at every SF); a
+    # corpus with quotes/backslashes would need escaping on BOTH sides
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id").cast("string")
     html = F.concat(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .columns import html_string
+
 __all__ = ["extract_links", "pagerank", "anchor_summaries"]
 
 # full anchor elements; href value then inner text pulled per element
@@ -45,9 +47,7 @@ def extract_links(
     Double-quoted hrefs only, matching the crawl corpus; tags are
     case-insensitive.
     """
-    html = F.col(html_col)
-    if dict(df.dtypes).get(html_col) == "binary":
-        html = F.decode(html, "UTF-8")
+    html = html_string(df, html_col)
     tags = F.regexp_extract_all(html, F.lit(_A_TAG), 0)
     pairs = F.transform(
         tags,

@@ -3,10 +3,19 @@ curation pipeline reads before any content analysis.
 
 (title, meta description, canonical URL, robots-meta noindex/nofollow,
 declared language) — all pure column regexes over the raw HTML.
-Attribute ORDER is not fixed in the wild (``name=.. content=..`` vs
-``content=.. name=..``), so each meta/link field is extracted with both
-orders and coalesced; tags and attribute names match case-insensitively;
-values may use single or double quotes.
+Real-HTML tolerances, each regression-tested:
+
+* attribute ORDER is not fixed (``name=.. content=..`` vs reversed) —
+  both orders extract and coalesce;
+* quoted values close with the SAME quote that opened them
+  (a backreference), so apostrophes inside double-quoted descriptions
+  survive;
+* unquoted attribute values (valid HTML5, common in minified pages)
+  are matched too;
+* attribute names require a whitespace boundary, so ``data-name=`` /
+  ``xml:lang=`` / ``<metadata`` never satisfy a ``name=`` / ``lang=`` /
+  ``<meta`` match;
+* the robots ``none`` directive implies noindex+nofollow per the spec.
 
 The canonical URL pairs with ``urls.canonicalize_urls`` for dedup-by-
 canonical; ``noindex`` pairs with ``robots.robots_allowed`` for the
@@ -19,24 +28,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .columns import html_string
+
 __all__ = ["extract_page_meta"]
+
+# unquoted attribute values run to whitespace/quote/'>'
+_UVAL = r"([^\s\"'>]+)"
+
+
+def _mv(match_val: str, backref: int) -> str:
+    """The matched attribute's value: quoted (closing with its own
+    opening quote, whose group number is ``backref``) or unquoted."""
+    return rf"(?:([\"']){match_val}\{backref}|{match_val}(?=[\s>]))"
 
 
 def _attr_pair(tag: str, match_attr: str, match_val: str, want_attr: str) -> list:
-    """Regexes for <tag ... match_attr=match_val ... want_attr="(v)">
-    in BOTH attribute orders (single- or double-quoted values)."""
-    q = "[\"']"
+    """(pattern, value-group) pairs for
+    ``<tag ... match_attr=match_val ... want_attr=VALUE>`` in BOTH
+    attribute orders, quoted and unquoted forms."""
     return [
-        rf"(?is)<{tag}[^>]*{match_attr}\s*=\s*{q}{match_val}{q}"
-        rf"[^>]*{want_attr}\s*=\s*{q}([^\"']*){q}",
-        rf"(?is)<{tag}[^>]*{want_attr}\s*=\s*{q}([^\"']*){q}"
-        rf"[^>]*{match_attr}\s*=\s*{q}{match_val}{q}",
+        # forward, quoted value (1=mv quote, 2=value quote, 3=value)
+        (
+            rf"(?is)<{tag}\b[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 1)}"
+            rf"[^>]*\s{want_attr}\s*=\s*([\"'])(.*?)\2",
+            3,
+        ),
+        # forward, unquoted value (1=mv quote, 2=value)
+        (
+            rf"(?is)<{tag}\b[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 1)}"
+            rf"[^>]*\s{want_attr}\s*=\s*{_UVAL}",
+            2,
+        ),
+        # reversed, quoted value (1=value quote, 2=value, 3=mv quote)
+        (
+            rf"(?is)<{tag}\b[^>]*\s{want_attr}\s*=\s*([\"'])(.*?)\1"
+            rf"[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 3)}",
+            2,
+        ),
+        # reversed, unquoted value (1=value, 2=mv quote)
+        (
+            rf"(?is)<{tag}\b[^>]*\s{want_attr}\s*=\s*{_UVAL}"
+            rf"[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 2)}",
+            1,
+        ),
     ]
 
 
 def _first(html, patterns: list):
     return F.coalesce(
-        *[F.nullif(F.regexp_extract(html, p, 1), F.lit("")) for p in patterns]
+        *[
+            F.nullif(F.regexp_extract(html, p, g), F.lit(""))
+            for p, g in patterns
+        ]
     )
 
 
@@ -44,9 +87,7 @@ def extract_page_meta(
     df: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> DataFrame:
     """(url, title, description, canonical, noindex, nofollow, lang)."""
-    html = F.col(html_col)
-    if dict(df.dtypes).get(html_col) == "binary":
-        html = F.decode(html, "UTF-8")
+    html = html_string(df, html_col)
     title = F.nullif(
         F.trim(F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)),
         F.lit(""),
@@ -59,16 +100,28 @@ def extract_page_meta(
             F.lit(""),
         )
     )
-    lang = F.nullif(
-        F.regexp_extract(html, r"(?is)<html[^>]*\blang\s*=\s*[\"']([^\"']*)[\"']", 1),
-        F.lit(""),
+    lang = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                html, r"(?is)<html\b[^>]*\slang\s*=\s*([\"'])(.*?)\1", 2
+            ),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                html, rf"(?is)<html\b[^>]*\slang\s*=\s*{_UVAL}", 1
+            ),
+            F.lit(""),
+        ),
     )
+    # 'none' implies noindex + nofollow (robots-meta spec)
+    is_none = robots.rlike(r"\bnone\b")
     return df.select(
         F.col(url_col).alias("url"),
         title.alias("title"),
         description.alias("description"),
         canonical.alias("canonical"),
-        robots.contains("noindex").alias("noindex"),
-        robots.contains("nofollow").alias("nofollow"),
+        (robots.contains("noindex") | is_none).alias("noindex"),
+        (robots.contains("nofollow") | is_none).alias("nofollow"),
         lang.alias("lang"),
     )

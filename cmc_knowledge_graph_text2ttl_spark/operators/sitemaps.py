@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .columns import html_string
+
 __all__ = ["parse_sitemaps"]
 
 _URL_ELT = r"(?is)<url\s*>.*?</url\s*>"
@@ -56,9 +58,7 @@ def parse_sitemaps(
     """(src, kind, loc, lastmod) per entry: kind ``url`` for page
     entries, ``sitemap`` for index entries (feed those back into the
     fetch queue). Entries without a ``<loc>`` are dropped."""
-    xml = F.col(xml_col)
-    if dict(df.dtypes).get(xml_col) == "binary":
-        xml = F.decode(xml, "UTF-8")
+    xml = html_string(df, xml_col)
     both = F.concat(
         _entries(xml, _URL_ELT, "url"), _entries(xml, _SM_ELT, "sitemap")
     )

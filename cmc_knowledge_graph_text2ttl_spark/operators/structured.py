@@ -20,6 +20,9 @@ Flattening rules (the deterministic subset that covers real markup):
   ``repr`` for floats, ``str`` for ints — deterministic);
 * list values → one triple per element;
 * nested objects → a blank-node triple plus recursive flattening;
+* ``@graph`` members are INDEPENDENT nodes (the dominant CMS shape) —
+  each flattens under its own subject, no synthetic linking triple;
+* ``{"@value": x}`` value objects are literals, not nodes;
 * ``@context`` is recorded but not expanded (full context processing
   needs remote fetches — out of scope by the same no-per-row-HTTP rule
   as ``select:``); malformed JSON yields an error row per block, never
@@ -34,6 +37,8 @@ from typing import Iterator, List, Optional, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
+
+from .columns import html_string
 
 __all__ = ["extract_jsonld", "flatten_jsonld"]
 
@@ -50,9 +55,12 @@ JSONLD_SCHEMA = StructType(
     ]
 )
 
+# \stype boundary: data-type= must not satisfy the match; the value may
+# be quoted (either quote) or bare (valid HTML5)
 _SCRIPT_RE = (
-    r"(?is)<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
-    r"(.*?)</script\s*>"
+    r"(?is)<script\b[^>]*\stype\s*=\s*"
+    r"(?:[\"']application/ld\+json[\"']|application/ld\+json(?=[\s>]))"
+    r"[^>]*>(.*?)</script\s*>"
 )
 
 
@@ -74,9 +82,21 @@ def flatten_jsonld(
 ) -> None:
     """One JSON-LD node → triples appended to ``out`` (recursive)."""
     for key, value in node.items():
-        if key == "@context":
+        if key in ("@context", "@id", "@value"):
             continue
-        if key == "@id":
+        if key == "@graph":
+            # the dominant CMS shape: a bag of INDEPENDENT nodes — each
+            # member flattens under its own subject, no linking triple
+            # (a synthetic "@graph" predicate would represent nothing)
+            members = value if isinstance(value, list) else [value]
+            for i, member in enumerate(members):
+                if not isinstance(member, dict):
+                    continue
+                mid = member.get("@id")
+                if not isinstance(mid, str):
+                    counter[0] += 1
+                    mid = f"{bnode_prefix}/b{counter[0]}"
+                flatten_jsonld(member, mid, vocab, out, bnode_prefix, counter)
             continue
         if key == "@type":
             types = value if isinstance(value, list) else [value]
@@ -87,6 +107,10 @@ def flatten_jsonld(
         values = value if isinstance(value, list) else [value]
         for v in values:
             if isinstance(v, dict):
+                if "@value" in v:
+                    # a value object IS a literal, not a node
+                    out.append((subj, pred, "literal", _render(v["@value"])))
+                    continue
                 child = v.get("@id")
                 if not isinstance(child, str):
                     counter[0] += 1
@@ -112,9 +136,7 @@ def extract_jsonld(
     page still extract."""
     import pandas as pd
 
-    html = F.col(html_col)
-    if dict(df.dtypes).get(html_col) == "binary":
-        html = F.decode(html, "UTF-8")
+    html = html_string(df, html_col)
     blocks = df.select(
         F.col(url_col).alias("src"),
         F.posexplode(
@@ -128,24 +150,30 @@ def extract_jsonld(
             for src, bidx, payload in zip(
                 pdf["src"], pdf["block_idx"], pdf["payload"]
             ):
+                # RecursionError: hostile/deeply-nested JSON is not a
+                # ValueError subclass — it must still become ONE error
+                # row, never a task failure
                 try:
                     doc = json.loads(payload)
-                except ValueError as ex:
-                    rows.append((src, None, None, None, None, f"bad json: {ex}"))
-                    continue
-                nodes = doc if isinstance(doc, list) else [doc]
-                triples: List[Tuple[str, str, str, str]] = []
-                counter = [0]
-                for i, node in enumerate(nodes):
-                    if not isinstance(node, dict):
-                        continue
-                    nid = node.get("@id")
-                    if not isinstance(nid, str):
-                        nid = f"_:{src}#{bidx}/{i}"
-                    flatten_jsonld(
-                        node, nid, vocab, triples,
-                        f"_:{src}#{bidx}/{i}", counter,
+                    nodes = doc if isinstance(doc, list) else [doc]
+                    triples: List[Tuple[str, str, str, str]] = []
+                    counter = [0]
+                    for i, node in enumerate(nodes):
+                        if not isinstance(node, dict):
+                            continue
+                        nid = node.get("@id")
+                        if not isinstance(nid, str):
+                            nid = f"_:{src}#{bidx}/{i}"
+                        flatten_jsonld(
+                            node, nid, vocab, triples,
+                            f"_:{src}#{bidx}/{i}", counter,
+                        )
+                except (ValueError, RecursionError) as ex:
+                    rows.append(
+                        (src, None, None, None, None,
+                         f"bad json: {type(ex).__name__}: {ex}")
                     )
+                    continue
                 for s, p, k, o in triples:
                     rows.append((src, s, p, k, o, None))
             if rows:

@@ -39,6 +39,31 @@ class TestExtractPageMeta:
         b = pm.extract_page_meta(_df(spark, binary=True)).collect()
         assert a == b
 
+    def test_apostrophe_inside_double_quoted_value(self, spark):
+        html = ('<html><head>'
+                '<meta name="description" content="Bob\'s fine page">'
+                '</head></html>')
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.description == "Bob's fine page"
+
+    def test_unquoted_values_and_lang(self, spark):
+        html = '<html lang=en><head><meta name=description content=cheap></head></html>'
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.lang == "en" and r.description == "cheap"
+
+    def test_prefixed_attrs_and_metadata_tag_excluded(self, spark):
+        html = ('<html xml:lang="fr"><head>'
+                '<meta data-name="description" content="evil">'
+                '<metadata name="description" content="also evil">'
+                '</head></html>')
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.description is None and r.lang is None
+
+    def test_robots_none_implies_both(self, spark):
+        html = '<html><head><meta name="robots" content="none"></head></html>'
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.noindex is True and r.nofollow is True
+
     def test_forward_attr_order_also_matches(self, spark):
         html = ('<html><head><meta name="description" content="fwd order">'
                 '<link rel="canonical" href="http://x/c2"></head></html>')

@@ -76,6 +76,43 @@ class TestExtractJsonld:
         df = _df(spark, "<html><body>plain</body></html>")
         assert st.extract_jsonld(df).count() == 0
 
+    def test_deep_nesting_becomes_error_row_not_task_failure(self, spark):
+        html = ('<script type="application/ld+json">'
+                + "[" * 3000 + "]" * 3000 + "</script>")
+        rows = st.extract_jsonld(_df(spark, html)).collect()
+        assert len(rows) == 1 and "bad json" in rows[0].error
+
+    def test_graph_members_are_independent_nodes(self, spark):
+        html = ('<script type="application/ld+json">'
+                '{"@context": "x", "@graph": ['
+                '{"@id": "http://n/1", "name": "one"},'
+                '{"name": "two"}]}</script>')
+        rows = [r for r in st.extract_jsonld(_df(spark, html)).collect()
+                if r.error is None]
+        S = "https://schema.org/"
+        preds = {r.pred for r in rows}
+        assert S + "@graph" not in preds  # no synthetic linking triple
+        got = {(r.subj, r.obj) for r in rows if r.pred == S + "name"}
+        assert ("http://n/1", "one") in got
+        assert any(s.startswith("_:") and o == "two" for s, o in got)
+
+    def test_value_object_is_literal(self, spark):
+        html = ('<script type="application/ld+json">'
+                '{"@id": "http://n/p", "price": {"@value": "9.5"}}</script>')
+        rows = [r for r in st.extract_jsonld(_df(spark, html)).collect()
+                if r.error is None]
+        assert rows == [rows[0]]
+        assert (rows[0].pred, rows[0].obj_kind, rows[0].obj) == (
+            "https://schema.org/price", "literal", "9.5")
+
+    def test_data_type_script_excluded_unquoted_type_included(self, spark):
+        html = ('<script data-type="application/ld+json">var x = 1;</script>'
+                '<script type=application/ld+json>{"@id": "http://n/u", '
+                '"name": "bare"}</script>')
+        rows = st.extract_jsonld(_df(spark, html)).collect()
+        assert all(r.error is None for r in rows)
+        assert {(r.subj, r.obj) for r in rows} == {("http://n/u", "bare")}
+
     def test_absolute_iri_keys_pass_through(self, spark):
         html = (
             '<script type="application/ld+json">'
