@@ -1789,6 +1789,29 @@ def q_page_meta(spark, sf_dir):
     return PM.extract_page_meta(pages)
 
 
+def q_page_og(spark, sf_dir):
+    """OpenGraph extraction under the gate: one forward- and one
+    reversed-order og: tag per doc plus a twitter: decoy — multi-valued
+    long format, closed-form oracle."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import pagemeta as PM
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="'),
+        F.substring("text", 1, 10),
+        F.lit('"><meta content="http://i/'), d,
+        F.lit('.png" property="og:image">'
+              '<meta property="twitter:card" content="decoy">'
+              "</head><body>x</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), d).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return PM.extract_og_meta(pages)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2028,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "jsonld_triples": q_jsonld_triples,
         "page_meta": q_page_meta,
+        "page_og": q_page_og,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2717,6 +2741,15 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "page_og": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'og:title' AS og_property, substr(text, 1, 10) AS og_content
+FROM documents
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+       'og:image', 'http://i/' || CAST(doc_id AS VARCHAR) || '.png'
+FROM documents
+""",
         "page_meta": """
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        trim(substr(text, 1, 8)) AS title,

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .columns import html_string
 
-__all__ = ["extract_page_meta"]
+__all__ = ["extract_page_meta", "extract_og_meta"]
 
 # unquoted attribute values run to whitespace/quote/'>'
 _UVAL = r"([^\s\"'>]+)"
@@ -50,7 +50,7 @@ def _attr_pair(tag: str, match_attr: str, match_val: str, want_attr: str) -> lis
         # forward, quoted value (1=mv quote, 2=value quote, 3=value)
         (
             rf"(?is)<{tag}\b[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 1)}"
-            rf"[^>]*\s{want_attr}\s*=\s*([\"'])(.*?)\2",
+            rf"[^>]*\s{want_attr}\s*=\s*([\"'])([^>]*?)\2",
             3,
         ),
         # forward, unquoted value (1=mv quote, 2=value)
@@ -61,7 +61,7 @@ def _attr_pair(tag: str, match_attr: str, match_val: str, want_attr: str) -> lis
         ),
         # reversed, quoted value (1=value quote, 2=value, 3=mv quote)
         (
-            rf"(?is)<{tag}\b[^>]*\s{want_attr}\s*=\s*([\"'])(.*?)\1"
+            rf"(?is)<{tag}\b[^>]*\s{want_attr}\s*=\s*([\"'])([^>]*?)\1"
             rf"[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 3)}",
             2,
         ),
@@ -80,6 +80,57 @@ def _first(html, patterns: list):
             F.nullif(F.regexp_extract(html, p, g), F.lit(""))
             for p, g in patterns
         ]
+    )
+
+
+_OG_TAG_FWD = (
+    r"(?is)<meta\b[^>]*\sproperty\s*=\s*([\"'])(og:[\w.:-]+)\1"
+    r"[^>]*\scontent\s*=\s*([\"'])([^>]*?)\3[^>]*>"
+)
+_OG_TAG_REV = (
+    r"(?is)<meta\b[^>]*\scontent\s*=\s*([\"'])([^>]*?)\1"
+    r"[^>]*\sproperty\s*=\s*([\"'])(og:[\w.:-]+)\3[^>]*>"
+)
+
+
+def extract_og_meta(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """OpenGraph properties in long format → (url, og_property,
+    og_content), one row per ``<meta property="og:...">`` tag.
+
+    og:* is MULTI-valued by design (several og:image entries per page),
+    so unlike :func:`extract_page_meta` this keeps every occurrence —
+    ``regexp_extract_all`` over whole meta elements, both attribute
+    orders, quote-backreferenced values. The structured social-card
+    metadata (title/image/type/url) is the highest-precision page
+    summary most publishers ship after JSON-LD.
+    """
+    html = html_string(df, html_col)
+
+    def pairs(pattern, prop_g, val_g):
+        return F.transform(
+            F.regexp_extract_all(html, F.lit(pattern), 0),
+            lambda t: F.struct(
+                F.regexp_extract(t, pattern, prop_g).alias("p"),
+                F.regexp_extract(t, pattern, val_g).alias("c"),
+            ),
+        )
+
+    both = F.concat(
+        pairs(_OG_TAG_FWD, 2, 4),
+        F.filter(
+            pairs(_OG_TAG_REV, 4, 2), lambda s: F.length(s["p"]) > 0
+        ),
+    )
+    return (
+        df.select(F.col(url_col).alias("url"), F.explode(both).alias("e"))
+        .select(
+            "url",
+            F.col("e.p").alias("og_property"),
+            F.col("e.c").alias("og_content"),
+        )
+        .where(F.length("og_property") > 0)
     )
 
 
@@ -103,7 +154,7 @@ def extract_page_meta(
     lang = F.coalesce(
         F.nullif(
             F.regexp_extract(
-                html, r"(?is)<html\b[^>]*\slang\s*=\s*([\"'])(.*?)\1", 2
+                html, r"(?is)<html\b[^>]*\slang\s*=\s*([\"'])([^>]*?)\1", 2
             ),
             F.lit(""),
         ),

@@ -70,3 +70,44 @@ class TestExtractPageMeta:
         r = pm.extract_page_meta(_df(spark, html)).collect()[0]
         assert r.description == "fwd order"
         assert r.canonical == "http://x/c2"
+
+
+class TestExtractOgMeta:
+    def test_multivalued_and_both_orders(self, spark):
+        html = ('<html><head>'
+                '<meta property="og:title" content="The Title">'
+                '<meta content="http://x/a.png" property="og:image">'
+                '<meta property="og:image" content="http://x/b.png">'
+                '<meta property="twitter:card" content="ignored">'
+                '<meta name="og:fake" content="not a property attr">'
+                '</head></html>')
+        df = spark.createDataFrame([("u", html)], "url string, html string")
+        got = sorted(
+            (r.og_property, r.og_content)
+            for r in pm.extract_og_meta(df).collect()
+        )
+        assert got == [
+            ("og:image", "http://x/a.png"),
+            ("og:image", "http://x/b.png"),
+            ("og:title", "The Title"),
+        ]
+
+    def test_no_og_tags_no_rows(self, spark):
+        df = spark.createDataFrame(
+            [("u", "<html><head><title>x</title></head></html>")],
+            "url string, html string",
+        )
+        assert pm.extract_og_meta(df).count() == 0
+
+
+class TestNoCrossTagMatching:
+    def test_reversed_pattern_cannot_span_tags(self, spark):
+        # regression: a content= in one tag must not pair with the
+        # name="description" of the NEXT tag
+        html = ('<html><head>'
+                '<meta content="evil" name="author">'
+                '<meta name="description" content="good">'
+                '</head></html>')
+        df = spark.createDataFrame([("u", html)], "url string, html string")
+        r = pm.extract_page_meta(df).collect()[0]
+        assert r.description == "good"
