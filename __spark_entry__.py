@@ -1812,6 +1812,32 @@ def q_page_og(spark, sf_dir):
     return PM.extract_og_meta(pages)
 
 
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom discovery under the gate: one RSS item (titled, dated)
+    and one Atom entry (href link) per doc, closed-form oracle."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import feeds as FD
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<rss><channel><item><title>"),
+        F.substring("text", 1, 8),
+        F.lit("</title><link>http://f/p"), d,
+        F.lit("</link><pubDate>2024-03-"),
+        F.lpad((1 + F.col("doc_id") % 27).cast("string"), 2, "0"),
+        F.lit("</pubDate></item></channel></rss>"
+              '<feed><entry><title>e'),
+        d,
+        F.lit('</title><link href="http://f/e'), d,
+        F.lit('"/></entry></feed>'),
+    )
+    df = docs.select(
+        F.concat(F.lit("http://f/feed"), d).alias("feed_url"),
+        F.encode(xml, "UTF-8").alias("feed_xml"),
+    )
+    return FD.parse_feeds(df)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2052,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_triples": q_jsonld_triples,
         "page_meta": q_page_meta,
         "page_og": q_page_og,
+        "feed_parse": q_feed_parse,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -2741,6 +2768,19 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
 FROM documents
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "feed_parse": """
+SELECT 'http://f/feed' || CAST(doc_id AS VARCHAR) AS src,
+       'rss' AS kind, trim(substr(text, 1, 8)) AS title,
+       'http://f/p' || CAST(doc_id AS VARCHAR) AS link,
+       '2024-03-' || lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0')
+         AS published
+FROM documents
+UNION ALL
+SELECT 'http://f/feed' || CAST(doc_id AS VARCHAR),
+       'atom', 'e' || CAST(doc_id AS VARCHAR),
+       'http://f/e' || CAST(doc_id AS VARCHAR), NULL
+FROM documents
+""",
         "page_og": """
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        'og:title' AS og_property, substr(text, 1, 10) AS og_content
