@@ -142,8 +142,17 @@ class _BitReader:
         self.nbits = 0
 
     def skip_restart(self) -> None:
-        """Consume the RSTn marker bytes at the current byte position."""
-        assert self.data[self.pos] == 0xFF
+        """Consume the RSTn marker bytes at the current byte position.
+
+        Raises ValueError (not assert) so a malformed stream that declares
+        a DRI interval but lacks the marker stays inside decode_jpeg's
+        documented per-row error containment, and the check survives -O."""
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected RSTn marker at restart interval")
+        if not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            raise ValueError(
+                f"expected RSTn marker, got 0xFF{self.data[self.pos + 1]:02X}"
+            )
         self.pos += 2
 
 

@@ -9,7 +9,8 @@ Real-HTML tolerances, each regression-tested:
   both orders extract and coalesce;
 * quoted values close with the SAME quote that opened them
   (a backreference), so apostrophes inside double-quoted descriptions
-  survive;
+  survive — and the value class is quote-negated, not '>'-negated, so
+  legal values containing '>' (``content="a > b"``) extract too;
 * unquoted attribute values (valid HTML5, common in minified pages)
   are matched too;
 * attribute names require a whitespace boundary, so ``data-name=`` /
@@ -36,6 +37,15 @@ __all__ = ["extract_page_meta", "extract_og_meta"]
 _UVAL = r"([^\s\"'>]+)"
 
 
+def _qval(quote_backref: int) -> str:
+    """A quoted attribute VALUE: everything up to the quote that opened
+    it (group ``quote_backref``). A per-char negated lookahead rather
+    than ``[^>]`` so legal values containing '>' (content="a > b")
+    extract instead of silently missing; cross-tag pairing stays
+    impossible because the inter-attribute gaps are still ``[^>]*``."""
+    return rf"((?:(?!\{quote_backref}).)*?)"
+
+
 def _mv(match_val: str, backref: int) -> str:
     """The matched attribute's value: quoted (closing with its own
     opening quote, whose group number is ``backref``) or unquoted."""
@@ -50,7 +60,7 @@ def _attr_pair(tag: str, match_attr: str, match_val: str, want_attr: str) -> lis
         # forward, quoted value (1=mv quote, 2=value quote, 3=value)
         (
             rf"(?is)<{tag}\b[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 1)}"
-            rf"[^>]*\s{want_attr}\s*=\s*([\"'])([^>]*?)\2",
+            rf"[^>]*\s{want_attr}\s*=\s*([\"']){_qval(2)}\2",
             3,
         ),
         # forward, unquoted value (1=mv quote, 2=value)
@@ -61,7 +71,7 @@ def _attr_pair(tag: str, match_attr: str, match_val: str, want_attr: str) -> lis
         ),
         # reversed, quoted value (1=value quote, 2=value, 3=mv quote)
         (
-            rf"(?is)<{tag}\b[^>]*\s{want_attr}\s*=\s*([\"'])([^>]*?)\1"
+            rf"(?is)<{tag}\b[^>]*\s{want_attr}\s*=\s*([\"']){_qval(1)}\1"
             rf"[^>]*\s{match_attr}\s*=\s*{_mv(match_val, 3)}",
             2,
         ),
@@ -85,10 +95,10 @@ def _first(html, patterns: list):
 
 _OG_TAG_FWD = (
     r"(?is)<meta\b[^>]*\sproperty\s*=\s*([\"'])(og:[\w.:-]+)\1"
-    r"[^>]*\scontent\s*=\s*([\"'])([^>]*?)\3[^>]*>"
+    r"[^>]*\scontent\s*=\s*([\"'])" + _qval(3) + r"\3[^>]*>"
 )
 _OG_TAG_REV = (
-    r"(?is)<meta\b[^>]*\scontent\s*=\s*([\"'])([^>]*?)\1"
+    r"(?is)<meta\b[^>]*\scontent\s*=\s*([\"'])" + _qval(1) + r"\1"
     r"[^>]*\sproperty\s*=\s*([\"'])(og:[\w.:-]+)\3[^>]*>"
 )
 
@@ -154,7 +164,9 @@ def extract_page_meta(
     lang = F.coalesce(
         F.nullif(
             F.regexp_extract(
-                html, r"(?is)<html\b[^>]*\slang\s*=\s*([\"'])([^>]*?)\1", 2
+                html,
+                r"(?is)<html\b[^>]*\slang\s*=\s*([\"'])" + _qval(1) + r"\1",
+                2,
             ),
             F.lit(""),
         ),

@@ -128,11 +128,20 @@ def robots_allowed(
     # scheme and host are case-insensitive per RFC 3986 — lowercase the
     # extracted host and match the scheme case-insensitively, otherwise
     # 'HTTP://EXAMPLE.com/...' silently bypasses every rule (paths stay
-    # case-sensitive, as robots rules are)
+    # case-sensitive, as robots rules are). Rules are keyed by bare
+    # hostname, so the authority must be stripped of userinfo and :port
+    # ('http://example.com:8080/x' must join example.com's rules, not
+    # fall through to allowed-by-default).
     u = urls_df.select(
         F.col(url_col).alias("url"),
         F.lower(
-            F.regexp_extract(url_col, r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+            F.regexp_replace(
+                F.regexp_extract(
+                    url_col, r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)", 1
+                ),
+                r"^[^@]*@|:\d+$",
+                "",
+            )
         ).alias("host"),
         F.coalesce(
             F.nullif(

@@ -893,14 +893,28 @@ def _as_comparable(value):
 def _eval_filter(node, binding) -> bool:
     op = node[0]
     if op == "or":
-        # SPARQL logical-or: error || true is true; evaluate both arms
+        # SPARQL three-valued logical-or: error || true = true, but
+        # error || false = error (the error must propagate so that a
+        # negation above us drops the binding; returning plain false
+        # here would keep it). Only both-arms-false is a definitive
+        # false.
         lhs = _try_eval(node[1], binding)
         rhs = _try_eval(node[2], binding)
-        if lhs is None and rhs is None:
-            raise _FilterUnbound("both arms")
-        return bool(lhs) or bool(rhs)
+        if lhs or rhs:
+            return True
+        if lhs is None or rhs is None:
+            raise _FilterUnbound("errored arm in ||")
+        return False
     if op == "and":
-        return _eval_filter(node[1], binding) and _eval_filter(node[2], binding)
+        # Three-valued logical-and, mirrored: false && error = false;
+        # error && true = error.
+        lhs = _try_eval(node[1], binding)
+        rhs = _try_eval(node[2], binding)
+        if lhs is False or rhs is False:
+            return False
+        if lhs is None or rhs is None:
+            raise _FilterUnbound("errored arm in &&")
+        return True
     if op == "not":
         return not _eval_filter(node[1], binding)
     if op == "regex":

@@ -111,3 +111,40 @@ class TestNoCrossTagMatching:
         df = spark.createDataFrame([("u", html)], "url string, html string")
         r = pm.extract_page_meta(df).collect()[0]
         assert r.description == "good"
+
+
+class TestQuotedValuesWithGt:
+    # regression (round-4 ADVICE): quoted values are quote-negated, not
+    # '>'-negated, so a legal '>' inside the value no longer nulls the field
+    def test_description_with_gt(self, spark):
+        html = ('<html><head>'
+                '<meta name="description" content="a > b, honest">'
+                '</head></html>')
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.description == "a > b, honest"
+
+    def test_reversed_order_with_gt(self, spark):
+        html = ('<html><head>'
+                '<meta content="x > y" name="description">'
+                '</head></html>')
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.description == "x > y"
+
+    def test_lang_and_og_with_gt(self, spark):
+        html = ('<html lang="en>weird"><head>'
+                '<meta property="og:title" content="1 > 0">'
+                '</head></html>')
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.lang == "en>weird"
+        og = pm.extract_og_meta(_df(spark, html)).collect()
+        assert [(x.og_property, x.og_content) for x in og] == [("og:title", "1 > 0")]
+
+    def test_cross_tag_pairing_still_impossible(self, spark):
+        # the '>'-tolerant value class must not reintroduce the round-3
+        # cross-tag bug: content= of tag A + name= of tag B
+        html = ('<html><head>'
+                '<meta content="orphan value">'
+                '<meta name="description">'
+                '</head></html>')
+        r = pm.extract_page_meta(_df(spark, html)).collect()[0]
+        assert r.description is None

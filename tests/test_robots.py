@@ -96,3 +96,35 @@ class TestDecision:
         out = R.robots_allowed(urls, rules)
         assert out.count() == 20
         assert out.select("url").distinct().count() == 20
+
+
+class TestAuthorityNormalization:
+    @pytest.fixture()
+    def rules(self, spark):
+        robots = spark.createDataFrame(
+            [("example.com", "User-agent: *\nDisallow: /secret\n")],
+            "host string, robots_txt string",
+        )
+        return R.robots_rules(robots)
+
+    def test_port_and_userinfo_stripped(self, spark, rules):
+        # regression (round-4 ADVICE): ':port' / 'user@' in the authority
+        # used to miss the bare-hostname rule key → false 'allowed'
+        urls = spark.createDataFrame(
+            [
+                ("http://example.com:8080/secret",),
+                ("http://alice@example.com/secret",),
+                ("http://alice:pw@example.com:8443/secret",),
+                ("http://example.com/secret",),
+                ("http://example.com:8080/open",),
+            ],
+            "url string",
+        )
+        got = {r.url: r.allowed for r in R.robots_allowed(urls, rules).collect()}
+        assert got == {
+            "http://example.com:8080/secret": False,
+            "http://alice@example.com/secret": False,
+            "http://alice:pw@example.com:8443/secret": False,
+            "http://example.com/secret": False,
+            "http://example.com:8080/open": True,
+        }

@@ -821,3 +821,47 @@ class TestWorkflowSelectWithFilter:
         )
         assert res.error is None
         assert res.triples[0][3] == "Alice"
+
+
+class TestThreeValuedLogic:
+    # regression (round-4 ADVICE): an errored (unbound) arm must propagate
+    # through || / && per SPARQL three-valued logic — error || false is
+    # error (binding dropped under negation), not plain false.
+
+    def test_negated_or_with_unbound_arm_drops_binding(self):
+        # ?k is unbound for bob/carol → (?k = "zz" || false-ish arm) is
+        # error → !error is error → top-level filter false → dropped.
+        # Under the old coercion !(false) kept them.
+        out = GRAPH.query(
+            'SELECT ?n WHERE { ?s <http://x/name> ?n '
+            'OPTIONAL { ?s <http://x/nick> ?k } '
+            'FILTER (!(?k = "zz" || ?n = "nobody")) }'
+        )
+        assert names(out) == ["Alice"]  # only alice has ?k bound
+
+    def test_or_with_one_true_arm_still_true(self):
+        out = GRAPH.query(
+            'SELECT ?n WHERE { ?s <http://x/name> ?n '
+            'OPTIONAL { ?s <http://x/nick> ?k } '
+            'FILTER (?k = "Al" || ?n = "Bob") }'
+        )
+        assert names(out) == ["Alice", "Bob"]
+
+    def test_and_with_definitive_false_arm_is_false_not_error(self):
+        # false && error = false → negation keeps the binding
+        out = GRAPH.query(
+            'SELECT ?n WHERE { ?s <http://x/name> ?n '
+            'OPTIONAL { ?s <http://x/nick> ?k } '
+            'FILTER (!(?n = "nobody" && ?k = "Al")) }'
+        )
+        assert names(out) == ["Alice", "Bob", "carol"]
+
+    def test_and_with_unbound_arm_and_no_false_arm_is_error(self):
+        # error && error = error → negation drops bob/carol; alice's
+        # second arm is definitively false ("Al" = "zz") → false → kept
+        out = GRAPH.query(
+            'SELECT ?n WHERE { ?s <http://x/name> ?n '
+            'OPTIONAL { ?s <http://x/nick> ?k } '
+            'FILTER (!(?a != "x" && ?k = "zz")) }'
+        )
+        assert names(out) == ["Alice"]
