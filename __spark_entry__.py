@@ -1589,29 +1589,54 @@ def q_warc_read(spark, sf_dir):
     segment files (the fixture side of sources/warc.py), read back with
     one task per file, and checked byte-exactly — the md5 of each
     extracted HTTP payload must equal DuckDB's md5 over the same
-    reconstructed HTML string."""
+    reconstructed HTML string.
+
+    The 8 segments cover the full storage matrix the reader claims:
+    segments 0-3 plain ``.warc``, 4-7 per-record-gzip ``.warc.gz``
+    (real Common Crawl layout), and within each half the upper two
+    store HTTP bodies with chunked transfer-coding. Segment BYTES are
+    built distributed (groupBy seg → applyInPandas); the driver only
+    collects 8 (seg, bytes) rows — bounded by segment count, never by
+    corpus size."""
     import os
     import tempfile
 
+    import pandas as pd
+
     from cmc_knowledge_graph_text2ttl_spark.sources import warc as W
 
-    docs = sorted(
-        (int(r.doc_id), r.text)
-        for r in _docs(spark, sf_dir).select("doc_id", "text").collect()
+    def build_segment(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                f"doc://{d}",
+                f"2024-01-{1 + d % 27:02d}T00:00:00Z",
+                f"<html><body>{t}</body></html>".encode(),
+            )
+            for d, t in zip(pdf["doc_id"].astype(int), pdf["text"])
+        ]
+        g = int(pdf["seg"].iloc[0])
+        data = W.build_warc(recs, compress=g >= 4, chunked=g % 4 >= 2)
+        return pd.DataFrame(
+            {
+                "seg": [g],
+                "ext": [".warc.gz" if g >= 4 else ".warc"],
+                "data": [data],
+            }
+        )
+
+    segs = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .withColumn("seg", F.col("doc_id") % 8)
+        .groupBy("seg")
+        .applyInPandas(build_segment, "seg long, ext string, data binary")
+        .collect()
     )
     root = tempfile.mkdtemp(prefix="warc_gate_")
-    groups: dict = {}
-    for did, text in docs:
-        groups.setdefault(did % 8, []).append(
-            (
-                f"doc://{did}",
-                f"2024-01-{1 + did % 27:02d}T00:00:00Z",
-                f"<html><body>{text}</body></html>".encode(),
-            )
-        )
-    for g, recs in groups.items():
-        with open(os.path.join(root, f"seg{g}.warc"), "wb") as f:
-            f.write(W.build_warc(recs))
+    for r in segs:
+        with open(os.path.join(root, f"seg{r.seg}{r.ext}"), "wb") as f:
+            f.write(bytes(r.data))
     out = W.read_warc(spark, root).where("error is null")
     return out.select(
         "url",

@@ -110,3 +110,120 @@ class TestReadWarc:
         )
         out = extract_text(pages).collect()
         assert len(out) == 1 and "alpha beta" in out[0].text
+
+
+RECS = [
+    (f"http://s/{i}", "2024-02-01T00:00:00Z", f"<html>page {i} αβ</html>".encode())
+    for i in range(4)
+]
+
+
+def _payloads(data, gz=False):
+    if gz:
+        data = W.gunzip_members(data)
+    return [p for _, _, p in W.parse_warc_records(data)]
+
+
+class TestGzip:
+    def test_member_per_record_roundtrip(self):
+        gz = W.build_warc(RECS, compress=True)
+        assert gz[:2] == b"\x1f\x8b"
+        assert _payloads(gz, gz=True) == _payloads(W.build_warc(RECS))
+
+    def test_one_member_per_record(self):
+        # Common Crawl layout: each record its own gzip member
+        import zlib
+
+        gz = W.build_warc(RECS, compress=True)
+        count, pos = 0, 0
+        while pos < len(gz):
+            d = zlib.decompressobj(wbits=31)
+            d.decompress(gz[pos:])
+            assert d.eof
+            pos = len(gz) - len(d.unused_data)
+            count += 1
+        assert count == len(RECS)
+
+    def test_deterministic_bytes(self):
+        assert W.build_warc(RECS, compress=True) == W.build_warc(
+            RECS, compress=True
+        )
+
+    def test_truncated_member_raises(self):
+        gz = W.build_warc(RECS, compress=True)
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            W.gunzip_members(gz[:-3])
+
+    def test_non_gzip_tail_raises(self):
+        gz = W.build_warc(RECS[:1], compress=True)
+        with pytest.raises(ValueError, match="expected gzip member"):
+            W.gunzip_members(gz + b"not gzip")
+
+    def test_read_warc_sniffs_magic_not_extension(self, spark, tmp_path):
+        # same records: one plain file, one gz file with a PLAIN name
+        (tmp_path / "a.warc").write_bytes(W.build_warc(RECS[:2]))
+        (tmp_path / "b.warc").write_bytes(
+            W.build_warc(RECS[2:], compress=True)
+        )
+        out = W.read_warc(spark, str(tmp_path)).where("error is null")
+        assert sorted(r.url for r in out.collect()) == [
+            f"http://s/{i}" for i in range(4)
+        ]
+
+    def test_corrupt_gz_file_isolated(self, spark, tmp_path):
+        (tmp_path / "good.warc.gz").write_bytes(
+            W.build_warc(RECS[:1], compress=True)
+        )
+        (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b\x08corrupt")
+        rows = W.read_warc(spark, str(tmp_path)).collect()
+        errs = [r for r in rows if r.error is not None]
+        assert len(errs) == 1 and "bad.warc.gz" in errs[0].warc_file
+        assert len(rows) == 2  # the good file still parses
+
+
+class TestChunked:
+    def test_chunked_body_reassembles(self):
+        assert _payloads(W.build_warc(RECS, chunked=True)) == _payloads(
+            W.build_warc(RECS)
+        )
+
+    def test_gzip_plus_chunked(self):
+        gz = W.build_warc(RECS, compress=True, chunked=True)
+        assert _payloads(gz, gz=True) == _payloads(W.build_warc(RECS))
+
+    def test_chunk_extensions_and_bare_lf(self):
+        body = b"hello world"
+        chunked = b"6;ext=1\r\nhello \n5\r\nworld\r\n0\r\n\r\n"
+        http = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+        warc = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://c/1\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http
+        )
+        assert _payloads(warc) == [body]
+
+    def test_truncated_chunk_raises(self):
+        http = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"ff\r\nshort"
+        )
+        warc = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http
+        )
+        with pytest.raises(ValueError, match="truncated chunk"):
+            list(W.parse_warc_records(warc))
+
+    def test_identity_final_coding_not_dechunked(self):
+        # Transfer-Encoding: chunked, gzip → chunked is NOT the final
+        # coding; the body must pass through untouched
+        body = b"raw-bytes-left-alone"
+        http = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked, gzip\r\n\r\n"
+            + body
+        )
+        warc = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http
+        )
+        assert _payloads(warc) == [body]
