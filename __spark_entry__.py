@@ -1512,6 +1512,50 @@ def q_links_extract(spark, sf_dir):
     return LK.extract_links(_linked_html(spark, sf_dir))
 
 
+def q_links_resolve(spark, sf_dir):
+    """RFC 3986 relative-link resolution under the gate: each doc's
+    page sits at http://h{id%50}.example/d{id%7}/page{id}.html and
+    carries a relative, a rooted, a dotted (../), a protocol-relative
+    and an absolute anchor, plus fragment-only and mailto decoys; a
+    third of docs add a rooted <base href>, a third an absolute
+    cross-host <base href>. The oracle states every resolved target
+    closed-form from the same id arithmetic — the Spark side does REAL
+    extraction + resolution (operators/urls.resolve_url_col)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("http://h"), (did % 50).cast("string"),
+        F.lit(".example/d"), (did % 7).cast("string"),
+        F.lit("/page"), did.cast("string"), F.lit(".html"),
+    )
+    base_tag = (
+        F.when(did % 3 == 0, F.lit(""))
+        .when(did % 3 == 1, F.lit('<base href="/bd/">'))
+        .otherwise(F.lit('<base href="https://b.example/s/">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
+        F.lit('<a href="rel'), (did % 7).cast("string"), F.lit('.html">'),
+        F.substring("text", 1, 6), F.lit("</a>"),
+        F.lit('<a href="/r'), (did % 5).cast("string"), F.lit('/x">'),
+        F.substring("text", 7, 6), F.lit("</a>"),
+        F.lit('<a href="../u'), (did % 3).cast("string"), F.lit('">'),
+        F.substring("text", 13, 6), F.lit("</a>"),
+        F.lit('<a href="//cdn.example/a'), (did % 4).cast("string"),
+        F.lit('">'), F.substring("text", 19, 6), F.lit("</a>"),
+        F.lit('<a href="http://abs.example/p'), (did % 11).cast("string"),
+        F.lit('">'), F.substring("text", 25, 6), F.lit("</a>"),
+        F.lit('<a href="#frag">skip1</a><a href="mailto:x@y">skip2</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        page_url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return LK.extract_links(pages)
+
+
 def q_links_pagerank(spark, sf_dir):
     """Integer-scaled PageRank under the gate: a formula-derived edge
     set (doc d links to (d*7 + k*13) mod N for k = 1..(d%3)+1), five
@@ -2093,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif": q_media_gif,
         "media_jpeg": q_media_jpeg,
         "links_extract": q_links_extract,
+        "links_resolve": q_links_resolve,
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
         "warc_read": q_warc_read,
@@ -2791,6 +2836,44 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR),
          (SELECT count(*) FROM documents) AS VARCHAR),
        trim(substr(text, 11, 10))
 FROM documents
+""",
+        # every resolved target stated closed-form: host/dir/base from
+        # the same doc_id arithmetic the HTML builder uses
+        "links_resolve": """
+WITH d AS (
+  SELECT doc_id,
+         'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS hroot,
+         'd' || CAST(doc_id % 7 AS VARCHAR) AS dir,
+         doc_id % 3 AS m,
+         text
+  FROM documents
+), base AS (
+  SELECT doc_id, text,
+         'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/'
+           || dir || '/page' || CAST(doc_id AS VARCHAR) || '.html' AS src,
+         CASE m WHEN 0 THEN hroot || '/' || dir || '/'
+                WHEN 1 THEN hroot || '/bd/'
+                ELSE 'https://b.example/s/' END AS bdir,
+         CASE m WHEN 2 THEN 'https://b.example' ELSE hroot END AS broot,
+         CASE m WHEN 2 THEN 'https' ELSE 'http' END AS bscheme
+  FROM d
+)
+SELECT src, bdir || 'rel' || CAST(doc_id % 7 AS VARCHAR) || '.html' AS dst,
+       trim(substr(text, 1, 6)) AS anchor FROM base
+UNION ALL
+SELECT src, broot || '/r' || CAST(doc_id % 5 AS VARCHAR) || '/x',
+       trim(substr(text, 7, 6)) FROM base
+UNION ALL
+SELECT src,
+       regexp_replace(bdir, '[^/]*/$', '') || 'u'
+         || CAST(doc_id % 3 AS VARCHAR),
+       trim(substr(text, 13, 6)) FROM base
+UNION ALL
+SELECT src, bscheme || '://cdn.example/a' || CAST(doc_id % 4 AS VARCHAR),
+       trim(substr(text, 19, 6)) FROM base
+UNION ALL
+SELECT src, 'http://abs.example/p' || CAST(doc_id % 11 AS VARCHAR),
+       trim(substr(text, 25, 6)) FROM base
 """,
         "links_pagerank": _pagerank_sql(iters=5),
         "feed_parse": """

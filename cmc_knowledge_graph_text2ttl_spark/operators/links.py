@@ -31,22 +31,38 @@ __all__ = ["extract_links", "pagerank", "anchor_summaries"]
 _A_TAG = r'(?is)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
 _HREF = r'(?is)href="([^"]*)"'
 _INNER = r"(?is)>(.*)</a"
+_BASE_HREF = r'(?is)<base\s[^>]*href="([^"]*)"'
 
 
 def extract_links(
-    df: DataFrame, html_col: str = "html", url_col: str = "url"
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    resolve_relative: bool = True,
 ) -> DataFrame:
     """(src, dst, anchor) for every ``<a href="...">`` element →
     one row per link.
 
     Pure column expressions: `regexp_extract_all` pulls whole anchor
     elements, a `transform` lambda pulls the href and inner text per
-    element, inner markup is stripped and the anchor trimmed. Only
-    absolute http(s) targets survive (relative resolution needs a base
-    URL joiner — compose with ``urls.canonicalize_urls`` for that).
+    element, inner markup is stripped and the anchor trimmed.
+
+    Relative hrefs — the MAJORITY of intra-site links in a real crawl —
+    are resolved against the page's effective base per RFC 3986
+    (``urls.resolve_url_col``): the first ``<base href>`` wins and is
+    itself resolved against the document URL per the HTML spec, so the
+    link graph / PageRank / anchor signals see site structure, not just
+    absolute cross-site links. Empty and fragment-only hrefs are
+    dropped (same-document references, not edges); fragments are
+    stripped from resolved targets. Only http(s) results survive, which
+    also drops ``mailto:`` / ``javascript:`` / ``data:`` refs because a
+    scheme-bearing ref resolves to itself. ``resolve_relative=False``
+    restores the round-3 absolute-only behavior.
     Double-quoted hrefs only, matching the crawl corpus; tags are
     case-insensitive.
     """
+    from .urls import resolve_url_col
+
     html = html_string(df, html_col)
     tags = F.regexp_extract_all(html, F.lit(_A_TAG), 0)
     pairs = F.transform(
@@ -58,9 +74,29 @@ def extract_links(
             ).alias("anchor"),
         ),
     )
+    src = F.col(url_col)
+    if resolve_relative:
+        base_href = F.nullif(
+            F.regexp_extract(html, _BASE_HREF, 1), F.lit("")
+        )
+        eff_base = F.when(
+            base_href.isNotNull(), resolve_url_col(src, base_href)
+        ).otherwise(src)
+        exploded = df.select(
+            src.alias("src"),
+            eff_base.alias("_base"),
+            F.explode(pairs).alias("l"),
+        ).where(~F.col("l.dst").rlike(r"^(#|$)"))
+        dst = F.regexp_replace(
+            resolve_url_col(F.col("_base"), F.col("l.dst")), r"(?s)#.*$", ""
+        )
+    else:
+        exploded = df.select(src.alias("src"), F.explode(pairs).alias("l"))
+        dst = F.col("l.dst")
     return (
-        df.select(F.col(url_col).alias("src"), F.explode(pairs).alias("l"))
-        .select("src", F.col("l.dst").alias("dst"), F.col("l.anchor").alias("anchor"))
+        exploded.select(
+            "src", dst.alias("dst"), F.col("l.anchor").alias("anchor")
+        )
         .where(F.col("dst").startswith("http"))
     )
 

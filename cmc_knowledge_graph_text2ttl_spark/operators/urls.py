@@ -88,3 +88,89 @@ def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.min(url_col).alias("keep_url"),
         )
     )
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over a path column, no UDF: split on '/', fold
+    the segments through an array accumulator (``F.aggregate`` — one
+    stack push/pop per segment, all codegen), re-join. '..' never pops
+    the root, and a trailing '.'/'..' keeps the directory slash."""
+    segs = F.split(path, "/")
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    stack = F.aggregate(
+        segs,
+        empty,
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.when(
+                F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+            ).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    last = F.element_at(segs, -1)
+    stack = F.when(
+        last.isin(".", ".."), F.concat(stack, F.array(F.lit("")))
+    ).otherwise(stack)
+    return F.array_join(stack, "/")
+
+
+def resolve_url_col(base: Column, ref: Column) -> Column:
+    """RFC 3986 §5 reference resolution as pure column expressions:
+    ``resolve_url_col(F.lit("http://a/b/c/d;p?q"), F.lit("../g"))`` →
+    ``http://a/g``. Strict parsing (a ref with its own scheme is
+    returned as-is, §5.2.2 strict flag — dot segments inside absolute
+    refs are preserved); the base is assumed to be an absolute URI with
+    authority, which every crawl frontier URL is. Verified against the
+    full §5.4 normal + abnormal example table in tests."""
+    scheme_re = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+    r_scheme = F.regexp_extract(ref, scheme_re, 1)
+    r_has_auth = ref.startswith("//")
+    r_auth = F.regexp_extract(ref, r"^//([^/?#]*)", 1)
+    r_after = F.when(
+        r_has_auth, F.regexp_replace(ref, r"^//[^/?#]*", "")
+    ).otherwise(ref)
+    r_nofrag = F.regexp_replace(r_after, r"(?s)#.*$", "")
+    r_path = F.regexp_extract(r_nofrag, r"^([^?]*)", 1)
+    r_has_query = r_nofrag.contains("?")
+    r_query = F.regexp_extract(r_nofrag, r"(?s)\?(.*)$", 1)
+    r_has_frag = ref.contains("#")
+    r_frag = F.regexp_extract(ref, r"(?s)#(.*)$", 1)
+
+    b_scheme = F.regexp_extract(base, scheme_re, 1)
+    b_auth = F.regexp_extract(base, r"^[^:]*://([^/?#]*)", 1)
+    b_rest = F.regexp_replace(base, r"^[^:]*://[^/?#]*", "")
+    b_nofrag = F.regexp_replace(b_rest, r"(?s)#.*$", "")
+    b_path = F.regexp_extract(b_nofrag, r"^([^?]*)", 1)
+    b_has_query = b_nofrag.contains("?")
+    b_query = F.regexp_extract(b_nofrag, r"(?s)\?(.*)$", 1)
+
+    # §5.2.3 merge: base path up to and including its last '/', or
+    # '/' + ref when the base has authority but an empty path
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    merged = F.when(b_path == "", F.concat(F.lit("/"), r_path)).otherwise(
+        F.concat(b_dir, r_path)
+    )
+
+    t_path = (
+        F.when(r_has_auth | r_path.startswith("/"), _remove_dot_segments(r_path))
+        .when(r_path == "", b_path)
+        .otherwise(_remove_dot_segments(merged))
+    )
+    t_auth = F.when(r_has_auth, r_auth).otherwise(b_auth)
+    # empty ref path without its own query (or authority) inherits the
+    # base query (§5.2.2: an authority-bearing ref takes ITS query)
+    use_base_query = ~r_has_auth & (r_path == "") & ~r_has_query
+    t_query = F.when(
+        use_base_query & b_has_query, F.concat(F.lit("?"), b_query)
+    ).when(r_has_query, F.concat(F.lit("?"), r_query)).otherwise(F.lit(""))
+    resolved = F.concat(
+        b_scheme,
+        F.lit("://"),
+        t_auth,
+        t_path,
+        t_query,
+        F.when(r_has_frag, F.concat(F.lit("#"), r_frag)).otherwise(F.lit("")),
+    )
+    return F.when(r_scheme != "", ref).otherwise(resolved)

@@ -126,3 +126,60 @@ class TestPageRank:
             lk.pagerank(e, iterations=0)
         with pytest.raises(ValueError):
             lk.pagerank(e, damping_pct=101)
+
+
+class TestRelativeResolution:
+    def _df(self, spark, html, url="http://site.example/dir/page.html"):
+        return spark.createDataFrame([(url, html)], "url string, html string")
+
+    def _dsts(self, spark, html, **kw):
+        return sorted(
+            r.dst for r in lk.extract_links(self._df(spark, html), **kw).collect()
+        )
+
+    def test_relative_rooted_dotted_protocol(self, spark):
+        html = (
+            '<html><body>'
+            '<a href="other.html">a</a>'
+            '<a href="/rooted/x">b</a>'
+            '<a href="../up">c</a>'
+            '<a href="//cdn.example/asset">d</a>'
+            '<a href="http://abs.example/p">e</a>'
+            "</body></html>"
+        )
+        assert self._dsts(spark, html) == [
+            "http://abs.example/p",
+            "http://cdn.example/asset",
+            "http://site.example/dir/other.html",
+            "http://site.example/rooted/x",
+            "http://site.example/up",
+        ]
+
+    def test_base_href_wins_and_is_itself_resolved(self, spark):
+        html = (
+            '<html><head><base href="/bd/"></head><body>'
+            '<a href="rel.html">a</a></body></html>'
+        )
+        assert self._dsts(spark, html) == ["http://site.example/bd/rel.html"]
+        html2 = (
+            '<html><head><base href="https://b.example/bd/sub/"></head>'
+            '<body><a href="../x">a</a></body></html>'
+        )
+        assert self._dsts(spark, html2) == ["https://b.example/bd/x"]
+
+    def test_fragment_empty_and_nonhttp_dropped(self, spark):
+        html = (
+            '<html><body><a href="#top">t</a><a href="">e</a>'
+            '<a href="mailto:x@y">m</a><a href="javascript:void(0)">j</a>'
+            '<a href="p#frag">keep</a></body></html>'
+        )
+        assert self._dsts(spark, html) == ["http://site.example/dir/p"]
+
+    def test_resolve_relative_false_restores_absolute_only(self, spark):
+        html = (
+            '<html><body><a href="other.html">a</a>'
+            '<a href="http://abs.example/p">e</a></body></html>'
+        )
+        assert self._dsts(spark, html, resolve_relative=False) == [
+            "http://abs.example/p"
+        ]
