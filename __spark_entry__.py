@@ -1002,7 +1002,9 @@ def q_boilerplate_strip(spark, sf_dir):
 def q_pdf_table_cells(spark, sf_dir):
     """Stdlib PDF text-layer decode under the gate, byte-exact: each doc
     becomes a deterministic one-page table PDF (3x3 cells from its first
-    9 words, title paragraph, odd doc_ids Flate-compressed), flows
+    9 words, title paragraph, odd doc_ids Flate-compressed, doc_id%3==0
+    packed as PDF 1.5 — /ObjStm container + /Type /XRef stream with PNG
+    Up-predicted entries, NO raw obj markers for the dicts), flows
     through sniff → stdlib text-layer parse → 7-stage geometric
     recognizer → XHTML; the oracle string-builds the expected render."""
     import pandas as pd
@@ -1040,6 +1042,7 @@ def q_pdf_table_cells(spark, sf_dir):
                     [w[0:3], w[3:6], w[6:9]],
                     title=f"doc {i}",
                     compress=bool(int(i) % 2),
+                    objstm=int(i) % 3 == 0,
                 )
                 rows["url"].append(f"doc://{i}")
                 rows["warc_ts"].append(None)

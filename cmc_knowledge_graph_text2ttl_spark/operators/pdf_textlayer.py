@@ -13,9 +13,18 @@ never silent garbage):
 
 * body objects are recovered by scanning ``N G obj .. endobj`` (no xref
   needed — robust to broken tables, the standard salvage trick);
+* PDF 1.5+ **object streams**: the trailing ``startxref`` is followed to
+  the cross-reference STREAM (``/Type /XRef``, ``/W``-packed binary
+  entries, PNG predictors, ``/Prev`` chains honored); its type-2
+  entries name the ``/ObjStm`` containers, which are inflated and their
+  packed objects sliced out by the /N+/First header — this is how most
+  post-2005 PDFs store their catalog/page dicts, invisible to the raw
+  scan. When no usable xref stream exists, every raw-scanned object
+  whose dict says ``/Type /ObjStm`` is expanded instead (salvage);
 * page tree walked from /Root → /Pages → /Kids with /MediaBox
   inheritance; falls back to /Type /Page objects in object order;
-* content streams: no filter or /FlateDecode only;
+* content streams: no filter or /FlateDecode only, with PNG
+  ``/Predictor`` (10-15) DecodeParms unfiltering;
 * text operators: BT/ET, Tf, TL, Td, TD, T*, Tm (translation part),
   Tj, TJ (with kerning numbers), ' and "; literal ``(..)`` strings with
   escapes/octal and ``<hex>`` strings (latin-1);
@@ -254,8 +263,61 @@ def _parse_value(lx: _Lexer):
     raise PdfParseError(f"unexpected token {tok!r} in object data")
 
 
+def _png_unpredict(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """Undo PNG row predictors (DecodeParms /Predictor 10-15): each row
+    is one filter-type byte + ``columns*colors*bpc/8`` data bytes."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        raise PdfParseError("bad predictor /Columns")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    n = len(data)
+    while i < n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if len(row) < rowlen:
+            raise PdfParseError("truncated PNG-predictor row")
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        else:
+            raise PdfParseError(f"unsupported PNG predictor filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _PdfDoc:
-    """All body objects of one PDF, by object number."""
+    """All body objects of one PDF, by object number.
+
+    Recovery strategy (in order): raw ``N G obj`` scan → xref-stream
+    walk for type-2 (compressed) entries → /ObjStm expansion. A type-2
+    entry means the CURRENT version of that object lives in the object
+    stream, so those override raw-scan hits; in salvage mode (no usable
+    xref stream) the raw scan wins on conflicts."""
 
     def __init__(self, data: bytes) -> None:
         if not data.startswith(b"%PDF-"):
@@ -269,6 +331,125 @@ class _PdfDoc:
         if not self.objects:
             raise PdfParseError("no indirect objects found")
         self._parsed: Dict[int, object] = {}
+        try:
+            containers, compressed = self._walk_xref_streams(data)
+        except PdfParseError:
+            containers, compressed = None, set()
+        if containers is None:  # salvage: scan for /Type /ObjStm dicts
+            containers = []
+            for num in sorted(self.objects):
+                try:
+                    d = self.obj(num)
+                except PdfParseError:
+                    continue
+                if isinstance(d, dict) and d.get("Type") == ("name", "ObjStm"):
+                    containers.append(num)
+        self._expand_objstms(containers, compressed)
+
+    def _walk_xref_streams(self, data: bytes):
+        """Follow startxref (+ /Prev chain). Returns (objstm container
+        numbers in discovery order, set of type-2 object numbers), or
+        (None, empty) when the file uses a classic xref table — then
+        the raw scan is already complete."""
+        sx = data.rfind(b"startxref")
+        if sx < 0:
+            return None, set()
+        m = re.match(rb"startxref\s+(\d+)", data[sx:])
+        if m is None:
+            return None, set()
+        offset = int(m.group(1))
+        containers: List[int] = []
+        compressed: set = set()
+        seen_offsets: set = set()
+        found_stream = False
+        while 0 <= offset < len(data) and offset not in seen_offsets:
+            seen_offsets.add(offset)
+            if re.match(rb"xref\b", data[offset:].lstrip(_WS)[:8]):
+                break  # classic table section; raw scan covers it
+            om = re.match(rb"(\d+)\s+\d+\s+obj\b", data[offset:])
+            if om is None:
+                raise PdfParseError("startxref points at neither xref nor obj")
+            num = int(om.group(1))
+            d = self.obj(num)
+            if not (isinstance(d, dict) and d.get("Type") == ("name", "XRef")):
+                raise PdfParseError("startxref object is not /Type /XRef")
+            found_stream = True
+            w = [int(x) for x in self.resolve(d.get("W")) or []]
+            if len(w) != 3 or sum(w) <= 0:
+                raise PdfParseError(f"malformed xref-stream /W: {w!r}")
+            size = int(self.resolve(d.get("Size")) or 0)
+            index = self.resolve(d.get("Index")) or [0.0, float(size)]
+            index = [int(x) for x in index]
+            entries = self.stream(num)
+            ew = sum(w)
+            pos = 0
+            for k in range(0, len(index) - 1, 2):
+                start, count = index[k], index[k + 1]
+                for objnum in range(start, start + count):
+                    raw_e = entries[pos : pos + ew]
+                    pos += ew
+                    if len(raw_e) < ew:
+                        raise PdfParseError("truncated xref-stream entry")
+                    fields = []
+                    p = 0
+                    for width in w:
+                        fields.append(
+                            int.from_bytes(raw_e[p : p + width], "big")
+                            if width
+                            else None
+                        )
+                        p += width
+                    etype = fields[0] if w[0] else 1  # default type 1
+                    if etype == 2:
+                        cnum = fields[1]
+                        compressed.add(objnum)
+                        if cnum not in containers:
+                            containers.append(cnum)
+            prev = self.resolve(d.get("Prev"))
+            if prev is None:
+                break
+            offset = int(prev)
+        if not found_stream:
+            return None, set()
+        return containers, compressed
+
+    def _expand_objstms(self, containers: List[int], compressed: set) -> None:
+        """Slice each /ObjStm container's packed objects into
+        ``self.objects``. ``compressed`` object numbers (named by a
+        type-2 xref entry) override raw-scan hits; others only fill
+        gaps."""
+        for cnum in containers:
+            if cnum not in self.objects:
+                continue
+            try:
+                d = self.obj(cnum)
+            except PdfParseError:
+                continue
+            if not (isinstance(d, dict) and d.get("Type") == ("name", "ObjStm")):
+                continue
+            n = self.resolve(d.get("N"))
+            first = self.resolve(d.get("First"))
+            if not isinstance(n, float) or not isinstance(first, float):
+                raise PdfParseError("/ObjStm missing /N or /First")
+            n, first = int(n), int(first)
+            payload = self.stream(cnum)
+            lx = _Lexer(payload[:first])
+            pairs: List[Tuple[int, int]] = []
+            for _ in range(n):
+                t1 = lx.next_token()
+                t2 = lx.next_token()
+                if t1 is None or t2 is None or t1[0] != "num" or t2[0] != "num":
+                    raise PdfParseError("malformed /ObjStm pair table")
+                pairs.append((int(t1[1]), int(t2[1])))
+            for i, (onum, off) in enumerate(pairs):
+                start = first + off
+                end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(payload)
+                if not 0 <= start <= end <= len(payload):
+                    raise PdfParseError("/ObjStm offset out of bounds")
+                if onum in self.objects and onum not in compressed:
+                    continue
+                self.objects[onum] = payload[start:end]
+                self._parsed.pop(onum, None)
 
     def obj(self, num: int):
         """Parsed top-level value of object ``num`` (stream dicts return
@@ -309,7 +490,12 @@ class _PdfDoc:
         filters: List[object] = (
             [] if filt is None else (filt if isinstance(filt, list) else [filt])
         )
-        for f in filters:
+        parms = d.get("DecodeParms", d.get("DP")) if isinstance(d, dict) else None
+        parms = self.resolve(parms)
+        parms_list: List[object] = (
+            parms if isinstance(parms, list) else [parms] * max(1, len(filters))
+        )
+        for fi, f in enumerate(filters):
             f = self.resolve(f)
             if f == ("name", "FlateDecode"):
                 try:
@@ -318,6 +504,23 @@ class _PdfDoc:
                     # zlib.error is NOT a ValueError — without this wrap a
                     # corrupt stream would escape the parser's contract
                     raise PdfParseError(f"corrupt Flate stream: {ex}") from ex
+                p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
+                if isinstance(p, dict):
+                    pred = self.resolve(p.get("Predictor"))
+                    pred = int(pred) if isinstance(pred, float) else 1
+                    if pred >= 10:  # PNG row predictors
+                        payload = _png_unpredict(
+                            payload,
+                            columns=int(self.resolve(p.get("Columns")) or 1),
+                            colors=int(self.resolve(p.get("Colors")) or 1),
+                            bpc=int(
+                                self.resolve(p.get("BitsPerComponent")) or 8
+                            ),
+                        )
+                    elif pred not in (1, None):
+                        raise PdfParseError(
+                            f"unsupported /Predictor {pred} (TIFF)"
+                        )
             else:
                 raise PdfParseError(f"unsupported PDF stream filter: {f!r}")
         return payload
@@ -583,12 +786,18 @@ def make_table_pdf(
     fontsize: float = 10.0,
     line_w: float = 0.8,
     page_size: Tuple[float, float] = (612.0, 792.0),
+    objstm: bool = False,
 ) -> bytes:
     """One-page PDF with an optional title paragraph and a ruled table
     whose grid the geometric recognizer detects (4+ lines per axis).
 
     Deterministic for fixed inputs; ``compress=True`` Flate-encodes the
     content stream (both decode paths stay gate-testable).
+    ``objstm=True`` emits the PDF 1.5 layout real generators default
+    to: catalog/pages/page/font dicts packed into a Flate ``/ObjStm``
+    (NO raw ``N 0 obj`` markers for them) and a ``/Type /XRef``
+    cross-reference STREAM with PNG Up-predicted /W-packed entries —
+    the file is only readable through the xref-stream + ObjStm path.
     """
     n_rows = len(cell_texts)
     n_cols = len(cell_texts[0]) if n_rows else 0
@@ -646,6 +855,9 @@ def make_table_pdf(
     )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
+    if objstm:
+        return _assemble_pdf15(objs)
+
     out = bytearray(b"%PDF-1.4\n")
     offsets: List[int] = []
     for i, body in enumerate(objs, start=1):
@@ -660,4 +872,67 @@ def make_table_pdf(
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
+    return bytes(out)
+
+
+def _assemble_pdf15(objs: List[bytes]) -> bytes:
+    """PDF 1.5 assembly for :func:`make_table_pdf`: objects 1,2,3,5
+    (the dicts) packed into a Flate /ObjStm as object 6; object 4 (the
+    content stream) stays top-level; object 7 is the /Type /XRef
+    stream, /W [1 3 2] entries under a PNG Up predictor. Deterministic
+    for fixed inputs."""
+    packed_nums = [1, 2, 3, 5]
+    header = bytearray()
+    body = bytearray()
+    offs = []
+    for num in packed_nums:
+        offs.append(len(body))
+        body += objs[num - 1] + b"\n"
+    for num, off in zip(packed_nums, offs):
+        header += f"{num} {off} ".encode()
+    payload = bytes(header) + bytes(body)
+    objstm_stream = zlib.compress(payload, 6)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: Dict[int, int] = {}
+    offsets[4] = len(out)
+    out += b"4 0 obj\n" + objs[3] + b"\nendobj\n"
+    offsets[6] = len(out)
+    out += (
+        f"6 0 obj\n<< /Type /ObjStm /N {len(packed_nums)} "
+        f"/First {len(header)} /Filter /FlateDecode "
+        f"/Length {len(objstm_stream)} >>\nstream\n".encode()
+        + objstm_stream
+        + b"\nendstream\nendobj\n"
+    )
+    offsets[7] = len(out)
+
+    # xref entries for objects 0..7: /W [1 3 2] → 6 bytes each
+    def entry(etype: int, f2: int, f3: int) -> bytes:
+        return bytes([etype]) + f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+
+    rows = [entry(0, 0, 0xFFFF)]  # object 0: free
+    for num in range(1, 8):
+        if num in packed_nums:
+            rows.append(entry(2, 6, packed_nums.index(num)))
+        else:
+            rows.append(entry(1, offsets[num], 0))
+    # PNG Up predictor over 6-byte rows (what real generators emit)
+    rowlen = 6
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for r in rows:
+        pred.append(2)
+        pred += bytes((r[j] - prev[j]) & 0xFF for j in range(rowlen))
+        prev = r
+    xref_stream = zlib.compress(bytes(pred), 6)
+    out += (
+        f"7 0 obj\n<< /Type /XRef /Size 8 /W [1 3 2] /Index [0 8] "
+        f"/Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {rowlen} >> "
+        f"/Length {len(xref_stream)} >>\nstream\n".encode()
+        + xref_stream
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{offsets[7]}\n%%EOF\n".encode()
     return bytes(out)

@@ -236,3 +236,91 @@ class TestExtractDispatch:
 
         text, ctype, err = extract_one(b"%PDF-1.7 broken")
         assert ctype == "pdf" and text is None and "PdfParseError" in err
+
+
+class TestObjectStreams:
+    """PDF 1.5: /ObjStm + /Type /XRef stream + PNG predictors."""
+
+    def test_objstm_equals_classic(self):
+        for compress in (False, True):
+            classic = pdf_bytes_to_page_models_stdlib(
+                make_table_pdf(CELLS, title="t15", compress=compress)
+            )
+            p15 = pdf_bytes_to_page_models_stdlib(
+                make_table_pdf(CELLS, title="t15", compress=compress, objstm=True)
+            )
+            assert repr(p15) == repr(classic)
+
+    def test_objstm_dicts_invisible_to_raw_scan(self):
+        # the fixture must be a REAL PDF 1.5 file: no 'N 0 obj' markers
+        # for the packed dicts, so only the xref/ObjStm path can read it
+        blob = make_table_pdf(CELLS, objstm=True)
+        for num in (1, 2, 3, 5):
+            assert f"{num} 0 obj".encode() not in blob
+        assert b"/ObjStm" in blob and b"/Type /XRef" in blob
+
+    def test_deterministic(self):
+        assert make_table_pdf(CELLS, objstm=True) == make_table_pdf(
+            CELLS, objstm=True
+        )
+
+    def test_corrupt_objstm_is_error(self):
+        blob = bytearray(make_table_pdf(CELLS, objstm=True))
+        at = blob.find(b"/ObjStm")
+        start = blob.find(b"stream\n", at) + len(b"stream\n")
+        blob[start : start + 4] = b"\x00\x00\x00\x00"  # corrupt Flate
+        with pytest.raises(ValueError):
+            pdf_bytes_to_page_models_stdlib(bytes(blob))
+
+    def test_salvage_without_xref_stream(self):
+        # strip the trailer: startxref gone → the salvage path must
+        # still find the ObjStm container by its /Type and expand it
+        blob = make_table_pdf(CELLS, title="s", objstm=True)
+        cut = blob.rfind(b"startxref")
+        models = pdf_bytes_to_page_models_stdlib(blob[:cut])
+        want = pdf_bytes_to_page_models_stdlib(blob)
+        assert repr(models) == repr(want)
+
+    def test_png_predictor_roundtrip(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            _png_unpredict,
+        )
+
+        rows = [bytes([i, 2 * i % 256, (i * i) % 256, 255 - i]) for i in range(6)]
+        # encode with a mix of filter types 0..4 and verify decode
+        import struct as _s  # noqa: F401
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        enc = bytearray()
+        prev = bytes(4)
+        for i, r in enumerate(rows):
+            ft = i % 5
+            enc.append(ft)
+            for j in range(4):
+                left = r[j - 1] if j >= 1 else 0
+                up = prev[j]
+                ul = prev[j - 1] if j >= 1 else 0
+                if ft == 0:
+                    enc.append(r[j])
+                elif ft == 1:
+                    enc.append((r[j] - left) & 0xFF)
+                elif ft == 2:
+                    enc.append((r[j] - up) & 0xFF)
+                elif ft == 3:
+                    enc.append((r[j] - (left + up) // 2) & 0xFF)
+                else:
+                    enc.append((r[j] - paeth(left, up, ul)) & 0xFF)
+            prev = r
+        assert _png_unpredict(bytes(enc), columns=4) == b"".join(rows)
+
+    def test_bad_predictor_filter_raises(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            _png_unpredict,
+        )
+
+        with pytest.raises(ValueError, match="PNG predictor"):
+            _png_unpredict(b"\x09AAAA", columns=4)
