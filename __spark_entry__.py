@@ -1058,6 +1058,65 @@ def q_pdf_table_cells(spark, sf_dir):
     )
 
 
+def q_office_extract(spark, sf_dir):
+    """xlsx + pptx extraction under the gate, byte-exact: each doc
+    becomes one deterministic spreadsheet (shared strings, a numeric
+    cell, a column gap via r= references) and one presentation (a
+    paragraph + an <a:tbl> table), built distributed from its words,
+    sniffed (ooxml → member dispatch) and rendered to the canonical
+    XHTML; the oracle string-builds both expected renders closed-form
+    from the same word arithmetic (operators/office.py)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import office as O
+    from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("html", BinaryType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                words = t.split(" ")
+                w = [words[k] if k < len(words) else "pad" for k in range(8)]
+                d = int(i)
+                xlsx = O.make_xlsx(
+                    [("S", [[w[0], w[1], w[2]], [d, None, w[3]]])]
+                )
+                pptx = O.make_pptx(
+                    [[f"{w[4]} {w[5]}", [[w[6], w[7]], [w[0], str(d)]]]]
+                )
+                for kind, blob in (("x", xlsx), ("p", pptx)):
+                    rows["url"].append(f"doc://{d}/{kind}")
+                    rows["warc_ts"].append(None)
+                    rows["html"].append(blob)
+                    rows["text"].append(None)
+                    rows["lang"].append(None)
+            yield pd.DataFrame(rows)
+
+    pages = docs.mapInPandas(build, schema=schema)
+    out = extract_text(pages)
+    return out.select(
+        "url", F.col("text").alias("xhtml"), "content_type", "extract_error"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_duplicates(_docs(spark, sf_dir)).select(
         "content_hash", "n_docs", "keep_id"
@@ -2104,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "boilerplate_strip": q_boilerplate_strip,
         "pdf_table_cells": q_pdf_table_cells,
+        "office_extract": q_office_extract,
         "dedup_exact": q_dedup_exact,
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2203,6 +2263,49 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        'pdf' AS content_type,
        CAST(NULL AS VARCHAR) AS extract_error
 FROM cc
+"""
+
+
+def _office_extract_sql() -> str:
+    """Expected xlsx/pptx XHTML renders, string-built from the same
+    first-8-words + doc_id arithmetic the Spark side feeds
+    make_xlsx/make_pptx (operators/office.py)."""
+    xlsx = (
+        "'<html><body><h1>S</h1><table>"
+        "<tr><td>' || w1 || '</td><td>' || w2 || '</td><td>' || w3 || "
+        "'</td></tr><tr><td>' || CAST(doc_id AS VARCHAR) || "
+        "'</td><td></td><td>' || w4 || '</td></tr>"
+        "</table></body></html>'"
+    )
+    pptx = (
+        "'<html><body><div class=\"slide\">"
+        "<p>' || w5 || ' ' || w6 || '</p><table>"
+        "<tr><td>' || w7 || '</td><td>' || w8 || '</td></tr>"
+        "<tr><td>' || w1 || '</td><td>' || CAST(doc_id AS VARCHAR) || "
+        "'</td></tr></table></div></body></html>'"
+    )
+    words = ",\n         ".join(
+        f"coalesce(ws[{k}], 'pad') AS w{k}" for k in range(1, 9)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ww AS (
+  SELECT doc_id,
+         {words}
+  FROM w
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/x' AS url,
+       {xlsx} AS xhtml,
+       'xlsx' AS content_type,
+       CAST(NULL AS VARCHAR) AS extract_error
+FROM ww
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/p',
+       {pptx},
+       'pptx',
+       CAST(NULL AS VARCHAR)
+FROM ww
 """
 
 
@@ -3127,6 +3230,7 @@ FROM d,
 GROUP BY doc_id, c
 """,
         "pdf_table_cells": _pdf_table_cells_sql(),
+        "office_extract": _office_extract_sql(),
         "dedup_verbatim": r"""
 WITH toks AS (
   SELECT doc_id AS id,

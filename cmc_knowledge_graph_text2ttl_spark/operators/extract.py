@@ -352,8 +352,34 @@ def sniff_content_type(data: Optional[bytes]) -> str:
     if data[:5] == b"%PDF-":
         return "pdf"
     if data[:4] == b"PK\x03\x04":
-        return "docx"  # OOXML ZIP container (validated during extraction)
+        # OOXML ZIP container; refined to docx/xlsx/pptx by member
+        # inspection during extraction (the magic alone can't tell)
+        return "ooxml"
     return "html"
+
+
+def ooxml_to_xhtml_text(data: bytes) -> tuple:
+    """(xhtml, refined content type) for an OOXML ZIP container —
+    dispatched on which document part the archive carries, the same
+    transparent docx/xlsx/pptx acceptance the reference got from Tika
+    (runner.py:36-115)."""
+    import io
+    import zipfile
+
+    from . import office
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = set(z.namelist())
+    if "word/document.xml" in names:
+        return docx_to_xhtml_text(data), "docx"
+    if "xl/workbook.xml" in names:
+        return office.xlsx_to_xhtml_text(data), "xlsx"
+    if "ppt/presentation.xml" in names:
+        return office.pptx_to_xhtml_text(data), "pptx"
+    raise ValueError(
+        "ZIP container has no word/document.xml, xl/workbook.xml or "
+        "ppt/presentation.xml (not a docx/xlsx/pptx)"
+    )
 
 
 # Oversized-document guard: one pathological page must not blow an Arrow
@@ -371,8 +397,9 @@ def extract_one(data: Optional[bytes]) -> tuple:
     try:
         if ctype == "pdf":
             return pdf_to_xhtml_text(data), ctype, None
-        if ctype == "docx":
-            return docx_to_xhtml_text(data), ctype, None
+        if ctype == "ooxml":
+            text, kind = ooxml_to_xhtml_text(data)
+            return text, kind, None
         return html_to_xhtml_text(data), ctype, None
     except Exception as ex:
         return None, ctype, f"{type(ex).__name__}: {ex}"

@@ -96,7 +96,7 @@ class TestDocx:
         )
 
         blob = _make_docx(self.DOC)
-        assert sniff_content_type(blob) == "docx"
+        assert sniff_content_type(blob) == "ooxml"
         got = docx_to_xhtml_text(blob)
         assert got == (
             "<html><body><p>Batch record 7</p>"
@@ -117,7 +117,7 @@ class TestDocx:
         with zipfile.ZipFile(buf, "w") as z:
             z.writestr("data.txt", "not a docx")
         text, ctype, err = extract_one(buf.getvalue())
-        assert ctype == "docx" and text is None and "not a docx" in err
+        assert ctype == "ooxml" and text is None and "not a docx" in err
 
 
 class TestPlainText:
