@@ -1651,10 +1651,12 @@ def q_links_anchors(spark, sf_dir):
 
 
 def _synth_jpegs(spark, sf_dir):
-    """Deterministic grayscale baseline JPEGs: doc d is a
-    (1+d%3)×(1+d%2) grid of solid 8×8 blocks, block i carrying value
-    (d*17 + i*29) mod 256 — DC-only coefficients with quantizer 8, so
-    the decoded pixels are exactly the block values."""
+    """Deterministic grayscale JPEGs: doc d is a (1+d%3)×(1+d%2) grid
+    of solid 8×8 blocks, block i carrying value (d*17 + i*29) mod 256 —
+    DC-only coefficients with quantizer 8, so the decoded pixels are
+    exactly the block values. Odd doc_ids are PROGRESSIVE (SOF2,
+    4-scan successive approximation) over the same blocks — both
+    codings must hit the identical closed-form oracle pixels."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
@@ -1671,8 +1673,13 @@ def _synth_jpegs(spark, sf_dir):
                     [((did * 17 + i * 29) % 256) - 128] + [0] * 63
                     for i in range(bw * bh)
                 ]
+                enc = (
+                    JP.encode_jpeg_progressive
+                    if did % 2
+                    else JP.encode_jpeg_blocks
+                )
                 ids.append(str(did))
-                blobs.append(JP.encode_jpeg_blocks(bw * 8, bh * 8, blocks))
+                blobs.append(enc(bw * 8, bh * 8, blocks))
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 
     return docs.mapInPandas(gen, schema="media_id string, blob binary")

@@ -1,23 +1,30 @@
-"""Baseline JPEG codec, pure Python + numpy (both in the base image).
+"""Baseline + progressive JPEG codec, pure Python + numpy.
 
 Completes the multimodal decode story next to the stdlib PNG/GIF/WAV
-codecs: marker parse (SOI/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI, APPn/COM
+codecs: marker parse (SOI/DQT/SOF0/SOF2/DHT/DRI/SOS/RSTn/EOI, APPn/COM
 skipped), Huffman entropy decode with byte un-stuffing, dequantize +
 inverse zigzag, separable float IDCT, per-component nearest
 upsampling, and JFIF YCbCr→RGB with explicit round-half-up — every
 step deterministic, so the same bytes decode to the same pixels on
 every executor.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, any
-H/V sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0). Progressive
-(SOF2), arithmetic coding and 12-bit raise ``NotImplementedError``.
+Scope: baseline sequential DCT (SOF0) and progressive DCT (SOF2 — the
+majority coding of real web corpora: spectral selection, successive
+approximation, DC/AC first + refinement scans, EOB runs, interleaved
+DC scans), 8-bit, 1 or 3 components, any H/V sampling factors up to 2
+(4:4:4, 4:2:2, 4:2:0). Arithmetic coding, hierarchical and 12-bit
+raise ``NotImplementedError``.
 
 The encoder is the deterministic fixture counterpart: it writes
 baseline JPEGs from ALREADY-QUANTIZED coefficient blocks using the
 JPEG Annex K example Huffman tables, which lets tests verify the full
 entropy/zigzag/dequant path against an independent IDCT, and lets the
 gate use DC-only blocks whose decoded pixels are closed-form
-(quantizer 8 → a solid block of exactly ``dc + 128``).
+(quantizer 8 → a solid block of exactly ``dc + 128``). The progressive
+encoders emit a genuine 4-scan successive-approximation layout (DC
+first Al=1 → DC refine → AC first Al=1 with EOB runs → AC refine) over
+a fixed-length Huffman table (Annex K has no EOBn>1 symbols), and are
+verified bit-exact against the baseline decode of the same blocks.
 """
 
 from __future__ import annotations
@@ -200,12 +207,16 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
     comps: List[dict] = []
     w = h = None
     restart_interval = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -220,7 +231,8 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
                     table[ZIGZAG[j]] = v
                 qt[tq] = table
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -229,10 +241,10 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF 0x{marker:02X} unsupported (baseline SOF0 only)"
+                f"JPEG SOF 0x{marker:02X} unsupported (SOF0/SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -246,17 +258,27 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
-            ns = body[0]
-            for ci in range(ns):
-                cid, tdta = body[1 + ci * 2], body[2 + ci * 2]
-                for c in comps:
-                    if c["id"] == cid:
-                        c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
             scan_pos = pos + 2 + seglen
-            return _decode_scan(
-                data, scan_pos, w, h, comps, qt, huff, restart_interval
+            if not progressive:
+                ns = body[0]
+                for ci in range(ns):
+                    cid, tdta = body[1 + ci * 2], body[2 + ci * 2]
+                    for c in comps:
+                        if c["id"] == cid:
+                            c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
+                return _decode_scan(
+                    data, scan_pos, w, h, comps, qt, huff, restart_interval
+                )
+            if not saw_scan:
+                _alloc_progressive(comps, w, h)
+                saw_scan = True
+            pos = _decode_progressive_scan(
+                data, scan_pos, body, w, h, comps, huff, restart_interval
             )
+            continue
         pos += 2 + seglen
+    if progressive and saw_scan:
+        return _reconstruct_progressive(comps, qt, w, h)
     raise ValueError("JPEG has no scan data")
 
 
@@ -292,7 +314,12 @@ def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
             except _RestartMarker:
                 raise ValueError("restart marker inside an MCU")
             mcu_count += 1
-    # upsample to full resolution and color-convert
+    return _finish_planes(comps, w, h, hmax, vmax)
+
+
+def _finish_planes(comps, w, h, hmax, vmax) -> Tuple[int, int, int, bytes]:
+    """Upsample each component plane to full resolution, color-convert
+    and pack — shared by the baseline and progressive paths."""
     planes = []
     for c in comps:
         p = c["plane"]
@@ -333,6 +360,231 @@ def _decode_block(br, comp, q, dc_table, ac_table, oy, ox):
         coeffs[ZIGZAG[k]] = _extend(br.read_bits(size), size) * q[ZIGZAG[k]]
         k += 1
     comp["plane"][oy : oy + 8, ox : ox + 8] = _idct2(coeffs.reshape(8, 8))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding: coefficients accumulate across scans in
+# integer per-block arrays; dequant + IDCT happen once at EOI.
+
+
+def _alloc_progressive(comps: List[dict], w: int, h: int) -> None:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # padded block-grid (interleaved scans)
+        c["bh"] = mcus_y * c["v"]
+        # non-interleaved scans cover only the component's own extent
+        c["bw1"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["bh1"] = (-(-h * c["v"] // vmax) + 7) // 8
+        c["coef"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
+        c["pred"] = 0
+
+
+def _refine_nonzero(br: _BitReader, blk: List[int], z: int, bit: int) -> None:
+    """One AC correction bit: append ``bit`` to an already-nonzero
+    coefficient's magnitude when the stream says so (G.1.2.3)."""
+    if br.read_bit():
+        if (blk[z] & bit) == 0:
+            blk[z] += bit if blk[z] >= 0 else -bit
+
+
+def _dc_first(br, comp, blk, dc_table, al) -> None:
+    t = _decode_symbol(br, dc_table)
+    diff = _extend(br.read_bits(t), t) if t else 0
+    comp["pred"] += diff
+    blk[0] = comp["pred"] << al
+
+
+def _dc_refine(br, blk, al) -> None:
+    if br.read_bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first(br, blk, ac_table, ss, se, al, eobrun) -> int:
+    """First AC scan of a band: EOB runs, ZRL, values shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _decode_symbol(br, ac_table)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits blocks incl. this one
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            blk[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine(br, blk, ac_table, ss, se, al, eobrun) -> int:
+    """AC refinement scan (G.1.2.3): newly-significant ±(1<<Al)
+    coefficients interleaved with correction bits for known ones."""
+    bit = 1 << al
+    k = ss
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                _refine_nonzero(br, blk, z, bit)
+            k += 1
+        return eobrun - 1
+    while k <= se:
+        sym = _decode_symbol(br, ac_table)
+        r, s = sym >> 4, sym & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:  # EOBn — refine the rest, then cover more blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                r = 64
+            # else ZRL: skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("bad newly-significant size in AC refinement")
+            val = bit if br.read_bit() else -bit
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                _refine_nonzero(br, blk, z, bit)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if k <= se:
+            if val != 0:
+                blk[ZIGZAG[k]] = val
+            k += 1
+        if eobrun > 0:
+            return eobrun
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, sos_body, w, h, comps, huff, restart_interval
+) -> int:
+    """One SOS of a progressive JPEG; returns the file offset of the
+    next marker. Interleaved (ns>1) scans are DC-only per the spec; a
+    non-interleaved scan walks the single component's own block grid."""
+    ns = sos_body[0]
+    scan_comps: List[dict] = []
+    for ci in range(ns):
+        cid, tdta = sos_body[1 + ci * 2], sos_body[2 + ci * 2]
+        for c in comps:
+            if c["id"] == cid:
+                c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
+                scan_comps.append(c)
+    if len(scan_comps) != ns:
+        raise ValueError("SOS names an unknown component")
+    ss, se, ahal = sos_body[1 + ns * 2 : 4 + ns * 2]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"bad spectral selection {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    br = _BitReader(data, pos)
+    eobrun = 0
+
+    def restart() -> None:
+        nonlocal eobrun
+        br.align()
+        br.skip_restart()
+        for c in scan_comps:
+            c["pred"] = 0
+        eobrun = 0
+
+    try:
+        if ns > 1:  # interleaved DC scan over MCUs
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and count and count % restart_interval == 0:
+                        restart()
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = c["coef"][
+                                    (my * c["v"] + by) * c["bw"]
+                                    + mx * c["h"] + bx
+                                ]
+                                if ah == 0:
+                                    _dc_first(br, c, blk, huff[(0, c["td"])], al)
+                                else:
+                                    _dc_refine(br, blk, al)
+                    count += 1
+        else:
+            # non-interleaved: the component's OWN block extent (bw1/bh1,
+            # F.2.3) — MCU-grid padding blocks are never coded here
+            c = scan_comps[0]
+            count = 0
+            for by in range(c["bh1"]):
+                for bx in range(c["bw1"]):
+                    if restart_interval and count and count % restart_interval == 0:
+                        restart()
+                    blk = c["coef"][by * c["bw"] + bx]
+                    if ss == 0:
+                        if ah == 0:
+                            _dc_first(br, c, blk, huff[(0, c["td"])], al)
+                        else:
+                            _dc_refine(br, blk, al)
+                    elif ah == 0:
+                        eobrun = _ac_first(
+                            br, blk, huff[(1, c["ta"])], ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine(
+                            br, blk, huff[(1, c["ta"])], ss, se, al, eobrun
+                        )
+                    count += 1
+    except _RestartMarker:
+        raise ValueError("restart marker at unexpected position in scan")
+    # advance to the next marker (skip padding bits, stuffing, RSTn)
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("progressive scan ran past end of file")
+
+
+def _reconstruct_progressive(comps, qt, w, h) -> Tuple[int, int, int, bytes]:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        q = qt[c["tq"]]
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                blk = c["coef"][by * c["bw"] + bx]
+                coeffs = np.array(
+                    [blk[i] * q[i] for i in range(64)], dtype=np.float64
+                )
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(
+                    coeffs.reshape(8, 8)
+                )
+        c["plane"] = plane
+    return _finish_planes(comps, w, h, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -535,4 +787,282 @@ def encode_jpeg_ycbcr420(
         width, height, q,
         b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",
         b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00", scan,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Progressive fixture encoders. Annex K has no EOBn>1 symbols, so these
+# use a fixed-length table pair covering EOB0-14, ZRL and all (run, size
+# <= 10) codes — any valid DHT works, the decoder reads it from the
+# stream. The scan script is the classic 4-scan successive-approximation
+# layout: DC first (Al=1) -> DC refine -> AC first (Al=1, EOB runs) ->
+# AC refine (correction bits, libjpeg-style run buffering).
+
+_PROG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12  # 12 symbols, all length 4
+_PROG_DC_SYMBOLS = list(range(12))
+_PROG_AC_COUNTS = [0] * 7 + [176] + [0] * 8  # 176 symbols, all length 8
+_PROG_AC_SYMBOLS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _sos_seg(comps: List[Tuple[int, int, int]], ss: int, se: int,
+             ah: int, al: int) -> bytes:
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return bytes([0xFF, 0xDA]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _write_dc_first_val(bwr, v: int, pred: int, dc_codes) -> int:
+    diff = v - pred
+    t = _category(diff)
+    if t > 11:
+        raise ValueError("DC difference too large for fixture table")
+    code, length = dc_codes[t]
+    bwr.write(code, length)
+    if t:
+        mag = diff if diff >= 0 else diff + (1 << t) - 1
+        bwr.write(mag & ((1 << t) - 1), t)
+    return v
+
+
+class _AcFirstState:
+    def __init__(self) -> None:
+        self.eobrun = 0
+
+
+def _flush_ac_first_eobrun(bwr, ac_codes, st: "_AcFirstState") -> None:
+    if st.eobrun > 0:
+        n = st.eobrun.bit_length() - 1
+        code, length = ac_codes[n << 4]
+        bwr.write(code, length)
+        if n:
+            bwr.write(st.eobrun - (1 << n), n)
+        st.eobrun = 0
+
+
+def _write_block_ac_first(bwr, blk, ss, se, al, ac_codes,
+                          st: "_AcFirstState") -> None:
+    vals = []
+    for k in range(ss, se + 1):
+        c = blk[ZIGZAG[k]]
+        m = abs(c) >> al
+        vals.append(m if c >= 0 else -m)
+    if not any(vals):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_ac_first_eobrun(bwr, ac_codes, st)
+        return
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    _flush_ac_first_eobrun(bwr, ac_codes, st)
+    run = 0
+    for v in vals[: last_nz + 1]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bwr.write(code, length)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError("AC magnitude too large for fixture table")
+        code, length = ac_codes[(run << 4) | s]
+        bwr.write(code, length)
+        mag = v if v >= 0 else v + (1 << s) - 1
+        bwr.write(mag & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < se - ss:  # trailing zeros -> this block starts an EOB run
+        st.eobrun = 1
+
+
+class _AcRefineState:
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.be: List[int] = []  # correction bits tied to the pending run
+
+
+def _flush_ac_refine_eobrun(bwr, ac_codes, st: "_AcRefineState") -> None:
+    if st.eobrun > 0:
+        n = st.eobrun.bit_length() - 1
+        code, length = ac_codes[n << 4]
+        bwr.write(code, length)
+        if n:
+            bwr.write(st.eobrun - (1 << n), n)
+        st.eobrun = 0
+    for b in st.be:
+        bwr.write(b, 1)
+    st.be = []
+
+
+def _write_block_ac_refine(bwr, blk, ss, se, al, ac_codes,
+                           st: "_AcRefineState") -> None:
+    """libjpeg-shaped refinement pass: ZRLs only inside the
+    newly-significant span (folded into the EOB run past it), correction
+    bits buffered and flushed with the symbol they follow."""
+    absv = []
+    eob_pos = ss - 1  # index of the LAST newly-significant coefficient
+    for k in range(ss, se + 1):
+        t = abs(blk[ZIGZAG[k]]) >> al
+        absv.append(t)
+        if t == 1:
+            eob_pos = k
+    r = 0
+    br: List[int] = []  # this block's pending correction bits
+    for k in range(ss, se + 1):
+        temp = absv[k - ss]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_pos:
+            _flush_ac_refine_eobrun(bwr, ac_codes, st)
+            code, length = ac_codes[0xF0]
+            bwr.write(code, length)
+            r -= 16
+            for b in br:
+                bwr.write(b, 1)
+            br = []
+        if temp > 1:
+            br.append(temp & 1)
+            continue
+        _flush_ac_refine_eobrun(bwr, ac_codes, st)
+        code, length = ac_codes[(r << 4) | 1]
+        bwr.write(code, length)
+        bwr.write(1 if blk[ZIGZAG[k]] >= 0 else 0, 1)
+        for b in br:
+            bwr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            _flush_ac_refine_eobrun(bwr, ac_codes, st)
+
+
+def _assemble_progressive(width, height, q, comps_sof, scans) -> bytes:
+    """SOI + DQT + SOF2 + the fixture DHT pair + the scan list + EOI."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
+    ncomp = len(comps_sof) // 3
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + zz_q)
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, ncomp) + comps_sof)
+    out += seg(
+        0xC4,
+        b"\x00" + bytes(_PROG_DC_COUNTS) + bytes(_PROG_DC_SYMBOLS)
+        + b"\x10" + bytes(_PROG_AC_COUNTS) + bytes(_PROG_AC_SYMBOLS),
+    )
+    for sos, scan in scans:
+        out += sos + scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    blocks: List[List[int]],
+    quant: Optional[List[int]] = None,
+) -> bytes:
+    """Deterministic grayscale PROGRESSIVE JPEG from the same quantized
+    coefficient blocks :func:`encode_jpeg_blocks` takes — decodes to
+    bit-identical pixels (tested), but through the SOF2 multi-scan
+    path."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    if len(blocks) != bw * bh:
+        raise ValueError(f"need {bw * bh} blocks, got {len(blocks)}")
+    q = quant if quant is not None else [8] * 64
+    dc_codes = _huffman_codes(_PROG_DC_COUNTS, _PROG_DC_SYMBOLS)
+    ac_codes = _huffman_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+    scans = []
+    # scan 1: DC first, Al=1
+    bwr = _BitWriter()
+    pred = 0
+    for blk in blocks:
+        pred = _write_dc_first_val(bwr, blk[0] >> 1, pred, dc_codes)
+    scans.append((_sos_seg([(1, 0, 0)], 0, 0, 0, 1), bwr.flush()))
+    # scan 2: DC refinement, Ah=1 Al=0
+    bwr = _BitWriter()
+    for blk in blocks:
+        bwr.write(blk[0] & 1, 1)
+    scans.append((_sos_seg([(1, 0, 0)], 0, 0, 1, 0), bwr.flush()))
+    # scan 3: AC first, band 1-63, Al=1
+    bwr = _BitWriter()
+    st1 = _AcFirstState()
+    for blk in blocks:
+        _write_block_ac_first(bwr, blk, 1, 63, 1, ac_codes, st1)
+    _flush_ac_first_eobrun(bwr, ac_codes, st1)
+    scans.append((_sos_seg([(1, 0, 0)], 1, 63, 0, 1), bwr.flush()))
+    # scan 4: AC refinement, band 1-63, Ah=1 Al=0
+    bwr = _BitWriter()
+    st2 = _AcRefineState()
+    for blk in blocks:
+        _write_block_ac_refine(bwr, blk, 1, 63, 0, ac_codes, st2)
+    _flush_ac_refine_eobrun(bwr, ac_codes, st2)
+    scans.append((_sos_seg([(1, 0, 0)], 1, 63, 1, 0), bwr.flush()))
+    return _assemble_progressive(width, height, q, b"\x01\x11\x00", scans)
+
+
+def encode_jpeg_progressive_ycbcr444(
+    width: int,
+    height: int,
+    y_blocks: List[List[int]],
+    cb_blocks: List[List[int]],
+    cr_blocks: List[List[int]],
+    quant: Optional[List[int]] = None,
+) -> bytes:
+    """3-component 4:4:4 progressive fixture: INTERLEAVED DC scans
+    (first + refine over MCUs, per-component predictors) followed by
+    per-component AC first/refine scans — exercises every progressive
+    scan shape the decoder supports."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    all_blocks = (y_blocks, cb_blocks, cr_blocks)
+    for name, blks in zip("y cb cr".split(), all_blocks):
+        if len(blks) != bw * bh:
+            raise ValueError(f"{name}: need {bw * bh} blocks, got {len(blks)}")
+    q = quant if quant is not None else [8] * 64
+    dc_codes = _huffman_codes(_PROG_DC_COUNTS, _PROG_DC_SYMBOLS)
+    ac_codes = _huffman_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+    scans = []
+    comps = [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    # interleaved DC first (Al=1): component-interleaved per MCU
+    bwr = _BitWriter()
+    preds = [0, 0, 0]
+    for i in range(bw * bh):
+        for ci, blks in enumerate(all_blocks):
+            preds[ci] = _write_dc_first_val(
+                bwr, blks[i][0] >> 1, preds[ci], dc_codes
+            )
+    scans.append((_sos_seg(comps, 0, 0, 0, 1), bwr.flush()))
+    # interleaved DC refine
+    bwr = _BitWriter()
+    for i in range(bw * bh):
+        for blks in all_blocks:
+            bwr.write(blks[i][0] & 1, 1)
+    scans.append((_sos_seg(comps, 0, 0, 1, 0), bwr.flush()))
+    # per-component AC first then refine (non-interleaved, as required)
+    for ci, blks in enumerate(all_blocks):
+        bwr = _BitWriter()
+        st1 = _AcFirstState()
+        for blk in blks:
+            _write_block_ac_first(bwr, blk, 1, 63, 1, ac_codes, st1)
+        _flush_ac_first_eobrun(bwr, ac_codes, st1)
+        scans.append((_sos_seg([(ci + 1, 0, 0)], 1, 63, 0, 1), bwr.flush()))
+    for ci, blks in enumerate(all_blocks):
+        bwr = _BitWriter()
+        st2 = _AcRefineState()
+        for blk in blks:
+            _write_block_ac_refine(bwr, blk, 1, 63, 0, ac_codes, st2)
+        _flush_ac_refine_eobrun(bwr, ac_codes, st2)
+        scans.append((_sos_seg([(ci + 1, 0, 0)], 1, 63, 1, 0), bwr.flush()))
+    return _assemble_progressive(
+        width, height, q, b"\x01\x11\x00\x02\x11\x00\x03\x11\x00", scans
     )

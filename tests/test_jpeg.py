@@ -173,11 +173,13 @@ class TestRobustness:
         assert "mean_c0" in feats["ok"]
         assert feats["bad"] == {"decode_error"}
 
-    def test_rejects_progressive(self):
+    def test_baseline_scan_under_sof2_header_is_error(self):
+        # a baseline full-band scan (Ss=0 Se=63) is illegal in a
+        # progressive file: must be a contained error, not a crash
         blob = bytearray(J.encode_jpeg_blocks(8, 8, [[0] * 64]))
         at = blob.index(b"\xff\xc0")
         blob[at + 1] = 0xC2  # SOF2 progressive
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="mixes DC and AC"):
             J.decode_jpeg(bytes(blob))
 
     def test_block_count_mismatch_raises(self):
@@ -192,3 +194,75 @@ class TestRobustness:
     def test_header_sniff_agrees_with_decode(self):
         blob = J.encode_jpeg_blocks(24, 16, [[0] * 64] * 6)
         assert mm.sniff_media(blob) == ("image", "jpeg", 24, 16)
+
+
+def _blk(dc=0, **ac):
+    """Block from natural-order {zigzag_index: value} AC pairs."""
+    b = [0] * 64
+    b[0] = dc
+    for k, v in ac.items():
+        b[J.ZIGZAG[int(k[1:])]] = v
+    return b
+
+
+class TestProgressive:
+    """SOF2: the progressive fixture must decode bit-identically to the
+    baseline encoding of the same quantized blocks."""
+
+    def _assert_equal(self, w, h, blocks):
+        base = J.decode_jpeg(J.encode_jpeg_blocks(w, h, blocks))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(w, h, blocks))
+        assert base == prog
+
+    def test_dc_only_blocks(self):
+        self._assert_equal(24, 8, [_blk(dc=d) for d in (-40, 0, 37)])
+
+    def test_negative_odd_dc_survives_refinement(self):
+        # DC first sends dc>>1, refine ORs the low bit: -5 must rebuild
+        self._assert_equal(8, 8, [_blk(dc=-5)])
+
+    def test_mixed_ac_with_eob_runs(self):
+        blocks = [
+            _blk(dc=10, k1=15, k5=-7, k63=3),   # coded coef 63: no EOB
+            _blk(dc=-3),                          # EOB-run start
+            _blk(dc=0),                           # consecutive: eobrun 2
+            _blk(dc=5, k2=1, k3=-1),              # ±1 ACs: refine-only path
+            _blk(dc=0, k40=21),                   # deep ZRL in first scan
+            _blk(dc=1, k1=2, k30=1),              # correction + new bit mix
+        ]
+        self._assert_equal(24, 16, blocks)
+
+    def test_zrl_in_refinement_scan(self):
+        # newly-significant coefficient after >16 zero-HISTORY gaps with
+        # an already-significant one interleaved — the libjpeg buffering
+        # subtlety (correction bits flushed with the right symbol)
+        blocks = [_blk(dc=0, k2=9, k30=1, k50=1), _blk(dc=0, k20=1)]
+        self._assert_equal(16, 8, blocks)
+
+    def test_partial_mcu_dimensions(self):
+        self._assert_equal(20, 12, [_blk(dc=d, k3=d % 5) for d in range(6)])
+
+    def test_color_444_interleaved_dc_scans(self):
+        y = [_blk(dc=d, k1=d) for d in (8, -8, 16, -16, 0, 24)]
+        cb = [_blk(dc=3)] + [_blk()] * 4 + [_blk(dc=-3, k5=2)]
+        cr = [_blk(dc=-11, k2=-1)] + [_blk()] * 5
+        base = J.decode_jpeg(J.encode_jpeg_ycbcr444(24, 16, y, cb, cr))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive_ycbcr444(24, 16, y, cb, cr))
+        assert base == prog
+
+    def test_sniff_and_decode_image_dispatch(self):
+        blob = J.encode_jpeg_progressive(8, 8, [_blk(dc=-28)])
+        assert mm.sniff_media(blob) == ("image", "jpeg", 8, 8)
+        w, h, ch, px = mm.decode_image(blob)
+        assert (w, h, ch) == (8, 8, 1) and px == bytes([100] * 64)
+
+    def test_truncated_progressive_is_valueerror(self):
+        blob = J.encode_jpeg_progressive(8, 8, [_blk(dc=12, k1=5)])
+        with pytest.raises(ValueError):
+            J.decode_jpeg(blob[: len(blob) // 2])
+
+    def test_fixture_deterministic(self):
+        blocks = [_blk(dc=7, k9=-2)]
+        assert J.encode_jpeg_progressive(8, 8, blocks) == J.encode_jpeg_progressive(
+            8, 8, blocks
+        )
