@@ -1510,7 +1510,9 @@ GIF_PALETTE = [(j * 37, j * 59, j * 83) for j in range(4)]
 
 def _synth_gifs(spark, sf_dir):
     """Deterministic per-doc GIFs: doc d is (8 + d%5) × (6 + d%3) with
-    pixel index (d + i) mod 4 into GIF_PALETTE."""
+    pixel index (d + i) mod 4 into GIF_PALETTE. Odd doc_ids are
+    INTERLACED (4-pass row storage) — the deinterlacer must reproduce
+    the identical display-order pixels the oracle derives."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
@@ -1525,7 +1527,11 @@ def _synth_gifs(spark, sf_dir):
                 w, h = 8 + did % 5, 6 + did % 3
                 idx = [(did + i) % 4 for i in range(w * h)]
                 ids.append(str(did))
-                blobs.append(MM.encode_gif(w, h, idx, GIF_PALETTE))
+                blobs.append(
+                    MM.encode_gif(
+                        w, h, idx, GIF_PALETTE, interlaced=bool(did % 2)
+                    )
+                )
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 
     return docs.mapInPandas(gen, schema="media_id string, blob binary")

@@ -351,7 +351,7 @@ def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
     the FIRST image frame. stdlib only — logical screen descriptor,
     global/local color tables, extension-block skipping, sub-block
     reassembly, full LZW (growing codes, CLEAR, the KwKwK case).
-    Interlaced frames raise (the synthetic corpus never interlaces)."""
+    Interlaced frames are deinterlaced (4-pass row remap)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -376,8 +376,6 @@ def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
                 n = 2 << (ipacked & 0x07)
                 ct = data[pos : pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF unsupported")
             if ct is None:
                 raise ValueError("GIF image has no color table")
             mcs = data[pos]
@@ -390,6 +388,12 @@ def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
             indices = _gif_lzw_decode(bytes(lzw), mcs)[: w * h]
             if len(indices) < w * h:
                 raise ValueError("GIF pixel data truncated")
+            if ipacked & 0x40:  # interlaced: storage rows -> display rows
+                rows = [indices[r * w : (r + 1) * w] for r in range(h)]
+                deint: List[Optional[List[int]]] = [None] * h
+                for disp, row in zip(_gif_interlace_order(h), rows):
+                    deint[disp] = row
+                indices = [k for row in deint for k in row]  # type: ignore[union-attr]
             ncolors = len(ct) // 3
             out = bytearray(w * h * 3)
             for i, k in enumerate(indices):
@@ -404,14 +408,33 @@ def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
     raise ValueError("GIF contains no image data")
 
 
+def _gif_interlace_order(height: int) -> List[int]:
+    """Display-row order of the 4 GIF interlace passes: rows 0,8,16...
+    then 4,12..., then 2,6..., then 1,3,5... — the storage order of an
+    interlaced frame's rows."""
+    order: List[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def encode_gif(
-    width: int, height: int, indices: List[int], palette: List[tuple]
+    width: int, height: int, indices: List[int], palette: List[tuple],
+    interlaced: bool = False,
 ) -> bytes:
     """Deterministic single-frame GIF87a encoder — the fixture/oracle
     counterpart of :func:`decode_gif`. ``palette`` is [(r, g, b), ...]
-    (padded to a power of two); ``indices`` index into it row-major."""
+    (padded to a power of two); ``indices`` index into it row-major
+    (display order — ``interlaced=True`` stores the rows in 4-pass
+    order and sets the descriptor flag)."""
     if len(indices) != width * height:
         raise ValueError("index buffer size mismatch")
+    if interlaced:
+        indices = [
+            k
+            for disp in _gif_interlace_order(height)
+            for k in indices[disp * width : (disp + 1) * width]
+        ]
     bits = max(1, (len(palette) - 1).bit_length())
     size = 1 << bits
     ct = bytearray()
@@ -422,7 +445,9 @@ def encode_gif(
     head = b"GIF87a" + struct.pack(
         "<HHBBB", width, height, 0x80 | (bits - 1), 0, 0
     )
-    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
+    )
     lzw = _gif_lzw_encode(indices, mcs)
     blocks = bytearray([mcs])
     for off in range(0, len(lzw), 255):

@@ -893,14 +893,29 @@ class TestGifCodec:
             buf.append(acc & 0xFF)
         assert mm._gif_lzw_decode(bytes(buf), 2) == [1, 1, 1]
 
-    def test_rejects_garbage_and_interlace(self):
+    def test_rejects_garbage(self):
         with pytest.raises(ValueError):
             mm.decode_gif(b"not a gif")
-        blob = bytearray(mm.encode_gif(2, 2, [0, 1, 2, 3], self.PAL4))
-        at = blob.index(b"\x2c")
-        blob[at + 9] |= 0x40  # set the interlace flag
-        with pytest.raises(NotImplementedError):
-            mm.decode_gif(bytes(blob))
+
+    def test_interlaced_roundtrip_equals_plain(self):
+        # the 4-pass deinterlacer must reproduce display-order pixels
+        # for heights hitting every pass-boundary shape
+        for w, h in ((8, 6), (5, 9), (3, 1), (4, 2), (7, 11), (2, 16)):
+            idx = [(i * 7 + 3) % 4 for i in range(w * h)]
+            plain = mm.decode_gif(mm.encode_gif(w, h, idx, self.PAL4))
+            inter = mm.decode_gif(
+                mm.encode_gif(w, h, idx, self.PAL4, interlaced=True)
+            )
+            assert inter == plain, (w, h)
+
+    def test_interlaced_rows_actually_permuted_in_storage(self):
+        # guard against an encoder that sets the flag but keeps display
+        # order: the raw streams must differ for h > 4
+        idx = list(range(4)) * 8  # 4x8
+        a = mm.encode_gif(4, 8, idx, self.PAL4)
+        b = mm.encode_gif(4, 8, idx, self.PAL4, interlaced=True)
+        assert a != b
+        assert mm._gif_interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
 
     def test_decode_image_dispatches_gif(self):
         blob = mm.encode_gif(3, 1, [1, 2, 3], self.PAL4)
