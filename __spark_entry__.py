@@ -1317,6 +1317,19 @@ def q_skew_collect(spark, sf_dir):
     return out.select(F.col("key").alias("lang"), F.col("values").alias("vals"))
 
 
+def q_skew_topk(spark, sf_dir):
+    """Bounded-both-phases salted top-k under the gate: per-language
+    5 smallest doc ids via per-salt top-k cut + bounded merge
+    (operators/skew.salted_collect_topk) — bit-identical to sorting the
+    full per-key list and slicing on any engine."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import skew as SK
+
+    out = SK.salted_collect_topk(
+        _docs(spark, sf_dir), "lang", "doc_id", k=5, n_salts=16
+    )
+    return out.select(F.col("key").alias("lang"), F.col("values").alias("vals"))
+
+
 def q_corpus_report(spark, sf_dir):
     """The corpus curation SUMMARY under the gate: totals, keep/drop
     split, per-reason drop counts and language mix as one tall integer
@@ -2201,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
         "skew_collect": q_skew_collect,
+        "skew_topk": q_skew_topk,
         "corpus_curate": q_corpus_curate,
         "emb_hashed": q_emb_hashed,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3474,6 +3488,10 @@ GROUP BY id
 """,
         "skew_collect": """
 SELECT lang, list_sort(list(doc_id)) AS vals
+FROM documents GROUP BY lang
+""",
+        "skew_topk": """
+SELECT lang, (list_sort(list(doc_id)))[1:5] AS vals
 FROM documents GROUP BY lang
 """,
         # hashing-trick embeddings: ±1 per token into md5 buckets,

@@ -112,3 +112,71 @@ class TestAqeSkewJoin:
         finally:
             for k, v in prev.items():
                 spark.conf.set(k, v)
+
+
+class TestSaltedCollectTopk:
+    def _df(self, spark):
+        rows = [("hot", (i * 31 + 7) % 1000) for i in range(400)]
+        rows += [("cold", v) for v in (5, 3, 9)]
+        return spark.createDataFrame(rows, "k string, v long").repartition(7)
+
+    def test_matches_sort_and_slice(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.skew import (
+            salted_collect_topk,
+        )
+
+        df = self._df(spark)
+        got = {
+            r.key: r.values
+            for r in salted_collect_topk(df, "k", "v", k=10).collect()
+        }
+        want = {}
+        for r in df.collect():
+            want.setdefault(r.k, []).append(r.v)
+        for key, vals in want.items():
+            assert got[key] == sorted(vals)[:10], key
+
+    def test_descending(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.skew import (
+            salted_collect_topk,
+        )
+
+        df = self._df(spark)
+        got = {
+            r.key: r.values
+            for r in salted_collect_topk(
+                df, "k", "v", k=5, ascending=False
+            ).collect()
+        }
+        want = {}
+        for r in df.collect():
+            want.setdefault(r.k, []).append(r.v)
+        for key, vals in want.items():
+            assert got[key] == sorted(vals, reverse=True)[:5], key
+
+    def test_partitioning_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.skew import (
+            salted_collect_topk,
+        )
+
+        df = self._df(spark)
+        a = sorted(
+            map(tuple, salted_collect_topk(df, "k", "v", k=7).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                salted_collect_topk(
+                    df.repartition(31), "k", "v", k=7, n_salts=3
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_k_validation(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.skew import (
+            salted_collect_topk,
+        )
+
+        with pytest.raises(ValueError):
+            salted_collect_topk(self._df(spark), "k", "v", k=0)
