@@ -25,6 +25,11 @@ minimum (``controls``) next to the query minimum. Compare ACROSS bench
 runs by normalizing with the control ratio — a query regression with an
 equally-slower control is host noise, not an engine change. Run nothing
 else Spark/pytest-shaped concurrently.
+
+The JSON also self-reports ``ratio_vs_control``: each query's
+(time/control) divided by the committed REFERENCE window's
+(time/control) — 1.0 = same engine speed after removing host load;
+outside 0.8-1.25 = investigate before attributing to code.
 """
 
 from __future__ import annotations
@@ -42,6 +47,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 CONTROL_PROCS = int(os.environ.get("SPARK_GRAFT_BENCH_CONTROL_PROCS", "8"))
+
+# Committed reference window: BENCH_r03.json (sf0.1, local[32]), the first
+# run with per-query controls. `ratio_vs_control` below divides each
+# query's (time / control) by the same quantity here, so a value of 1.0
+# means "identical engine speed once shared-box load is factored out";
+# treat anything within 0.8-1.25 as noise (BASELINE.md doctrine). Update
+# these numbers ONLY from a driver BENCH_r*.json, never from ad-hoc runs.
+REFERENCE = {
+    "queries": {
+        "kg_pipeline": 1.893, "kg_canonical": 1.718, "dedup_minhash": 4.25,
+        "dedup_exact": 0.748, "ann_topk": 0.695, "text_quality": 0.517,
+        "tpch_q1": 0.349, "tpch_join_topk": 0.487, "events_window": 0.842,
+    },
+    "controls": {
+        "kg_pipeline": 0.31, "kg_canonical": 0.292, "dedup_minhash": 0.302,
+        "dedup_exact": 0.334, "ann_topk": 0.332, "text_quality": 0.302,
+        "tpch_q1": 0.291, "tpch_join_topk": 0.291, "events_window": 0.305,
+    },
+    "round": 3,
+}
 
 
 def _mp_regex_work(n):
@@ -185,16 +210,36 @@ def run_bench(master=None, sf_dir=SF_DIR, quiet=True):
     return timings, controls, counters, kg_seconds
 
 
+def normalized_deltas(timings, controls):
+    """Per-query engine-speed ratio vs the committed REFERENCE window,
+    with shared-box load divided out via the paired host controls:
+    (t/ctrl) / (t_ref/ctrl_ref). Only meaningful at the reference shape
+    (sf0.1, 32 cpus) — returns {} otherwise."""
+    if SF_DIR.rstrip("/").endswith("sf0.1") is False or CPUS != 32:
+        return {}
+    out = {}
+    for name, t in timings.items():
+        t_ref = REFERENCE["queries"].get(name)
+        c_ref = REFERENCE["controls"].get(name)
+        c = controls.get(name)
+        if t_ref and c_ref and c:
+            out[name] = round((t / c) / (t_ref / c_ref), 2)
+    return out
+
+
 def main():
     timings, controls, counters, kg_seconds = run_bench()
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    norm = normalized_deltas(timings, controls)
     out = {
         "metric": "bench_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "controls": controls,
+        "ratio_vs_control": norm,
+        "ratio_reference_round": REFERENCE["round"] if norm else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "kg_docs_per_sec": (
