@@ -1059,13 +1059,15 @@ def q_pdf_table_cells(spark, sf_dir):
 
 
 def q_office_extract(spark, sf_dir):
-    """xlsx + pptx extraction under the gate, byte-exact: each doc
-    becomes one deterministic spreadsheet (shared strings, a numeric
-    cell, a column gap via r= references) and one presentation (a
-    paragraph + an <a:tbl> table), built distributed from its words,
-    sniffed (ooxml → member dispatch) and rendered to the canonical
-    XHTML; the oracle string-builds both expected renders closed-form
-    from the same word arithmetic (operators/office.py)."""
+    """xlsx + pptx + rtf + odt extraction under the gate, byte-exact:
+    each doc becomes one deterministic spreadsheet (shared strings, a
+    numeric cell, a column gap via r= references), one presentation (a
+    paragraph + an <a:tbl> table), one RTF (header destinations, a
+    paragraph + a \\trowd table) and one odt (heading + paragraph +
+    table), built distributed from its words, sniffed (zip-member /
+    magic dispatch) and rendered to the canonical XHTML; the oracle
+    string-builds all four expected renders closed-form from the same
+    word arithmetic (operators/office.py, rtf.py, odf.py)."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
@@ -1075,7 +1077,9 @@ def q_office_extract(spark, sf_dir):
         TimestampType,
     )
 
+    from cmc_knowledge_graph_text2ttl_spark.operators import odf as ODF
     from cmc_knowledge_graph_text2ttl_spark.operators import office as O
+    from cmc_knowledge_graph_text2ttl_spark.operators import rtf as R
     from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_text
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1102,7 +1106,18 @@ def q_office_extract(spark, sf_dir):
                 pptx = O.make_pptx(
                     [[f"{w[4]} {w[5]}", [[w[6], w[7]], [w[0], str(d)]]]]
                 )
-                for kind, blob in (("x", xlsx), ("p", pptx)):
+                rtf = R.make_rtf(
+                    [f"{w[1]} {w[2]}", [[w[3], w[4]], [w[5], str(d)]]]
+                )
+                odt = ODF.make_odt(
+                    [(1, w[6]), f"{w[7]} {w[0]}", [[w[1], str(d)]]]
+                )
+                for kind, blob in (
+                    ("x", xlsx),
+                    ("p", pptx),
+                    ("r", rtf),
+                    ("o", odt),
+                ):
                     rows["url"].append(f"doc://{d}/{kind}")
                     rows["warc_ts"].append(None)
                     rows["html"].append(blob)
@@ -2337,6 +2352,19 @@ def _office_extract_sql() -> str:
         "<tr><td>' || w1 || '</td><td>' || CAST(doc_id AS VARCHAR) || "
         "'</td></tr></table></div></body></html>'"
     )
+    rtf = (
+        "'<html><body>"
+        "<p>' || w2 || ' ' || w3 || '</p><table>"
+        "<tr><td>' || w4 || '</td><td>' || w5 || '</td></tr>"
+        "<tr><td>' || w6 || '</td><td>' || CAST(doc_id AS VARCHAR) || "
+        "'</td></tr></table></body></html>'"
+    )
+    odt = (
+        "'<html><body><h1>' || w7 || '</h1>"
+        "<p>' || w8 || ' ' || w1 || '</p><table>"
+        "<tr><td>' || w2 || '</td><td>' || CAST(doc_id AS VARCHAR) || "
+        "'</td></tr></table></body></html>'"
+    )
     words = ",\n         ".join(
         f"coalesce(ws[{k}], 'pad') AS w{k}" for k in range(1, 9)
     )
@@ -2357,6 +2385,18 @@ UNION ALL
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/p',
        {pptx},
        'pptx',
+       CAST(NULL AS VARCHAR)
+FROM ww
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/r',
+       {rtf},
+       'rtf',
+       CAST(NULL AS VARCHAR)
+FROM ww
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/o',
+       {odt},
+       'odt',
        CAST(NULL AS VARCHAR)
 FROM ww
 """

@@ -352,17 +352,20 @@ def sniff_content_type(data: Optional[bytes]) -> str:
     if data[:5] == b"%PDF-":
         return "pdf"
     if data[:4] == b"PK\x03\x04":
-        # OOXML ZIP container; refined to docx/xlsx/pptx by member
-        # inspection during extraction (the magic alone can't tell)
+        # Office ZIP container; refined to docx/xlsx/pptx/odt/ods/odp
+        # by member inspection during extraction (the magic alone
+        # can't tell)
         return "ooxml"
+    if data[:5] == b"{\\rtf":
+        return "rtf"
     return "html"
 
 
 def ooxml_to_xhtml_text(data: bytes) -> tuple:
-    """(xhtml, refined content type) for an OOXML ZIP container —
+    """(xhtml, refined content type) for an Office ZIP container —
     dispatched on which document part the archive carries, the same
-    transparent docx/xlsx/pptx acceptance the reference got from Tika
-    (runner.py:36-115)."""
+    transparent docx/xlsx/pptx/odt/ods/odp acceptance the reference
+    got from Tika (runner.py:36-115)."""
     import io
     import zipfile
 
@@ -376,9 +379,13 @@ def ooxml_to_xhtml_text(data: bytes) -> tuple:
         return office.xlsx_to_xhtml_text(data), "xlsx"
     if "ppt/presentation.xml" in names:
         return office.pptx_to_xhtml_text(data), "pptx"
+    if "content.xml" in names:
+        from . import odf
+
+        return odf.odf_to_xhtml_text(data)
     raise ValueError(
-        "ZIP container has no word/document.xml, xl/workbook.xml or "
-        "ppt/presentation.xml (not a docx/xlsx/pptx)"
+        "ZIP container has no word/document.xml, xl/workbook.xml, "
+        "ppt/presentation.xml or content.xml (not an Office document)"
     )
 
 
@@ -400,6 +407,10 @@ def extract_one(data: Optional[bytes]) -> tuple:
         if ctype == "ooxml":
             text, kind = ooxml_to_xhtml_text(data)
             return text, kind, None
+        if ctype == "rtf":
+            from .rtf import rtf_to_xhtml_text
+
+            return rtf_to_xhtml_text(data), ctype, None
         return html_to_xhtml_text(data), ctype, None
     except Exception as ex:
         return None, ctype, f"{type(ex).__name__}: {ex}"

@@ -117,7 +117,7 @@ class TestDocx:
         with zipfile.ZipFile(buf, "w") as z:
             z.writestr("data.txt", "not a docx")
         text, ctype, err = extract_one(buf.getvalue())
-        assert ctype == "ooxml" and text is None and "not a docx" in err
+        assert ctype == "ooxml" and text is None and "not an Office document" in err
 
 
 class TestPlainText:

@@ -160,4 +160,4 @@ class TestDispatch:
     def test_unknown_zip_is_error_row_with_ooxml_type(self):
         blob = _zip([("whatever.txt", "nope")])
         text, ctype, err = extract_one(blob)
-        assert ctype == "ooxml" and text is None and "not a docx" in err
+        assert ctype == "ooxml" and text is None and "not an Office document" in err
