@@ -26,10 +26,13 @@ runs by normalizing with the control ratio — a query regression with an
 equally-slower control is host noise, not an engine change. Run nothing
 else Spark/pytest-shaped concurrently.
 
-The JSON also self-reports ``ratio_vs_control``: each query's
-(time/control) divided by the committed REFERENCE window's
-(time/control) — 1.0 = same engine speed after removing host load;
-outside 0.8-1.25 = investigate before attributing to code.
+The JSON also self-reports ``ratio_vs_control``: each query's time vs
+the committed REFERENCE window, discounted by the host-load ratio when
+(and only when) this run's control is slower than the reference's —
+1.0 = same engine speed; >1.25 = investigate before attributing to
+code; a quieter-than-reference host is never credited (fixed planning
+overhead in sub-second queries would turn that credit into phantom
+regressions).
 """
 
 from __future__ import annotations
@@ -211,10 +214,16 @@ def run_bench(master=None, sf_dir=SF_DIR, quiet=True):
 
 
 def normalized_deltas(timings, controls):
-    """Per-query engine-speed ratio vs the committed REFERENCE window,
-    with shared-box load divided out via the paired host controls:
-    (t/ctrl) / (t_ref/ctrl_ref). Only meaningful at the reference shape
-    (sf0.1, 32 cpus) — returns {} otherwise."""
+    """Per-query engine-speed ratio vs the committed REFERENCE window:
+    (t / t_ref) / max(1, ctrl / ctrl_ref).
+
+    The control divisor only ever EXCUSES slowness measured on a
+    busier-than-reference host — it is floored at 1 rather than
+    crediting a quieter one, because sub-second queries carry fixed
+    scheduling/planning overhead that does not speed up when the box
+    idles (a symmetric (t/ctrl)/(t_ref/ctrl_ref) reads a faster raw
+    time on a quiet host as a regression). Only meaningful at the
+    reference shape (sf0.1, 32 cpus) — returns {} otherwise."""
     if SF_DIR.rstrip("/").endswith("sf0.1") is False or CPUS != 32:
         return {}
     out = {}
@@ -223,7 +232,7 @@ def normalized_deltas(timings, controls):
         c_ref = REFERENCE["controls"].get(name)
         c = controls.get(name)
         if t_ref and c_ref and c:
-            out[name] = round((t / c) / (t_ref / c_ref), 2)
+            out[name] = round((t / t_ref) / max(1.0, c / c_ref), 2)
     return out
 
 
