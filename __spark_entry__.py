@@ -1478,8 +1478,42 @@ def _synth_media(spark, sf_dir, solid: bool):
                 did = int(did)
                 w, h = 16 + did % 13, 9 + did % 7
                 if solid:
+                    # same solid color through four PNG container
+                    # variants — the decoded features stay closed-form
+                    # while plain/Adam7/palette/packed+tRNS all decode
                     rgb = bytes(((did * 7) % 256, (did * 13) % 256, (did * 29) % 256))
-                    blob = MM.encode_png(w, h, rgb * (w * h), 3)
+                    v = did % 4
+                    if v == 0:
+                        blob = MM.encode_png(w, h, rgb * (w * h), 3)
+                    elif v == 1:
+                        blob = MM.encode_png_ex(
+                            w, h, rgb * (w * h), 3, interlace=True
+                        )
+                    else:
+                        k = did % 5 + 1
+                        pal = bytearray(
+                            ((did + j) * 37 % 256) for j in range(24)
+                        )
+                        pal[k * 3 : k * 3 + 3] = rgb
+                        idx = bytes([k]) * (w * h)
+                        if v == 2:
+                            blob = MM.encode_png_ex(
+                                w, h, idx, palette=bytes(pal)
+                            )
+                        else:
+                            alpha = (did * 11) % 256
+                            trns = bytes(
+                                min(255, a) for a in range(k)
+                            ) + bytes([alpha])
+                            blob = MM.encode_png_ex(
+                                w,
+                                h,
+                                idx,
+                                palette=bytes(pal),
+                                bit_depth=4,
+                                interlace=True,
+                                trns=trns,
+                            )
                 else:
                     kind = did % 3
                     if kind == 0:
@@ -3287,18 +3321,32 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
          AS zero_crossings
 FROM z GROUP BY doc_id
 """,
+        # four container variants per doc_id % 4 (plain / Adam7 /
+        # palette / 4-bit palette+tRNS); the tRNS variant decodes to
+        # RGBA with constant alpha (doc_id*11)%256
         "media_pixels": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, f.feature, f.value_scaled
 FROM documents, LATERAL (
-  SELECT unnest(['width', 'height', 'channels', 'mean_c0', 'mean_c1', 'mean_c2']) AS feature,
-         unnest([
+  SELECT unnest(CASE WHEN doc_id % 4 = 3
+    THEN ['width', 'height', 'channels', 'mean_c0', 'mean_c1', 'mean_c2', 'mean_c3']
+    ELSE ['width', 'height', 'channels', 'mean_c0', 'mean_c1', 'mean_c2'] END
+  ) AS feature,
+         unnest(CASE WHEN doc_id % 4 = 3 THEN [
+           CAST((16 + doc_id % 13) * 100 AS BIGINT),
+           CAST((9 + doc_id % 7) * 100 AS BIGINT),
+           CAST(400 AS BIGINT),
+           CAST(((doc_id * 7) % 256) * 100 AS BIGINT),
+           CAST(((doc_id * 13) % 256) * 100 AS BIGINT),
+           CAST(((doc_id * 29) % 256) * 100 AS BIGINT),
+           CAST(((doc_id * 11) % 256) * 100 AS BIGINT)
+         ] ELSE [
            CAST((16 + doc_id % 13) * 100 AS BIGINT),
            CAST((9 + doc_id % 7) * 100 AS BIGINT),
            CAST(300 AS BIGINT),
            CAST(((doc_id * 7) % 256) * 100 AS BIGINT),
            CAST(((doc_id * 13) % 256) * 100 AS BIGINT),
            CAST(((doc_id * 29) % 256) * 100 AS BIGINT)
-         ]) AS value_scaled
+         ] END) AS value_scaled
 ) f
 """,
         # gradient PNG pixels are (doc_id + flat_byte_index) % 256; the

@@ -153,8 +153,19 @@ def media_metadata(
     return df.select(id_col, blob_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
-# PNG color type → samples per pixel (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type → samples per pixel AS STORED (palette = 1 index)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
@@ -171,18 +182,82 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
         raise ValueError(f"corrupt PNG stream: {type(ex).__name__}: {ex}") from ex
 
 
+def _png_unfilter(raw: bytes, off: int, nbytes: int, height: int, bpp: int):
+    """Reverse per-scanline filters (None/Sub/Up/Average/Paeth, PNG
+    spec §9) over one (sub)image of ``height`` rows × ``nbytes`` filtered
+    bytes; returns (unfiltered bytes, offset after the subimage)."""
+    out = bytearray(nbytes * height)
+    prev = bytearray(nbytes)
+    for y in range(height):
+        if off >= len(raw):
+            raise ValueError("PNG pixel data truncated")
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + nbytes])
+        if len(line) < nbytes:
+            raise ValueError("PNG pixel data truncated")
+        off += 1 + nbytes
+        if ftype == 1:  # Sub
+            for i in range(bpp, nbytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(nbytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(nbytes):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(nbytes):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG bad filter type {ftype}")
+        out[y * nbytes : (y + 1) * nbytes] = line
+        prev = line
+    return out, off
+
+
+def _png_row_samples(line, width: int, spp: int, bitd: int):
+    """One unfiltered scanline → flat list of ``width * spp`` sample
+    values (8-bit range for depths ≤ 8 after the caller scales; 16-bit
+    samples are reduced to their high byte, the standard 8-bit view)."""
+    if bitd == 8:
+        return list(line[: width * spp])
+    if bitd == 16:
+        return list(line[0 : width * spp * 2 : 2])
+    # 1/2/4-bit packed, MSB first (gray or palette index — spp == 1)
+    vals = []
+    per_byte = 8 // bitd
+    mask = (1 << bitd) - 1
+    for x in range(width):
+        b = line[x // per_byte]
+        shift = 8 - bitd * (x % per_byte + 1)
+        vals.append((b >> shift) & mask)
+    return vals
+
+
 def _decode_png_impl(data: bytes) -> Tuple[int, int, int, bytes]:
     """(see :func:`decode_png`)
 
-    stdlib only — zlib inflate of the IDAT stream, then per-scanline
-    reverse filtering (None/Sub/Up/Average/Paeth per the PNG spec §9).
-    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
-    Returns pixels row-major, ``channels`` bytes per pixel.
+    stdlib only — zlib inflate of the IDAT stream, per-scanline reverse
+    filtering, then sample assembly. Supports every PNG pixel format:
+    gray (1/2/4/8/16-bit), palette (1/2/4/8-bit, PLTE + optional tRNS
+    alpha), gray+alpha / RGB / RGBA (8/16-bit), non-interlaced or
+    Adam7-interlaced. 16-bit samples reduce to their high byte; sub-byte
+    gray scales to 0-255; palette output is RGB (RGBA when tRNS is
+    present). Returns pixels row-major, ``channels`` bytes per pixel.
     """
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, width, height, bitd, ctype, interlace = 8, None, None, None, None, 0
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(data):
         (clen,) = struct.unpack(">I", data[pos : pos + 4])
         ctag = data[pos + 4 : pos + 8]
@@ -191,6 +266,10 @@ def _decode_png_impl(data: bytes) -> Tuple[int, int, int, bytes]:
             width, height, bitd, ctype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif ctag == b"PLTE":
+            plte = body
+        elif ctag == b"tRNS":
+            trns = body
         elif ctag == b"IDAT":
             idat += body
         elif ctag == b"IEND":
@@ -198,46 +277,58 @@ def _decode_png_impl(data: bytes) -> Tuple[int, int, int, bytes]:
         pos += 12 + clen  # len + tag + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bitd != 8 or ctype not in _PNG_CHANNELS or interlace:
-        raise NotImplementedError(
-            f"PNG bitdepth={bitd} colortype={ctype} interlace={interlace} "
-            "unsupported (8-bit non-interlaced gray/GA/RGB/RGBA only)"
-        )
-    ch = _PNG_CHANNELS[ctype]
+    if ctype not in _PNG_CHANNELS or interlace not in (0, 1):
+        raise ValueError(f"PNG colortype={ctype} interlace={interlace} invalid")
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(ctype, (8, 16))
+    if bitd not in valid_depths:
+        raise ValueError(f"PNG bitdepth={bitd} invalid for colortype={ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+
+    spp = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    # assemble the full-size sample grid pass by pass
+    img = [0] * (width * height * spp)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    bpp = max(1, (bitd * spp + 7) // 8)  # filter distance, bytes
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = (pw * spp * bitd + 7) // 8
+        sub, off = _png_unfilter(raw, off, nbytes, ph, bpp)
+        for py in range(ph):
+            row = _png_row_samples(
+                sub[py * nbytes : (py + 1) * nbytes], pw, spp, bitd
+            )
+            y = y0 + py * dy
+            for px in range(pw):
+                base = (y * width + (x0 + px * dx)) * spp
+                img[base : base + spp] = row[px * spp : (px + 1) * spp]
+    if off != len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"PNG bad filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
-    return (width, height, ch, bytes(out))
+
+    if ctype == 3:  # palette → RGB(A)
+        n_entries = len(plte) // 3
+        alpha = None
+        if trns is not None:
+            alpha = list(trns) + [255] * (n_entries - len(trns))
+        ch = 4 if alpha is not None else 3
+        out = bytearray(width * height * ch)
+        for i, idx in enumerate(img):
+            if idx >= n_entries:
+                raise ValueError(f"PNG palette index {idx} out of range")
+            out[i * ch : i * ch + 3] = plte[idx * 3 : idx * 3 + 3]
+            if alpha is not None:
+                out[i * ch + 3] = alpha[idx]
+        return (width, height, ch, bytes(out))
+
+    if bitd < 8:  # sub-byte gray → full 8-bit range
+        scale = 255 // ((1 << bitd) - 1)
+        return (width, height, spp, bytes(v * scale for v in img))
+    return (width, height, spp, bytes(img))
 
 
 def decode_image(data: bytes):
@@ -615,6 +706,82 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_pack_row(samples, bitd: int) -> bytes:
+    """Flat sample list → one packed scanline (MSB-first for sub-byte)."""
+    if bitd == 8:
+        return bytes(samples)
+    per_byte = 8 // bitd
+    out = bytearray((len(samples) + per_byte - 1) // per_byte)
+    for i, v in enumerate(samples):
+        out[i // per_byte] |= v << (8 - bitd * (i % per_byte + 1))
+    return bytes(out)
+
+
+def encode_png_ex(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    interlace: bool = False,
+    palette: Optional[bytes] = None,
+    bit_depth: int = 8,
+    trns: Optional[bytes] = None,
+) -> bytes:
+    """Extended deterministic PNG encoder — the fixture counterpart of
+    the full :func:`decode_png` matrix. With ``palette`` set, ``pixels``
+    is one index per pixel (colortype 3, packed at ``bit_depth``);
+    otherwise 8-bit gray/GA/RGB/RGBA as in :func:`encode_png`. Adam7
+    interlacing reorders rows/columns into the 7 spec passes (filter 0
+    throughout, fixed zlib level — byte-reproducible)."""
+    if palette is not None:
+        ctype, spp = 3, 1
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError("palette bit depth must be 1/2/4/8")
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        spp = channels
+        if bit_depth != 8:
+            raise ValueError("non-palette encode_png_ex is 8-bit only")
+    if len(pixels) != width * height * spp:
+        raise ValueError("pixel buffer size mismatch")
+
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            y = y0 + py * dy
+            row = []
+            for px in range(pw):
+                base = (y * width + (x0 + px * dx)) * spp
+                row.extend(pixels[base : base + spp])
+            raw += b"\x00" + _png_pack_row(row, bit_depth)
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+        if trns is not None:
+            out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + _png_chunk(
+        b"IEND", b""
     )
 
 

@@ -749,14 +749,105 @@ class TestImageCodec:
         blob = self._png_with_filters(w, h, ch, px, [0, 1, 2, 3, 4])
         assert mm.decode_png(blob)[3] == px
 
-    def test_png_rejects_unsupported(self):
+    def test_png_rejects_invalid_depth(self):
         import pytest
 
         blob = bytearray(mm.encode_png(2, 2, bytes(12), 3))
-        blob[24] = 16  # bit depth byte inside IHDR
+        blob[24] = 3  # bit depth byte inside IHDR — 3 is never legal
         # CRC now wrong but the decoder reads fields before verifying
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             mm.decode_png(bytes(blob))
+
+    def test_png_adam7_roundtrip(self):
+        # dimensions straddling the 8x8 pass grid, incl. degenerate rows
+        for w, h in ((13, 7), (8, 8), (1, 1), (2, 9), (17, 3)):
+            for ch in (1, 3, 4):
+                px = bytes((x * 31 + y * 57 + c * 11) % 256
+                           for y in range(h) for x in range(w)
+                           for c in range(ch))
+                blob = mm.encode_png_ex(w, h, px, ch, interlace=True)
+                assert mm.decode_png(blob) == (w, h, ch, px), (w, h, ch)
+
+    def test_png_palette_depths(self):
+        import itertools
+
+        w, h = 13, 7
+        pal = bytes(itertools.chain.from_iterable(
+            (i * 11 % 256, 255 - i, i // 2) for i in range(16)))
+        for bd, ncol in ((1, 2), (2, 4), (4, 16), (8, 16)):
+            idx = bytes((x * y) % ncol for y in range(h) for x in range(w))
+            got = mm.decode_png(
+                mm.encode_png_ex(w, h, idx, palette=pal[:ncol * 3],
+                                 bit_depth=bd))
+            exp = bytes(itertools.chain.from_iterable(
+                pal[i * 3:i * 3 + 3] for i in idx))
+            assert got == (w, h, 3, exp), bd
+
+    def test_png_palette_trns_and_interlace(self):
+        import itertools
+
+        w, h = 11, 6
+        pal = bytes(itertools.chain.from_iterable(
+            (i * 37 % 256, i * 59 % 256, i * 83 % 256) for i in range(16)))
+        idx = bytes((x + y) % 16 for y in range(h) for x in range(w))
+        trns = bytes([10, 20, 30])  # entries 3..15 default to 255
+        blob = mm.encode_png_ex(w, h, idx, palette=pal, bit_depth=4,
+                                interlace=True, trns=trns)
+        got = mm.decode_png(blob)
+        alpha = [10, 20, 30] + [255] * 13
+        exp = bytes(itertools.chain.from_iterable(
+            list(pal[i * 3:i * 3 + 3]) + [alpha[i]] for i in idx))
+        assert got == (w, h, 4, exp)
+
+    def test_png_sub_byte_gray_scales_to_full_range(self):
+        def graypng(w, h, vals, bd):
+            per = 8 // bd
+            rows = bytearray()
+            for y in range(h):
+                line = bytearray((w + per - 1) // per)
+                for x in range(w):
+                    line[x // per] |= vals[y * w + x] << (
+                        8 - bd * (x % per + 1))
+                rows += b"\x00" + bytes(line)
+            ihdr = struct.pack(">IIBBBBB", w, h, bd, 0, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+                    + mm._png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+                    + mm._png_chunk(b"IEND", b""))
+
+        w, h = 13, 5
+        one = [(x + y) % 2 for y in range(h) for x in range(w)]
+        assert mm.decode_png(graypng(w, h, one, 1))[3] == bytes(
+            v * 255 for v in one)
+        four = [(x * y) % 16 for y in range(h) for x in range(w)]
+        assert mm.decode_png(graypng(w, h, four, 4))[3] == bytes(
+            v * 17 for v in four)
+
+    def test_png_16bit_reduces_to_high_byte(self):
+        w, h = 6, 4
+        px = bytes((x * 31 + y * 17 + c * 7) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+        rows = bytearray()
+        for y in range(h):
+            line = bytearray()
+            for v in px[y * w * 3:(y + 1) * w * 3]:
+                line += bytes([v, (v * 3) % 256])  # low byte is noise
+            rows += b"\x00" + bytes(line)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        blob = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + mm._png_chunk(b"IEND", b""))
+        assert mm.decode_png(blob) == (w, h, 3, px)
+
+    def test_png_palette_missing_plte_raises(self):
+        import pytest
+
+        blob = bytearray(mm.encode_png_ex(
+            2, 2, bytes(4), palette=bytes(6), bit_depth=8))
+        # drop the PLTE chunk: splice it out by tag
+        i = bytes(blob).find(b"PLTE")
+        out = bytes(blob[:i - 4]) + bytes(blob[i + 4 + 6 + 4:])
+        with pytest.raises(ValueError, match="PLTE"):
+            mm.decode_png(out)
 
     def test_jpeg_sof_dims(self):
         assert mm.sniff_media(mm.encode_jpeg_header(641, 479))[2:] == (641, 479)
