@@ -1077,6 +1077,7 @@ def q_office_extract(spark, sf_dir):
         TimestampType,
     )
 
+    from cmc_knowledge_graph_text2ttl_spark.operators import doc_binary as DOC
     from cmc_knowledge_graph_text2ttl_spark.operators import odf as ODF
     from cmc_knowledge_graph_text2ttl_spark.operators import office as O
     from cmc_knowledge_graph_text2ttl_spark.operators import rtf as R
@@ -1112,11 +1113,13 @@ def q_office_extract(spark, sf_dir):
                 odt = ODF.make_odt(
                     [(1, w[6]), f"{w[7]} {w[0]}", [[w[1], str(d)]]]
                 )
+                doc = DOC.make_doc([f"{w[3]} {w[4]} {d}", w[5]])
                 for kind, blob in (
                     ("x", xlsx),
                     ("p", pptx),
                     ("r", rtf),
                     ("o", odt),
+                    ("d", doc),
                 ):
                     rows["url"].append(f"doc://{d}/{kind}")
                     rows["warc_ts"].append(None)
@@ -2399,6 +2402,11 @@ def _office_extract_sql() -> str:
         "<tr><td>' || w2 || '</td><td>' || CAST(doc_id AS VARCHAR) || "
         "'</td></tr></table></body></html>'"
     )
+    doc = (
+        "'<html><body>"
+        "<p>' || w4 || ' ' || w5 || ' ' || CAST(doc_id AS VARCHAR) || "
+        "'</p><p>' || w6 || '</p></body></html>'"
+    )
     words = ",\n         ".join(
         f"coalesce(ws[{k}], 'pad') AS w{k}" for k in range(1, 9)
     )
@@ -2431,6 +2439,12 @@ UNION ALL
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/o',
        {odt},
        'odt',
+       CAST(NULL AS VARCHAR)
+FROM ww
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/d',
+       {doc},
+       'doc',
        CAST(NULL AS VARCHAR)
 FROM ww
 """

@@ -358,6 +358,9 @@ def sniff_content_type(data: Optional[bytes]) -> str:
         return "ooxml"
     if data[:5] == b"{\\rtf":
         return "rtf"
+    if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # OLE2 compound file; refined to doc by stream inspection
+        return "ole2"
     return "html"
 
 
@@ -411,6 +414,10 @@ def extract_one(data: Optional[bytes]) -> tuple:
             from .rtf import rtf_to_xhtml_text
 
             return rtf_to_xhtml_text(data), ctype, None
+        if ctype == "ole2":
+            from .doc_binary import doc_to_xhtml_text
+
+            return doc_to_xhtml_text(data), "doc", None
         return html_to_xhtml_text(data), ctype, None
     except Exception as ex:
         return None, ctype, f"{type(ex).__name__}: {ex}"
