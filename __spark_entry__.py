@@ -1078,6 +1078,7 @@ def q_office_extract(spark, sf_dir):
     )
 
     from cmc_knowledge_graph_text2ttl_spark.operators import doc_binary as DOC
+    from cmc_knowledge_graph_text2ttl_spark.operators import legacy_office as LO
     from cmc_knowledge_graph_text2ttl_spark.operators import odf as ODF
     from cmc_knowledge_graph_text2ttl_spark.operators import office as O
     from cmc_knowledge_graph_text2ttl_spark.operators import rtf as R
@@ -1114,12 +1115,19 @@ def q_office_extract(spark, sf_dir):
                     [(1, w[6]), f"{w[7]} {w[0]}", [[w[1], str(d)]]]
                 )
                 doc = DOC.make_doc([f"{w[3]} {w[4]} {d}", w[5]])
+                xls = LO.make_xls(
+                    [("L", [[w[6], d], [w[7], None, w[0]]])],
+                    sst_continue_split=d % 2 == 0,
+                )
+                ppt = LO.make_ppt([f"{w[2]} {d}", w[3]])
                 for kind, blob in (
                     ("x", xlsx),
                     ("p", pptx),
                     ("r", rtf),
                     ("o", odt),
                     ("d", doc),
+                    ("l", xls),
+                    ("t", ppt),
                 ):
                     rows["url"].append(f"doc://{d}/{kind}")
                     rows["warc_ts"].append(None)
@@ -2407,6 +2415,17 @@ def _office_extract_sql() -> str:
         "<p>' || w4 || ' ' || w5 || ' ' || CAST(doc_id AS VARCHAR) || "
         "'</p><p>' || w6 || '</p></body></html>'"
     )
+    xls = (
+        "'<html><body><h1>L</h1><table>"
+        "<tr><td>' || w7 || '</td><td>' || CAST(doc_id AS VARCHAR) || "
+        "'</td></tr><tr><td>' || w8 || '</td><td></td><td>' || w1 || "
+        "'</td></tr></table></body></html>'"
+    )
+    ppt = (
+        "'<html><body>"
+        "<p>' || w3 || ' ' || CAST(doc_id AS VARCHAR) || "
+        "'</p><p>' || w4 || '</p></body></html>'"
+    )
     words = ",\n         ".join(
         f"coalesce(ws[{k}], 'pad') AS w{k}" for k in range(1, 9)
     )
@@ -2445,6 +2464,18 @@ UNION ALL
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/d',
        {doc},
        'doc',
+       CAST(NULL AS VARCHAR)
+FROM ww
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/l',
+       {xls},
+       'xls',
+       CAST(NULL AS VARCHAR)
+FROM ww
+UNION ALL
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '/t',
+       {ppt},
+       'ppt',
        CAST(NULL AS VARCHAR)
 FROM ww
 """

@@ -36,10 +36,10 @@ def _esc(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def extract_doc_text(data: bytes) -> str:
+def extract_doc_text(data: bytes, reader: CfbReader = None) -> str:
     """.doc container bytes → raw main-document text (control chars
     still present; use :func:`doc_to_xhtml_text` for the render)."""
-    r = CfbReader(data)
+    r = reader or CfbReader(data)
     word = r.streams.get("WordDocument")
     if word is None:
         names = ", ".join(sorted(r.streams)) or "none"
@@ -101,9 +101,9 @@ def extract_doc_text(data: bytes) -> str:
     return text
 
 
-def doc_to_xhtml_text(data: bytes) -> str:
+def doc_to_xhtml_text(data: bytes, reader: CfbReader = None) -> str:
     """.doc bytes → canonical XHTML (see module docstring)."""
-    raw = extract_doc_text(data)
+    raw = extract_doc_text(data, reader)
     body: List[str] = []
     buf: List[str] = []
     in_field_instr = False

@@ -392,6 +392,34 @@ def ooxml_to_xhtml_text(data: bytes) -> tuple:
     )
 
 
+def ole2_to_xhtml_text(data: bytes) -> tuple:
+    """(xhtml, refined type, None) for an OLE2 compound file —
+    dispatched on which application stream the container carries
+    (Word / Excel BIFF8 / binary PowerPoint), mirroring the ZIP-member
+    dispatch of :func:`ooxml_to_xhtml_text`."""
+    from .cfb import CfbReader
+
+    reader = CfbReader(data)
+    names = set(reader.streams)
+    if "WordDocument" in names:
+        from .doc_binary import doc_to_xhtml_text
+
+        return doc_to_xhtml_text(data, reader), "doc", None
+    if "Workbook" in names or "Book" in names:
+        from .legacy_office import xls_to_xhtml_text
+
+        return xls_to_xhtml_text(data, reader), "xls", None
+    if "PowerPoint Document" in names:
+        from .legacy_office import ppt_to_xhtml_text
+
+        return ppt_to_xhtml_text(data, reader), "ppt", None
+    listing = ", ".join(sorted(names)) or "none"
+    raise ValueError(
+        "OLE2 container has no WordDocument, Workbook or PowerPoint "
+        f"Document stream (members: {listing})"
+    )
+
+
 # Oversized-document guard: one pathological page must not blow an Arrow
 # batch / executor heap. 64 MB of raw bytes is far beyond any real page.
 MAX_DOC_BYTES = 64 * 1024 * 1024
@@ -415,9 +443,7 @@ def extract_one(data: Optional[bytes]) -> tuple:
 
             return rtf_to_xhtml_text(data), ctype, None
         if ctype == "ole2":
-            from .doc_binary import doc_to_xhtml_text
-
-            return doc_to_xhtml_text(data), "doc", None
+            return ole2_to_xhtml_text(data)
         return html_to_xhtml_text(data), ctype, None
     except Exception as ex:
         return None, ctype, f"{type(ex).__name__}: {ex}"

@@ -118,11 +118,11 @@ class TestDocBinary:
         text, ctype, err = extract_one(bytes(blob))
         assert text is None and "encrypted" in err
 
-    def test_non_word_ole2_is_error_row(self):
-        blob = make_cfb([("Workbook", b"\x09\x08" + b"\x00" * 100)])
+    def test_unknown_ole2_is_error_row(self):
+        blob = make_cfb([("VisioDocument", b"\x00" * 100)])
         text, ctype, err = extract_one(blob)
         assert text is None and ctype == "ole2"
-        assert "WordDocument" in err and "Workbook" in err
+        assert "WordDocument" in err and "VisioDocument" in err
 
     def test_empty_document(self):
         assert doc_to_xhtml_text(make_doc([])) == "<html><body></body></html>"
