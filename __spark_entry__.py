@@ -1004,7 +1004,9 @@ def q_pdf_table_cells(spark, sf_dir):
     becomes a deterministic one-page table PDF (3x3 cells from its first
     9 words, title paragraph, odd doc_ids Flate-compressed, doc_id%3==0
     packed as PDF 1.5 — /ObjStm container + /Type /XRef stream with PNG
-    Up-predicted entries, NO raw obj markers for the dicts), flows
+    Up-predicted entries, NO raw obj markers for the dicts — and
+    doc_id%3==1 RC4-128-encrypted with the Standard security handler,
+    empty user password, per-object stream keys), flows
     through sniff → stdlib text-layer parse → 7-stage geometric
     recognizer → XHTML; the oracle string-builds the expected render."""
     import pandas as pd
@@ -1043,6 +1045,9 @@ def q_pdf_table_cells(spark, sf_dir):
                     title=f"doc {i}",
                     compress=bool(int(i) % 2),
                     objstm=int(i) % 3 == 0,
+                    # RC4-128 Standard-handler encryption on the
+                    # classic-layout remainder (empty user password)
+                    encrypt=int(i) % 3 == 1,
                 )
                 rows["url"].append(f"doc://{i}")
                 rows["warc_ts"].append(None)

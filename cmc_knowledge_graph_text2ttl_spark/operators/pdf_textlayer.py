@@ -42,7 +42,9 @@ model's top-left origin using /MediaBox height.
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -56,6 +58,80 @@ DESCENT_EM = 0.2
 
 class PdfParseError(ValueError):
     """Raised for PDFs outside the supported text-layer subset."""
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (RC4) — PDF 1.7 §7.6.3
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PDF_PAD)[:32]
+
+
+def _std_file_key(
+    o: bytes, p: int, fid: bytes, rev: int, n: int, user_pw: bytes = b""
+) -> bytes:
+    """Algorithm 2: the file encryption key (n bytes)."""
+    h = hashlib.md5()
+    h.update(_pad_password(user_pw))
+    h.update(o[:32])
+    h.update(struct.pack("<i", p))
+    h.update(fid)
+    key = h.digest()
+    if rev >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_owner_value(owner_pw: bytes, user_pw: bytes, rev: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    key = hashlib.md5(_pad_password(owner_pw)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    rc4key = key[:n]
+    o = _rc4(rc4key, _pad_password(user_pw))
+    if rev >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _std_user_value(file_key: bytes, fid: bytes, rev: int) -> bytes:
+    """Algorithms 4/5: the /U entry (R3+: 16 hash bytes + 16 pad)."""
+    if rev == 2:
+        return _rc4(file_key, _PDF_PAD)
+    h = hashlib.md5(_PDF_PAD + fid).digest()
+    u = _rc4(file_key, h)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +407,8 @@ class _PdfDoc:
         if not self.objects:
             raise PdfParseError("no indirect objects found")
         self._parsed: Dict[int, object] = {}
+        self._enc_key: Optional[bytes] = None
+        self._setup_encryption(data)
         try:
             containers, compressed = self._walk_xref_streams(data)
         except PdfParseError:
@@ -345,6 +423,96 @@ class _PdfDoc:
                 if isinstance(d, dict) and d.get("Type") == ("name", "ObjStm"):
                     containers.append(num)
         self._expand_objstms(containers, compressed)
+
+    def _setup_encryption(self, data: bytes) -> None:
+        """Resolve /Encrypt (classic trailer or XRef-stream dict) and
+        derive the RC4 file key for the EMPTY user password — the only
+        password the web-crawl path can assume. The derived key is
+        verified against /U; a mismatch means a real password, which is
+        a loud per-row error (like PyMuPDF's needs_pass in the
+        reference's stack). AES (R4 /AESV2, R5/R6) raises."""
+        enc = None
+        fid = b""
+        for m in re.finditer(rb"trailer", data):
+            try:
+                d = _parse_value(_Lexer(data[m.end() :]))
+            except PdfParseError:
+                continue
+            if isinstance(d, dict):
+                if "Encrypt" in d:
+                    enc = d["Encrypt"]
+                i = d.get("ID")
+                if isinstance(i, list) and i and isinstance(i[0], bytes):
+                    fid = i[0]
+        if enc is None:
+            for num in sorted(self.objects):
+                try:
+                    d = self.obj(num)
+                except PdfParseError:
+                    continue
+                if (
+                    isinstance(d, dict)
+                    and d.get("Type") == ("name", "XRef")
+                    and "Encrypt" in d
+                ):
+                    enc = d["Encrypt"]
+                    i = self.resolve(d.get("ID"))
+                    if isinstance(i, list) and i and isinstance(i[0], bytes):
+                        fid = i[0]
+                    break
+        if enc is None:
+            return
+        ed = self.resolve(enc)
+        if not isinstance(ed, dict):
+            raise PdfParseError("malformed /Encrypt dictionary")
+        if ed.get("Filter") != ("name", "Standard"):
+            raise PdfParseError(
+                f"unsupported security handler {ed.get('Filter')!r}"
+            )
+        v = int(self.resolve(ed.get("V")) or 0)
+        rev = int(self.resolve(ed.get("R")) or 2)
+        length = int(self.resolve(ed.get("Length")) or 40)
+        if v == 4:
+            # crypt filters: only /V2 (RC4) — /AESV2 needs AES
+            stmf = self.resolve(ed.get("StmF")) or ("name", "Identity")
+            cf = self.resolve(ed.get("CF"))
+            cfm = None
+            if isinstance(cf, dict) and isinstance(stmf, tuple):
+                cfd = self.resolve(cf.get(stmf[1]))
+                if isinstance(cfd, dict):
+                    cfm = cfd.get("CFM")
+            if cfm != ("name", "V2"):
+                raise PdfParseError(
+                    f"unsupported crypt filter {cfm!r} (AES or custom)"
+                )
+        elif v not in (1, 2):
+            raise PdfParseError(f"unsupported /Encrypt /V {v}")
+        o = ed.get("O")
+        u = ed.get("U")
+        p_raw = self.resolve(ed.get("P"))
+        if not isinstance(o, bytes) or len(o) < 32 or p_raw is None:
+            raise PdfParseError("/Encrypt missing /O or /P")
+        p = int(p_raw)
+        if p >= 1 << 31:
+            p -= 1 << 32  # some writers store P as unsigned
+        n = 5 if rev == 2 else max(5, min(16, length // 8))
+        key = _std_file_key(o, p, fid, rev, n)
+        if isinstance(u, bytes):
+            expect = _std_user_value(key, fid, rev)
+            got, want = (u[:16], expect[:16]) if rev >= 3 else (u[:32], expect)
+            if got != want:
+                raise PdfParseError(
+                    "password-protected PDF (empty user password rejected)"
+                )
+        self._enc_key = key
+
+    def _object_key(self, num: int, gen: int = 0) -> bytes:
+        h = hashlib.md5(
+            self._enc_key
+            + struct.pack("<I", num)[:3]
+            + struct.pack("<I", gen)[:2]
+        ).digest()
+        return h[: min(len(self._enc_key) + 5, 16)]
 
     def _walk_xref_streams(self, data: bytes):
         """Follow startxref (+ /Prev chain). Returns (objstm container
@@ -485,6 +653,13 @@ class _PdfDoc:
                 payload = payload[:-2]
             elif payload.endswith((b"\n", b"\r")):
                 payload = payload[:-1]
+        if self._enc_key is not None and not (
+            isinstance(d, dict) and d.get("Type") == ("name", "XRef")
+        ):
+            # every stream except the xref stream is RC4-encrypted with
+            # the per-object key (PDF 1.7 §7.6.2 Algorithm 1; gen 0 —
+            # the raw scan keys objects by number only)
+            payload = _rc4(self._object_key(num), payload)
         filt = d.get("Filter") if isinstance(d, dict) else None
         filt = self.resolve(filt)
         filters: List[object] = (
@@ -787,6 +962,7 @@ def make_table_pdf(
     line_w: float = 0.8,
     page_size: Tuple[float, float] = (612.0, 792.0),
     objstm: bool = False,
+    encrypt: bool = False,
 ) -> bytes:
     """One-page PDF with an optional title paragraph and a ruled table
     whose grid the geometric recognizer detects (4+ lines per axis).
@@ -798,7 +974,13 @@ def make_table_pdf(
     (NO raw ``N 0 obj`` markers for them) and a ``/Type /XRef``
     cross-reference STREAM with PNG Up-predicted /W-packed entries —
     the file is only readable through the xref-stream + ObjStm path.
+    ``encrypt=True`` (classic layout only) applies the Standard
+    security handler, RC4-128 R3, empty user password, owner password
+    "owner" — stream payloads RC4-encrypted with per-object keys, /O
+    and /U computed per Algorithms 3/5, /ID derived from the content.
     """
+    if encrypt and objstm:
+        raise ValueError("encrypt fixture supports the classic layout only")
     n_rows = len(cell_texts)
     n_cols = len(cell_texts[0]) if n_rows else 0
     if n_rows < 3 or n_cols < 3:
@@ -858,6 +1040,44 @@ def make_table_pdf(
     if objstm:
         return _assemble_pdf15(objs)
 
+    trailer_extra = ""
+    if encrypt:
+        rev, n = 3, 16
+        fid = hashlib.md5(b"kg-fixture-id:" + content).digest()
+        o_val = _std_owner_value(b"owner", b"", rev, n)
+        p = -3904  # print/copy denied — a typical protected-PDF mask
+        file_key = _std_file_key(o_val, p, fid, rev, n)
+        u_val = _std_user_value(file_key, fid, rev)
+
+        def objkey(num: int) -> bytes:
+            h = hashlib.md5(
+                file_key
+                + struct.pack("<I", num)[:3]
+                + struct.pack("<I", 0)[:2]
+            ).digest()
+            return h[:16]
+
+        # re-encrypt the content stream (object 4) payload in place
+        enc_stream = _rc4(objkey(4), stream)
+        objs[3] = (
+            f"<< /Length {len(enc_stream)}{filt} >>\nstream\n".encode()
+            + enc_stream
+            + b"\nendstream"
+        )
+
+        def hx(b: bytes) -> str:
+            return "<" + b.hex() + ">"
+
+        objs.append(
+            (
+                "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                f"/P {p} /O {hx(o_val)} /U {hx(u_val)} >>"
+            ).encode()
+        )
+        trailer_extra = (
+            f" /Encrypt {len(objs)} 0 R /ID [{hx(fid)} {hx(fid)}]"
+        )
+
     out = bytearray(b"%PDF-1.4\n")
     offsets: List[int] = []
     for i, body in enumerate(objs, start=1):
@@ -869,7 +1089,7 @@ def make_table_pdf(
     for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(out)

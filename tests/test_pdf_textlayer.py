@@ -324,3 +324,82 @@ class TestObjectStreams:
 
         with pytest.raises(ValueError, match="PNG predictor"):
             _png_unpredict(b"\x09AAAA", columns=4)
+
+
+class TestEncryption:
+    """Standard security handler, RC4, empty user password."""
+
+    CELLS = [["a1", "b1", "c1"], ["a2", "b2", "c2"], ["a3", "b3", "c3"]]
+
+    def test_encrypted_renders_same_as_plain(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
+            pdf_bytes_to_xhtml,
+        )
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        plain = pdf_bytes_to_xhtml(make_table_pdf(self.CELLS, title="T"))
+        for compress in (False, True):
+            enc = make_table_pdf(
+                self.CELLS, title="T", compress=compress, encrypt=True
+            )
+            assert b"/Encrypt" in enc
+            assert pdf_bytes_to_xhtml(enc) == plain
+
+    def test_wrong_user_password_raises(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
+            pdf_bytes_to_xhtml,
+        )
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        blob = bytearray(make_table_pdf(self.CELLS, encrypt=True))
+        i = bytes(blob).find(b"/U <")
+        blob[i + 5] = ord("0") if blob[i + 5] != ord("0") else ord("1")
+        with pytest.raises(ValueError, match="password"):
+            pdf_bytes_to_xhtml(bytes(blob))
+
+    def test_aes_crypt_filter_raises(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
+            pdf_bytes_to_xhtml,
+        )
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        blob = make_table_pdf(self.CELLS, encrypt=True)
+        blob = blob.replace(
+            b"/Filter /Standard /V 2 /R 3 /Length 128",
+            b"/Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/StmF /StdCF /CF << /StdCF << /CFM /AESV2 >> >>",
+        )
+        with pytest.raises(ValueError, match="AES|crypt filter"):
+            pdf_bytes_to_xhtml(blob)
+
+    def test_rc4_known_vector(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import _rc4
+
+        # RFC 6229-style check: Key "Key", plaintext "Plaintext"
+        out = _rc4(b"Key", b"Plaintext")
+        assert out.hex() == "bbf316e8d940af0ad3"
+        assert _rc4(b"Key", out) == b"Plaintext"
+
+    def test_algorithm_values_are_self_consistent(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            _std_file_key,
+            _std_owner_value,
+            _std_user_value,
+        )
+
+        fid = b"\x01" * 16
+        o = _std_owner_value(b"owner", b"", 3, 16)
+        key = _std_file_key(o, -3904, fid, 3, 16)
+        u = _std_user_value(key, fid, 3)
+        assert len(o) == 32 and len(u) == 32
+        # R2 behaves differently and deterministically
+        o2 = _std_owner_value(b"owner", b"", 2, 5)
+        key2 = _std_file_key(o2, -1, fid, 2, 5)
+        assert len(_std_user_value(key2, fid, 2)) == 32
+        assert key != key2
