@@ -1533,10 +1533,22 @@ def _synth_media(spark, sf_dir, solid: bool):
                 else:
                     kind = did % 3
                     if kind == 0:
+                        # decodable gradient — container rotates through
+                        # PNG/BMP/TIFF with IDENTICAL pixel bytes, so
+                        # pixel-level oracles stay container-agnostic
                         px = bytes((did + i) % 256 for i in range(w * h * 3))
-                        blob = MM.encode_png(w, h, px, 3)
+                        sub = (did // 3) % 3
+                        if sub == 0:
+                            blob = MM.encode_png(w, h, px, 3)
+                        elif sub == 1:
+                            blob = MM.encode_bmp(w, h, px, 3)
+                        else:
+                            blob = MM.encode_tiff(w, h, px, 3)
                     elif kind == 1:
-                        blob = MM.encode_gif_header(w, h)
+                        if (did // 3) % 2:
+                            blob = MM.encode_webp_header(w, h)
+                        else:
+                            blob = MM.encode_gif_header(w, h)
                     else:
                         blob = MM.encode_jpeg_header(w, h)
                 ids.append(str(did))
@@ -3100,7 +3112,12 @@ FROM documents
         "media_meta": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        'image' AS media_type,
-       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+       CASE doc_id % 3
+         WHEN 0 THEN CASE (doc_id // 3) % 3
+           WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'tiff' END
+         WHEN 1 THEN CASE (doc_id // 3) % 2
+           WHEN 0 THEN 'gif' ELSE 'webp' END
+         ELSE 'jpeg' END AS format,
        CAST(16 + doc_id % 13 AS INTEGER) AS width,
        CAST(9 + doc_id % 7 AS INTEGER) AS height
 FROM documents

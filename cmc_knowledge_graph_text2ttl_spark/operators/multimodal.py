@@ -120,11 +120,62 @@ def sniff_media(data: Optional[bytes]) -> tuple:
         return ("image", "gif", w, h)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return ("audio", "wav", None, None)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return ("image", "webp") + _webp_dims(data)
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return ("image", "bmp", w, abs(h))  # negative h = top-down rows
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return ("image", "tiff") + _tiff_dims(data)
     if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
         return ("audio", "mp3", None, None)
     if len(data) > 11 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            return ("image", "avif", None, None)
+        if brand in (b"heic", b"heix", b"mif1"):
+            return ("image", "heic", None, None)
         return ("video", "mp4", None, None)
     return ("unknown", None, None, None)
+
+
+def _webp_dims(data: bytes) -> tuple:
+    """(w, h) from the first VP8/VP8L/VP8X chunk, else (None, None)."""
+    tag = data[12:16]
+    if tag == b"VP8 " and len(data) >= 30 and data[23:26] == b"\x9d\x01\x2a":
+        w, h = struct.unpack("<HH", data[26:30])
+        return (w & 0x3FFF, h & 0x3FFF)
+    if tag == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+        bits = int.from_bytes(data[21:25], "little")
+        return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    if tag == b"VP8X" and len(data) >= 30:
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return (w, h)
+    return (None, None)
+
+
+def _tiff_dims(data: bytes) -> tuple:
+    """(ImageWidth, ImageLength) from the first IFD, else (None, None)."""
+    try:
+        end = "<" if data[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(end + "I", data[4:8])
+        (n,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
+        w = h = None
+        for k in range(n):
+            e = data[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
+            tag, ftype = struct.unpack(end + "HH", e[:4])
+            if tag in (256, 257):
+                v = struct.unpack(
+                    end + ("H" if ftype == 3 else "I"), e[8 : 10 if ftype == 3 else 12]
+                )[0]
+                if tag == 256:
+                    w = v
+                else:
+                    h = v
+        return (w, h)
+    except (struct.error, IndexError):
+        return (None, None)
 
 
 def media_metadata(
@@ -332,10 +383,11 @@ def _decode_png_impl(data: bytes) -> Tuple[int, int, int, bytes]:
 
 
 def decode_image(data: bytes):
-    """bytes → (width, height, channels, raw pixels). Real for PNG and
-    GIF (pure stdlib) and baseline JPEG (``operators/jpeg.py``, pure
-    Python + numpy); other formats raise ``NotImplementedError`` —
-    inject a decoder via ``extract_features(decoder=...)``."""
+    """bytes → (width, height, channels, raw pixels). Real for PNG,
+    GIF, BMP and uncompressed TIFF (pure stdlib) and JPEG
+    (``operators/jpeg.py``, pure Python + numpy); other formats raise
+    ``NotImplementedError`` — inject a decoder via
+    ``extract_features(decoder=...)``."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -344,11 +396,219 @@ def decode_image(data: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
     mtype, fmt, _, _ = sniff_media(data)
     raise NotImplementedError(
-        f"no pure-Python decoder for {mtype}/{fmt}; PNG, GIF and baseline "
-        "JPEG are supported — inject decoder= for other codecs"
+        f"no pure-Python decoder for {mtype}/{fmt}; PNG, GIF, BMP, "
+        "uncompressed TIFF and JPEG are supported — inject decoder= for "
+        "other codecs"
     )
+
+
+def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Uncompressed Windows BMP (BI_RGB, 8-bit palette / 24 / 32-bit)
+    → (w, h, channels, row-major RGB(A) pixels). BMP stores rows
+    bottom-up (unless height < 0) with BGR byte order and 4-byte row
+    padding — all normalized here."""
+    try:
+        if data[:2] != b"BM":
+            raise ValueError("not a BMP")
+        (pix_off,) = struct.unpack("<I", data[10:14])
+        (hdr_size,) = struct.unpack("<I", data[14:18])
+        if hdr_size < 40:
+            raise ValueError(f"BMP core-header size {hdr_size} unsupported")
+        w, h = struct.unpack("<ii", data[18:26])
+        planes, bpp = struct.unpack("<HH", data[26:30])
+        (comp,) = struct.unpack("<I", data[30:34])
+        if comp != 0:
+            raise ValueError(f"BMP compression {comp} unsupported (BI_RGB only)")
+        if bpp not in (8, 24, 32):
+            raise ValueError(f"BMP bit depth {bpp} unsupported")
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h <= 0 or w * h > 64_000_000:
+            raise ValueError(f"BMP dimensions {w}x{h} out of range")
+        palette = None
+        if bpp == 8:
+            (n_colors,) = struct.unpack("<I", data[46:50])
+            n_colors = n_colors or 256
+            pal_off = 14 + hdr_size
+            palette = data[pal_off : pal_off + 4 * n_colors]
+            if len(palette) < 4 * n_colors:
+                raise ValueError("BMP palette truncated")
+        stride = (w * bpp // 8 + 3) & ~3
+        ch = 4 if bpp == 32 else 3
+        out = bytearray(w * h * ch)
+        for row in range(h):
+            src = pix_off + (row if top_down else h - 1 - row) * stride
+            line = data[src : src + stride]
+            if len(line) < w * bpp // 8:
+                raise ValueError("BMP pixel data truncated")
+            for x in range(w):
+                o = (row * w + x) * ch
+                if bpp == 8:
+                    idx = line[x] * 4
+                    out[o] = palette[idx + 2]
+                    out[o + 1] = palette[idx + 1]
+                    out[o + 2] = palette[idx]
+                elif bpp == 24:
+                    b_, g, r = line[3 * x : 3 * x + 3]
+                    out[o], out[o + 1], out[o + 2] = r, g, b_
+                else:
+                    b_, g, r, a = line[4 * x : 4 * x + 4]
+                    out[o], out[o + 1], out[o + 2], out[o + 3] = r, g, b_, a
+        return (w, h, ch, bytes(out))
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt BMP stream: {type(ex).__name__}: {ex}") from ex
+
+
+def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Baseline uncompressed TIFF (Compression=1, chunky planar, 8-bit
+    gray or RGB(A), strip layout) → (w, h, channels, pixels). Both byte
+    orders; multi-strip images concatenate in strip order."""
+    try:
+        end = "<" if data[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(end + "I", data[4:8])
+        (n,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
+        tags: Dict[int, list] = {}
+        for k in range(n):
+            e = data[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
+            tag, ftype, count = struct.unpack(end + "HHI", e[:8])
+            unit = {1: 1, 3: 2, 4: 4}.get(ftype)
+            if unit is None:
+                continue
+            fmt = {1: "B", 3: "H", 4: "I"}[ftype]
+            total = unit * count
+            raw = (
+                e[8 : 8 + total]
+                if total <= 4
+                else data[
+                    struct.unpack(end + "I", e[8:12])[0] : struct.unpack(
+                        end + "I", e[8:12]
+                    )[0]
+                    + total
+                ]
+            )
+            if len(raw) < total:
+                raise ValueError(f"TIFF tag {tag} value truncated")
+            tags[tag] = list(struct.unpack(f"{end}{count}{fmt}", raw))
+        w = tags.get(256, [None])[0]
+        h = tags.get(257, [None])[0]
+        if not w or not h:
+            raise ValueError("TIFF missing ImageWidth/ImageLength")
+        comp = tags.get(259, [1])[0]
+        if comp != 1:
+            raise ValueError(f"TIFF compression {comp} unsupported (none only)")
+        bits = tags.get(258, [8])
+        if any(b != 8 for b in bits):
+            raise ValueError(f"TIFF bits-per-sample {bits} unsupported")
+        spp = tags.get(277, [len(bits)])[0]
+        if spp not in (1, 3, 4):
+            raise ValueError(f"TIFF samples-per-pixel {spp} unsupported")
+        if tags.get(284, [1])[0] != 1:
+            raise ValueError("TIFF planar configuration 2 unsupported")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets:
+            raise ValueError("TIFF missing StripOffsets")
+        if not counts:
+            counts = [w * h * spp // len(offsets)] * len(offsets)
+        out = bytearray()
+        for off, cnt in zip(offsets, counts):
+            chunk = data[off : off + cnt]
+            if len(chunk) < cnt:
+                raise ValueError("TIFF strip truncated")
+            out += chunk
+        if len(out) < w * h * spp:
+            raise ValueError("TIFF pixel data incomplete")
+        return (w, h, spp, bytes(out[: w * h * spp]))
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt TIFF stream: {type(ex).__name__}: {ex}") from ex
+
+
+def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Deterministic BMP fixture encoder (bottom-up, BI_RGB)."""
+    if channels not in (3, 4):
+        raise ValueError("BMP encoder is 24/32-bit only")
+    bpp = channels * 8
+    stride = (width * channels + 3) & ~3
+    body = bytearray()
+    for row in range(height - 1, -1, -1):
+        line = bytearray()
+        for x in range(width):
+            o = (row * width + x) * channels
+            px = pixels[o : o + channels]
+            line += bytes([px[2], px[1], px[0]]) + (
+                bytes([px[3]]) if channels == 4 else b""
+            )
+        body += line + b"\x00" * (stride - len(line))
+    hdr = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM",
+        54 + len(body),
+        0,
+        0,
+        54,
+        40,
+        width,
+        height,
+        1,
+        bpp,
+        0,
+        len(body),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return hdr + bytes(body)
+
+
+def encode_tiff(
+    width: int, height: int, pixels: bytes, channels: int = 3, big_endian: bool = False
+) -> bytes:
+    """Deterministic baseline TIFF fixture encoder (one strip)."""
+    end = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    pix = bytes(pixels)
+    ifd_off = 8 + len(pix)
+
+    def entry(tag: int, ftype: int, count: int, value: int) -> bytes:
+        e = struct.pack(end + "HHI", tag, ftype, count)
+        if ftype == 3 and count == 1:
+            return e + struct.pack(end + "HH", value, 0)
+        return e + struct.pack(end + "I", value)
+
+    entries = [
+        entry(256, 4, 1, width),
+        entry(257, 4, 1, height),
+        entry(259, 3, 1, 1),  # no compression
+        entry(262, 3, 1, 2 if channels >= 3 else 1),  # photometric
+        entry(273, 4, 1, 8),  # strip offset: right after header
+        entry(277, 3, 1, channels),
+        entry(279, 4, 1, len(pix)),
+        entry(284, 3, 1, 1),  # chunky
+    ]
+    if channels >= 3:
+        # BitsPerSample [8,8,8(,8)] — stored out-of-line
+        bps_off = ifd_off + 2 + 12 * (len(entries) + 1) + 4
+        entries.insert(
+            2, entry(258, 3, channels, bps_off)
+        )
+        tail = struct.pack(f"{end}{channels}H", *([8] * channels))
+    else:
+        entries.insert(2, entry(258, 3, 1, 8))
+        tail = b""
+    entries.sort(key=lambda e: struct.unpack(end + "H", e[:2])[0])
+    ifd = (
+        struct.pack(end + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(end + "I", 0)
+    )
+    return magic + struct.pack(end + "I", ifd_off) + pix + ifd + tail
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> List[int]:
@@ -788,6 +1048,14 @@ def encode_png_ex(
 def encode_gif_header(width: int, height: int) -> bytes:
     """Minimal GIF89a header+trailer (enough for header-level metadata)."""
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def encode_webp_header(width: int, height: int) -> bytes:
+    """Minimal lossy-WebP container (VP8 keyframe header carrying the
+    dimensions — enough for header-level metadata, not decodable)."""
+    frame = b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+    vp8 = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
 
 
 def encode_jpeg_header(width: int, height: int) -> bytes:

@@ -1013,3 +1013,97 @@ class TestGifCodec:
         w, h, ch, px = mm.decode_image(blob)
         assert (w, h, ch) == (3, 1, 3)
         assert px == b"\xff\x00\x00\x00\xff\x00\x00\x00\xff"
+
+
+class TestBmpTiffWebp:
+    """BMP / baseline-TIFF decode + WebP/AVIF header sniffing."""
+
+    def test_bmp_roundtrip_24_and_32(self):
+        w, h = 13, 7
+        for ch in (3, 4):
+            px = bytes((x * 31 + y * 57 + c * 11) % 256
+                       for y in range(h) for x in range(w) for c in range(ch))
+            assert mm.decode_bmp(mm.encode_bmp(w, h, px, ch)) == (w, h, ch, px)
+            assert mm.sniff_media(mm.encode_bmp(w, h, px, ch)) == (
+                "image", "bmp", w, h)
+
+    def test_bmp_8bit_palette(self):
+        w, h = 13, 5
+        pal = b"".join(bytes([i, 255 - i, (i * 3) % 256, 0])
+                       for i in range(256))
+        idx = bytes((x + y) % 256 for y in range(h) for x in range(w))
+        stride = (w + 3) & ~3
+        body = b"".join(
+            bytes(idx[(h - 1 - r) * w:(h - 1 - r) * w + w])
+            + b"\x00" * (stride - w)
+            for r in range(h))
+        hdr = struct.pack("<2sIHHIIiiHHIIiiII", b"BM",
+                          54 + 1024 + len(body), 0, 0, 54 + 1024, 40,
+                          w, h, 1, 8, 0, len(body), 0, 0, 256, 0)
+        got = mm.decode_bmp(hdr + pal + body)
+        exp = b"".join(bytes([pal[i * 4 + 2], pal[i * 4 + 1], pal[i * 4]])
+                       for i in idx)
+        assert got == (w, h, 3, exp)
+
+    def test_bmp_top_down_negative_height(self):
+        w, h = 4, 3
+        px = bytes(range(w * h * 3))
+        blob = bytearray(mm.encode_bmp(w, h, px, 3))
+        # flip to top-down: negate height and reverse the row order
+        struct.pack_into("<i", blob, 22, -h)
+        stride = (w * 3 + 3) & ~3
+        rows = [bytes(blob[54 + i * stride:54 + (i + 1) * stride])
+                for i in range(h)]
+        blob[54:] = b"".join(reversed(rows))
+        assert mm.decode_bmp(bytes(blob)) == (w, h, 3, px)
+
+    def test_bmp_rle_compression_rejected(self):
+        blob = bytearray(mm.encode_bmp(2, 2, bytes(12), 3))
+        struct.pack_into("<I", blob, 30, 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="compression"):
+            mm.decode_bmp(bytes(blob))
+
+    def test_tiff_roundtrip_both_byte_orders(self):
+        w, h = 11, 6
+        for ch in (1, 3, 4):
+            for be in (False, True):
+                px = bytes((x * 13 + y * 29 + c * 7) % 256
+                           for y in range(h) for x in range(w)
+                           for c in range(ch))
+                t = mm.encode_tiff(w, h, px, ch, big_endian=be)
+                assert mm.decode_tiff(t) == (w, h, ch, px), (ch, be)
+                assert mm.sniff_media(t) == ("image", "tiff", w, h)
+
+    def test_tiff_lzw_rejected(self):
+        t = bytearray(mm.encode_tiff(4, 4, bytes(48), 3))
+        i = bytes(t).find(struct.pack("<HH", 259, 3))
+        struct.pack_into("<H", t, i + 8, 5)  # Compression = LZW
+        with pytest.raises(ValueError, match="compression"):
+            mm.decode_tiff(bytes(t))
+
+    def test_webp_dims_all_three_chunk_kinds(self):
+        assert mm.sniff_media(mm.encode_webp_header(640, 480)) == (
+            "image", "webp", 640, 480)
+        bits = 639 | (479 << 14)
+        vp8l = (b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8L"
+                + struct.pack("<I", 10) + b"\x2f" + struct.pack("<I", bits)
+                + b"\x00" * 4)
+        assert mm.sniff_media(vp8l) == ("image", "webp", 640, 480)
+        vp8x = (b"RIFF" + struct.pack("<I", 30) + b"WEBPVP8X"
+                + struct.pack("<I", 10) + b"\x00" * 4
+                + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+                + b"\x00" * 4)
+        assert mm.sniff_media(vp8x) == ("image", "webp", 100, 50)
+
+    def test_ftyp_brands(self):
+        assert mm.sniff_media(b"\x00\x00\x00\x20ftypavif" + b"\x00" * 8)[:2] \
+            == ("image", "avif")
+        assert mm.sniff_media(b"\x00\x00\x00\x20ftypheic" + b"\x00" * 8)[:2] \
+            == ("image", "heic")
+        assert mm.sniff_media(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8)[:2] \
+            == ("video", "mp4")
+
+    def test_decode_image_dispatches_bmp_tiff(self):
+        px = bytes(range(36))
+        assert mm.decode_image(mm.encode_bmp(4, 3, px, 3))[3] == px
+        assert mm.decode_image(mm.encode_tiff(4, 3, px, 3))[3] == px
