@@ -1752,7 +1752,11 @@ def _synth_jpegs(spark, sf_dir):
     DC-only coefficients with quantizer 8, so the decoded pixels are
     exactly the block values. Odd doc_ids are PROGRESSIVE (SOF2,
     4-scan successive approximation) over the same blocks — both
-    codings must hit the identical closed-form oracle pixels."""
+    codings must hit the identical closed-form oracle pixels.
+    doc_id%5==0 instead emits a 4-component Adobe CMYK (APP14
+    transform 0) whose component c carries (d*17 + i*29 + c*41) mod
+    256 — the decoder's 4-plane packing under the same integer
+    oracle."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
@@ -1765,6 +1769,20 @@ def _synth_jpegs(spark, sf_dir):
             for did in pdf["doc_id"]:
                 did = int(did)
                 bw, bh = 1 + did % 3, 1 + did % 2
+                if did % 5 == 0:
+                    comp_blocks = [
+                        [
+                            [((did * 17 + i * 29 + c * 41) % 256) - 128]
+                            + [0] * 63
+                            for i in range(bw * bh)
+                        ]
+                        for c in range(4)
+                    ]
+                    ids.append(str(did))
+                    blobs.append(
+                        JP.encode_jpeg_cmyk(bw * 8, bh * 8, comp_blocks)
+                    )
+                    continue
                 blocks = [
                     [((did * 17 + i * 29) % 256) - 128] + [0] * 63
                     for i in range(bw * bh)
@@ -3332,12 +3350,31 @@ WITH base AS (
   SELECT doc_id, max(bw) * 8 AS w, max(bh) * 8 AS h,
          CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
   FROM v GROUP BY doc_id
+), cmyk AS (
+  SELECT b.doc_id, b.bw, b.bh, c.c,
+         CAST(SUM((b.doc_id * 17 + b.i * 29 + c.c * 41) % 256) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM blk b, generate_series(0, 3) c(c)
+  WHERE b.doc_id % 5 = 0
+  GROUP BY b.doc_id, b.bw, b.bh, c.c
 )
 SELECT CAST(doc_id AS VARCHAR) AS media_id, f.feature, f.value
 FROM agg, LATERAL (VALUES
   ('width', CAST(w AS DOUBLE)), ('height', CAST(h AS DOUBLE)),
   ('channels', CAST(1 AS DOUBLE)), ('mean_c0', m)
 ) AS f(feature, value)
+WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), f.feature, f.value
+FROM (SELECT doc_id, max(bw) * 8 AS w, max(bh) * 8 AS h FROM cmyk
+      GROUP BY doc_id) d,
+     LATERAL (VALUES
+  ('width', CAST(w AS DOUBLE)), ('height', CAST(h AS DOUBLE)),
+  ('channels', CAST(4 AS DOUBLE))
+) AS f(feature, value)
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'mean_c' || CAST(c AS VARCHAR), m
+FROM cmyk
 """,
         # GIF decode oracle: re-derive every pixel from the generation
         # formula (index (d+i)%4 into the j*37/j*59/j*83 palette);

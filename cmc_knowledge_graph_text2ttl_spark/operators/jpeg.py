@@ -11,7 +11,8 @@ every executor.
 Scope: baseline sequential DCT (SOF0) and progressive DCT (SOF2 — the
 majority coding of real web corpora: spectral selection, successive
 approximation, DC/AC first + refinement scans, EOB runs, interleaved
-DC scans), 8-bit, 1 or 3 components, any H/V sampling factors up to 2
+DC scans), 8-bit, 1/3/4 components (Adobe APP14 CMYK + YCCK), any
+H/V sampling factors up to 2
 (4:4:4, 4:2:2, 4:2:0). Arithmetic coding, hierarchical and 12-bit
 raise ``NotImplementedError``.
 
@@ -39,6 +40,7 @@ __all__ = [
     "encode_jpeg_blocks",
     "encode_jpeg_ycbcr444",
     "encode_jpeg_ycbcr420",
+    "encode_jpeg_cmyk",
     "ZIGZAG",
 ]
 
@@ -209,6 +211,7 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
     restart_interval = 0
     progressive = False
     saw_scan = False
+    adobe_transform = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
@@ -257,6 +260,9 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            # color-transform byte: 0 = none (CMYK/RGB), 2 = YCCK
+            adobe_transform = body[11] if len(body) >= 12 else None
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             scan_pos = pos + 2 + seglen
             if not progressive:
@@ -267,7 +273,8 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
                         if c["id"] == cid:
                             c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
                 return _decode_scan(
-                    data, scan_pos, w, h, comps, qt, huff, restart_interval
+                    data, scan_pos, w, h, comps, qt, huff, restart_interval,
+                    adobe_transform,
                 )
             if not saw_scan:
                 _alloc_progressive(comps, w, h)
@@ -278,11 +285,12 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
             continue
         pos += 2 + seglen
     if progressive and saw_scan:
-        return _reconstruct_progressive(comps, qt, w, h)
+        return _reconstruct_progressive(comps, qt, w, h, adobe_transform)
     raise ValueError("JPEG has no scan data")
 
 
-def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
+def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval,
+                 transform=None):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -314,12 +322,18 @@ def _decode_scan(data, pos, w, h, comps, qt, huff, restart_interval):
             except _RestartMarker:
                 raise ValueError("restart marker inside an MCU")
             mcu_count += 1
-    return _finish_planes(comps, w, h, hmax, vmax)
+    return _finish_planes(comps, w, h, hmax, vmax, transform)
 
 
-def _finish_planes(comps, w, h, hmax, vmax) -> Tuple[int, int, int, bytes]:
+def _finish_planes(comps, w, h, hmax, vmax,
+                   transform=None) -> Tuple[int, int, int, bytes]:
     """Upsample each component plane to full resolution, color-convert
-    and pack — shared by the baseline and progressive paths."""
+    and pack — shared by the baseline and progressive paths.
+
+    4-component images return CMYK samples AS STORED (the libjpeg
+    convention — Adobe ink inversion is NOT undone): APP14 transform 2
+    (YCCK) converts the first three planes through the YCbCr matrix and
+    inverts, transform 0/absent packs the planes directly."""
     planes = []
     for c in comps:
         p = c["plane"]
@@ -329,6 +343,23 @@ def _finish_planes(comps, w, h, hmax, vmax) -> Tuple[int, int, int, bytes]:
     if len(comps) == 1:
         gray = np.clip(np.floor(planes[0] + 128.5), 0, 255).astype(np.uint8)
         return (w, h, 1, gray.tobytes())
+    if len(comps) == 4:
+        if transform == 2:  # YCCK
+            y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+            chans = [
+                255.0 - (y + 1.402 * cr),
+                255.0 - (y - 0.344136 * cb - 0.714136 * cr),
+                255.0 - (y + 1.772 * cb),
+                planes[3] + 128.0,
+            ]
+        else:  # CMYK stored directly
+            chans = [p + 128.0 for p in planes]
+        out = np.stack(
+            [np.clip(np.floor(x + 0.5), 0, 255) for x in chans], axis=-1
+        ).astype(np.uint8)
+        return (w, h, 4, out.tobytes())
+    if len(comps) != 3:
+        raise ValueError(f"JPEG with {len(comps)} components unsupported")
     y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -568,7 +599,8 @@ def _decode_progressive_scan(
     raise ValueError("progressive scan ran past end of file")
 
 
-def _reconstruct_progressive(comps, qt, w, h) -> Tuple[int, int, int, bytes]:
+def _reconstruct_progressive(comps, qt, w, h,
+                             transform=None) -> Tuple[int, int, int, bytes]:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -584,7 +616,7 @@ def _reconstruct_progressive(comps, qt, w, h) -> Tuple[int, int, int, bytes]:
                     coeffs.reshape(8, 8)
                 )
         c["plane"] = plane
-    return _finish_planes(comps, w, h, hmax, vmax)
+    return _finish_planes(comps, w, h, hmax, vmax, transform)
 
 
 # ---------------------------------------------------------------------------
@@ -624,7 +656,7 @@ def _category(v: int) -> int:
 
 def _assemble_jpeg(
     width: int, height: int, q: List[int], comps_sof: bytes,
-    sos_comps: bytes, scan: bytes,
+    sos_comps: bytes, scan: bytes, adobe_transform: Optional[int] = None,
 ) -> bytes:
     """Shared segment framing for all fixture encoders: DQT (zigzag,
     table 0) + SOF0 + the Annex K DHT pair + SOS + scan + EOI."""
@@ -634,8 +666,15 @@ def _assemble_jpeg(
 
     zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
     ncomp = len(comps_sof) // 3
+    app14 = b""
+    if adobe_transform is not None:
+        app14 = seg(
+            0xEE, b"Adobe" + b"\x00\x64\x00\x00\x00\x00"
+            + bytes([adobe_transform])
+        )
     return (
         b"\xff\xd8"
+        + app14
         + seg(0xDB, b"\x00" + zz_q)
         + seg(0xC0, struct.pack(">BHHB", 8, height, width, ncomp) + comps_sof)
         + seg(
@@ -739,6 +778,41 @@ def encode_jpeg_ycbcr444(
         width, height, q,
         b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
         b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00", scan,
+    )
+
+
+def encode_jpeg_cmyk(
+    width: int,
+    height: int,
+    blocks: List[List[List[int]]],
+    quant: Optional[List[int]] = None,
+    ycck: bool = False,
+) -> bytes:
+    """Deterministic 4-component 4:4:4 baseline JPEG (Adobe APP14):
+    ``blocks`` is four per-component block lists; ``ycck=True`` marks
+    the stored planes as YCCK (transform 2), else direct CMYK
+    (transform 0) — exercising the decoder's 4-plane packing and the
+    YCCK inversion path."""
+    if len(blocks) != 4:
+        raise ValueError("need exactly 4 component block lists")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    for ci, blks in enumerate(blocks):
+        if len(blks) != bw * bh:
+            raise ValueError(f"component {ci}: need {bw * bh} blocks")
+    q = quant if quant is not None else [8] * 64
+    dc_codes = _huffman_codes(_DC_LUM_COUNTS, _DC_LUM_SYMBOLS)
+    ac_codes = _huffman_codes(_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)
+    bwr = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for i in range(bw * bh):
+        for ci in range(4):
+            preds[ci] = _write_block(bwr, blocks[ci][i], preds[ci], dc_codes, ac_codes)
+    scan = bwr.flush()
+    return _assemble_jpeg(
+        width, height, q,
+        b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00",
+        b"\x04\x01\x00\x02\x00\x03\x00\x04\x00\x00\x3f\x00", scan,
+        adobe_transform=2 if ycck else 0,
     )
 
 

@@ -266,3 +266,48 @@ class TestProgressive:
         assert J.encode_jpeg_progressive(8, 8, blocks) == J.encode_jpeg_progressive(
             8, 8, blocks
         )
+
+
+class TestCmyk:
+    """4-component Adobe JPEGs (APP14): direct CMYK and YCCK."""
+
+    @staticmethod
+    def _dc(vals):
+        return [[v] + [0] * 63 for v in vals]
+
+    def test_direct_cmyk_planes_pack_as_stored(self):
+        blocks = [self._dc([10, -10]), self._dc([5, 5]),
+                  self._dc([0, 1]), self._dc([-3, 4])]
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg_cmyk(16, 8, blocks))
+        assert (w, h, ch) == (16, 8, 4)
+        assert px[0:4] == bytes([138, 133, 128, 125])
+        assert px[8 * 4:8 * 4 + 4] == bytes([118, 133, 129, 132])
+
+    def test_ycck_transform_inverts_through_ycbcr(self):
+        import math
+
+        blocks = [self._dc([10]), self._dc([5]),
+                  self._dc([0]), self._dc([-3])]
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg_cmyk(8, 8, blocks, ycck=True))
+        assert ch == 4
+        y, cb, cr = 138.0, 5.0, 0.0
+        exp = [
+            math.floor(255 - (y + 1.402 * cr) + 0.5),
+            math.floor(255 - (y - 0.344136 * cb - 0.714136 * cr) + 0.5),
+            math.floor(255 - (y + 1.772 * cb) + 0.5),
+            125,
+        ]
+        assert list(px[0:4]) == exp
+
+    def test_two_component_jpeg_rejected(self):
+        blob = bytearray(J.encode_jpeg_cmyk(
+            8, 8, [self._dc([0])] * 4))
+        # patch SOF ncomp down to 2 and truncate its component list
+        i = bytes(blob).find(b"\xff\xc0")
+        assert i > 0
+        import struct as _s
+        blob[i + 2:i + 4] = _s.pack(">H", 2 + 6 + 2 * 3)
+        blob[i + 9] = 2
+        del blob[i + 10 + 6:i + 10 + 12]
+        with pytest.raises(ValueError, match="components"):
+            J.decode_jpeg(bytes(blob))
