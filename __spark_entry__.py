@@ -2090,6 +2090,42 @@ def q_feed_parse(spark, sf_dir):
     return FD.parse_feeds(df)
 
 
+def q_media_exif(spark, sf_dir):
+    """EXIF extraction under the gate: each doc gets a JPEG whose APP1
+    carries orientation/make/model in IFD0 and DateTime in the Exif
+    sub-IFD (inline AND out-of-line ASCII values both exercised); the
+    oracle re-states every field from the same word/id arithmetic."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = t.split(" ")
+                w0 = words[0] if words else "pad"
+                w1 = words[1] if len(words) > 1 else "pad"
+                blobs.append(
+                    MM.encode_jpeg_exif(
+                        16 + did % 13,
+                        9 + did % 7,
+                        orientation=did % 8 + 1,
+                        make=f"cam {w0}",
+                        model=f"{w1} {did}",
+                        taken_at=f"2020:01:01 00:00:{did % 60:02d}",
+                    )
+                )
+                ids.append(str(did))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    return MM.image_exif(media)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2275,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r4) --------------------------------
+        "media_exif": q_media_exif,               # EXIF APP1/IFD extraction
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2326,8 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": q_tpch_rollup,
         "orders_without_lineitems": q_orders_without_lineitems,
         "events_json_props": q_events_json_props,
-        "events_sessions": q_events_sessions,
         # ---- 50-entry driver window ends here --------------------------
+        "events_sessions": q_events_sessions,
         # -- group 4: driver-verified green in rounds 2 AND 3 ------------
         "kg_mentions": q_kg_mentions,
         "kg_doc_stats": q_kg_doc_stats,
@@ -3126,6 +3163,18 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
        substr(text, 1, 150) AS text,
        CAST(2 AS BIGINT) AS n_boilerplate_lines
 FROM documents
+""",
+        "media_exif": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       'cam ' || coalesce(ws[1], 'pad') AS make,
+       coalesce(ws[2], 'pad') || ' ' || CAST(doc_id AS VARCHAR) AS model,
+       '2020:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+         AS taken_at
+FROM w
 """,
         "media_meta": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -155,6 +155,213 @@ def _webp_dims(data: bytes) -> tuple:
     return (None, None)
 
 
+def _ifd_tags(data: bytes, wanted: frozenset) -> dict:
+    """TIFF IFD walk (IFD0 + the ExifIFD it points at) → {tag: value}
+    for the ``wanted`` tags. Values: SHORT/LONG → int, ASCII → str.
+    Raises nothing — malformed structures just yield fewer tags."""
+    out: dict = {}
+    try:
+        end = "<" if data[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(end + "I", data[4:8])
+        queue = [ifd_off]
+        seen = set()
+        while queue:
+            off = queue.pop()
+            if off in seen or off + 2 > len(data):
+                continue
+            seen.add(off)
+            (n,) = struct.unpack(end + "H", data[off : off + 2])
+            for k in range(min(n, 512)):
+                e = data[off + 2 + 12 * k : off + 14 + 12 * k]
+                if len(e) < 12:
+                    break
+                tag, ftype, count = struct.unpack(end + "HHI", e[:8])
+                if tag == 0x8769:  # ExifIFD pointer
+                    queue.append(struct.unpack(end + "I", e[8:12])[0])
+                    continue
+                if tag not in wanted:
+                    continue
+                if ftype == 3 and count == 1:
+                    out[tag] = struct.unpack(end + "H", e[8:10])[0]
+                elif ftype == 4 and count == 1:
+                    out[tag] = struct.unpack(end + "I", e[8:12])[0]
+                elif ftype == 2:  # ASCII, NUL-terminated
+                    raw = (
+                        e[8 : 8 + count]
+                        if count <= 4
+                        else data[
+                            struct.unpack(end + "I", e[8:12])[0] :
+                        ][:count]
+                    )
+                    out[tag] = raw.split(b"\x00")[0].decode(
+                        "latin-1", "replace"
+                    )
+    except (struct.error, IndexError):
+        pass
+    return out
+
+
+_EXIF_TAGS = frozenset({256, 257, 271, 272, 274, 306})
+
+
+def parse_exif(data: bytes) -> dict:
+    """EXIF fields from a JPEG's APP1 segment or a bare TIFF:
+    {'orientation', 'make', 'model', 'taken_at'} — keys absent when the
+    container has no EXIF or lacks the tag."""
+    tiff = None
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        tiff = data
+    elif data[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = data[pos + 10 : pos + 2 + ln]
+                break
+            if marker == 0xDA:
+                break
+            pos += 2 + ln
+    if tiff is None:
+        return {}
+    tags = _ifd_tags(tiff, _EXIF_TAGS)
+    out = {}
+    if 274 in tags:
+        out["orientation"] = int(tags[274])
+    if 271 in tags:
+        out["make"] = tags[271]
+    if 272 in tags:
+        out["model"] = tags[272]
+    if 306 in tags:
+        out["taken_at"] = tags[306]
+    return out
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("orientation", IntegerType(), True),
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("taken_at", StringType(), True),
+    ]
+)
+
+
+def image_exif(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """binary column → EXIF metadata table (header-only, no decode) —
+    the orientation/provenance signals an image-dedup or curation
+    pipeline keys on. Bytes-local like media_metadata; rows without
+    EXIF yield all-null fields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in EXIF_SCHEMA.fields}
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                tags = parse_exif(bytes(raw)) if raw is not None else {}
+                rows["media_id"].append(str(mid))
+                ori = tags.get("orientation")
+                rows["orientation"].append(
+                    int(ori) if ori is not None else None
+                )
+                rows["make"].append(tags.get("make"))
+                rows["model"].append(tags.get("model"))
+                rows["taken_at"].append(tags.get("taken_at"))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+def encode_jpeg_exif(
+    width: int,
+    height: int,
+    orientation: int = 1,
+    make: str = "",
+    model: str = "",
+    taken_at: str = "",
+) -> bytes:
+    """Minimal JFIF stream: APP1 EXIF (IFD0 with orientation/make/
+    model + an ExifIFD holding DateTime) + an SOF0 with the dims —
+    the deterministic fixture counterpart of :func:`parse_exif`."""
+    entries = []  # (tag, type, count, value-bytes or int)
+    tail = bytearray()
+
+    def ascii_entry(tag: int, s: str) -> None:
+        raw = s.encode("latin-1") + b"\x00"
+        if len(raw) <= 4:
+            entries.append((tag, 2, len(raw), raw + b"\x00" * (4 - len(raw))))
+        else:
+            entries.append((tag, 2, len(raw), raw))
+
+    entries.append((274, 3, 1, struct.pack("<HH", orientation, 0)))
+    if make:
+        ascii_entry(271, make)
+    if model:
+        ascii_entry(272, model)
+    n0 = len(entries) + 1  # + ExifIFD pointer
+    # IFD0 layout: header(8) + count(2) + 12*n0 + next(4), then out-of-line
+    # values, then the Exif sub-IFD
+    value_off = 8 + 2 + 12 * n0 + 4
+    fixed: List[bytes] = []
+    for tag, ftype, count, val in entries:
+        if isinstance(val, bytes) and len(val) > 4:
+            fixed.append(
+                struct.pack("<HHII", tag, ftype, count, value_off + len(tail))
+            )
+            tail.extend(val)
+        else:
+            fixed.append(struct.pack("<HHI", tag, ftype, count) + val)
+    exif_ifd_off = value_off + len(tail)
+    fixed.append(struct.pack("<HHII", 0x8769, 4, 1, exif_ifd_off))
+    fixed.sort()
+    sub_entries = []
+    sub_tail = bytearray()
+    if taken_at:
+        raw = taken_at.encode("latin-1") + b"\x00"
+        sub_value_off = exif_ifd_off + 2 + 12 + 4
+        if len(raw) <= 4:
+            sub_entries.append(
+                struct.pack("<HHI", 306, 2, len(raw))
+                + raw
+                + b"\x00" * (4 - len(raw))
+            )
+        else:
+            sub_entries.append(struct.pack("<HHII", 306, 2, len(raw), sub_value_off))
+            sub_tail.extend(raw)
+    sub_ifd = (
+        struct.pack("<H", len(sub_entries))
+        + b"".join(sub_entries)
+        + b"\x00\x00\x00\x00"
+        + bytes(sub_tail)
+    )
+    tiff = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", n0)
+        + b"".join(fixed)
+        + b"\x00\x00\x00\x00"
+        + bytes(tail)
+        + sub_ifd
+    )
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+
 def _tiff_dims(data: bytes) -> tuple:
     """(ImageWidth, ImageLength) from the first IFD, else (None, None)."""
     try:

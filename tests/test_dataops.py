@@ -1107,3 +1107,54 @@ class TestBmpTiffWebp:
         px = bytes(range(36))
         assert mm.decode_image(mm.encode_bmp(4, 3, px, 3))[3] == px
         assert mm.decode_image(mm.encode_tiff(4, 3, px, 3))[3] == px
+
+
+class TestExif:
+    """EXIF APP1/IFD parsing (operators/multimodal.py)."""
+
+    def test_roundtrip_all_fields(self):
+        b = mm.encode_jpeg_exif(640, 480, orientation=6, make="CanonX",
+                                model="EOS Fixture 5",
+                                taken_at="2023:05:01 12:00:07")
+        assert mm.parse_exif(b) == {
+            "orientation": 6, "make": "CanonX", "model": "EOS Fixture 5",
+            "taken_at": "2023:05:01 12:00:07",
+        }
+        # the APP1 segment must not break dimension sniffing
+        assert mm.sniff_media(b) == ("image", "jpeg", 640, 480)
+
+    def test_inline_short_ascii_values(self):
+        b = mm.encode_jpeg_exif(8, 8, orientation=1, make="abc",
+                                taken_at="xy")
+        assert mm.parse_exif(b) == {
+            "orientation": 1, "make": "abc", "taken_at": "xy"}
+
+    def test_no_exif_and_non_jpeg(self):
+        assert mm.parse_exif(mm.encode_jpeg_header(3, 3)) == {}
+        assert mm.parse_exif(b"\x89PNG\r\n\x1a\nxxxx") == {}
+        assert mm.parse_exif(b"") == {}
+
+    def test_big_endian_tiff_body(self):
+        # hand-build an MM-order EXIF body with just orientation
+        body = (b"MM\x00*" + (8).to_bytes(4, "big")
+                + (1).to_bytes(2, "big")
+                + (274).to_bytes(2, "big") + (3).to_bytes(2, "big")
+                + (1).to_bytes(4, "big") + (3).to_bytes(2, "big") + b"\x00\x00"
+                + b"\x00\x00\x00\x00")
+        assert mm.parse_exif(body) == {"orientation": 3}
+
+    def test_truncated_exif_yields_partial_not_crash(self):
+        b = mm.encode_jpeg_exif(8, 8, orientation=2, make="longermakename")
+        for cut in (10, 24, 40, 60):
+            out = mm.parse_exif(b[:cut])
+            assert isinstance(out, dict)  # partial tags, never a crash
+
+    def test_image_exif_operator(self, spark):
+        b1 = mm.encode_jpeg_exif(8, 8, orientation=5, make="M")
+        b2 = mm.encode_png(2, 2, bytes(12), 3)
+        df = spark.createDataFrame(
+            [("a", bytearray(b1)), ("b", bytearray(b2))],
+            "media_id string, blob binary")
+        got = {r.media_id: r for r in mm.image_exif(df).collect()}
+        assert got["a"].orientation == 5 and got["a"].make == "M"
+        assert got["b"].orientation is None and got["b"].make is None
