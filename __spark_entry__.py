@@ -2126,6 +2126,39 @@ def q_media_exif(spark, sf_dir):
     return MM.image_exif(media)
 
 
+def q_media_mp3(spark, sf_dir):
+    """Header-only MP3 facts under the gate: each doc gets an ID3v2 tag
+    (size varying with doc_id) + one valid MPEG-1 Layer III frame
+    header + filler; the oracle restates bitrate/rate/channels/CBR
+    duration from the same id arithmetic, including the bitrate-table
+    lookup."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blobs.append(
+                    MM.encode_mp3_header(
+                        bitrate_kbps=MM._MP3_BITRATES[1][did % 14 + 1],
+                        sample_rate=MM._MP3_RATES[1][did % 3],
+                        mono=did % 2 == 0,
+                        n_audio_bytes=1000 + did % 977,
+                        id3_payload=(did % 3) * 100,
+                    )
+                )
+                ids.append(str(did))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    return MM.audio_info(media)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2312,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- group 1: new this round (r4) --------------------------------
         "media_exif": q_media_exif,               # EXIF APP1/IFD extraction
+        "media_mp3": q_media_mp3,                 # MP3 frame-header facts
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2362,8 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "tpch_rollup": q_tpch_rollup,
         "orders_without_lineitems": q_orders_without_lineitems,
-        "events_json_props": q_events_json_props,
         # ---- 50-entry driver window ends here --------------------------
+        "events_json_props": q_events_json_props,
         "events_sessions": q_events_sessions,
         # -- group 4: driver-verified green in rounds 2 AND 3 ------------
         "kg_mentions": q_kg_mentions,
@@ -3162,6 +3196,23 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
        'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org' AS host,
        substr(text, 1, 150) AS text,
        CAST(2 AS BIGINT) AS n_boilerplate_lines
+FROM documents
+""",
+        "media_mp3": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+              [CAST(doc_id % 14 + 1 AS INTEGER) + 1] AS INTEGER)
+         AS bitrate_kbps,
+       CAST(([44100,48000,32000])[CAST(doc_id % 3 AS INTEGER) + 1]
+            AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+         AS channels,
+       CAST((1000 + doc_id % 977) * 8 //
+            ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+              [CAST(doc_id % 14 + 1 AS INTEGER) + 1] AS BIGINT)
+         AS duration_ms,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 ELSE 10 + (doc_id % 3) * 100 END AS BIGINT) AS id3_bytes
 FROM documents
 """,
         "media_exif": """

@@ -1083,6 +1083,119 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+# MPEG-1/2 Layer III bitrate (kbps) and sample-rate tables, header-only
+_MP3_BITRATES = {
+    1: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000]}
+
+
+def mp3_info(data: bytes) -> dict:
+    """Header-only MP3 facts: {'bitrate_kbps', 'sample_rate',
+    'channels', 'duration_ms', 'id3_bytes'} from the first Layer-III
+    frame header after any ID3v2 tag. duration_ms is the CBR estimate
+    (audio bytes × 8 / bitrate) — the honest header-only answer.
+    Returns {} when no valid frame header is found."""
+    if len(data) < 4:
+        return {}
+    pos = 0
+    id3 = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        id3 = 10 + (
+            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        )
+        pos = id3
+    # scan a bounded window for the frame sync (junk may precede it)
+    limit = min(len(data) - 4, pos + 4096)
+    while pos <= limit:
+        b1, b2 = data[pos], data[pos + 1]
+        if b1 == 0xFF and (b2 & 0xE0) == 0xE0:
+            version = (b2 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b2 >> 1) & 0x03  # 1 = Layer III
+            if version in (2, 3) and layer == 1:
+                v = 1 if version == 3 else 2
+                br_idx = data[pos + 2] >> 4
+                sr_idx = (data[pos + 2] >> 2) & 0x03
+                if 0 < br_idx < 15 and sr_idx < 3:
+                    bitrate = _MP3_BITRATES[v][br_idx]
+                    rate = _MP3_RATES[v][sr_idx]
+                    mode = (data[pos + 3] >> 6) & 0x03
+                    audio_bytes = len(data) - pos
+                    return {
+                        "bitrate_kbps": bitrate,
+                        "sample_rate": rate,
+                        "channels": 1 if mode == 3 else 2,
+                        "duration_ms": audio_bytes * 8 // bitrate,
+                        "id3_bytes": id3,
+                    }
+        pos += 1
+    return {}
+
+
+def encode_mp3_header(
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    mono: bool = False,
+    n_audio_bytes: int = 4000,
+    id3_payload: int = 0,
+) -> bytes:
+    """Deterministic MP3 fixture: optional ID3v2 tag + one valid
+    MPEG-1 Layer III frame header + zero filler (header-level facts
+    only — not decodable audio)."""
+    br_idx = _MP3_BITRATES[1].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(sample_rate)
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1 Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            0xC0 if mono else 0x00,
+        ]
+    )
+    tag = b""
+    if id3_payload:
+        sz = id3_payload
+        tag = b"ID3\x04\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + b"\x00" * sz
+    return tag + hdr + b"\x00" * max(0, n_audio_bytes - 4)
+
+
+AUDIO_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("bitrate_kbps", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("id3_bytes", LongType(), True),
+    ]
+)
+
+
+def audio_info(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """binary column → header-only MP3 facts (:func:`mp3_info`) —
+    bytes-local, no decode; non-MP3 rows yield all-null fields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_INFO_SCHEMA.fields}
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                info = mp3_info(bytes(raw)) if raw is not None else {}
+                rows["media_id"].append(str(mid))
+                rows["bitrate_kbps"].append(info.get("bitrate_kbps"))
+                rows["sample_rate"].append(info.get("sample_rate"))
+                rows["channels"].append(info.get("channels"))
+                rows["duration_ms"].append(info.get("duration_ms"))
+                rows["id3_bytes"].append(info.get("id3_bytes"))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=AUDIO_INFO_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", StringType(), False),

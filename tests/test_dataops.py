@@ -1158,3 +1158,37 @@ class TestExif:
         got = {r.media_id: r for r in mm.image_exif(df).collect()}
         assert got["a"].orientation == 5 and got["a"].make == "M"
         assert got["b"].orientation is None and got["b"].make is None
+
+
+class TestMp3Info:
+    """Header-only MP3 facts (operators/multimodal.py)."""
+
+    def test_roundtrip_with_id3(self):
+        b = mm.encode_mp3_header(192, 48000, mono=True,
+                                 n_audio_bytes=6000, id3_payload=500)
+        assert mm.mp3_info(b) == {
+            "bitrate_kbps": 192, "sample_rate": 48000, "channels": 1,
+            "duration_ms": 250, "id3_bytes": 510}
+
+    def test_defaults_stereo_no_tag(self):
+        info = mm.mp3_info(mm.encode_mp3_header())
+        assert info["channels"] == 2 and info["id3_bytes"] == 0
+
+    def test_junk_prefix_within_scan_window(self):
+        b = b"\x00" * 100 + mm.encode_mp3_header(64, 32000)
+        assert mm.mp3_info(b)["bitrate_kbps"] == 64
+
+    def test_garbage_and_free_bitrate_rejected(self):
+        assert mm.mp3_info(b"garbage" * 10) == {}
+        hdr = bytearray(mm.encode_mp3_header())
+        hdr[2] = 0x00  # bitrate index 0 = "free" — not parseable
+        assert mm.mp3_info(bytes(hdr)) == {}
+
+    def test_audio_info_operator(self, spark):
+        b = mm.encode_mp3_header(128, 44100)
+        df = spark.createDataFrame(
+            [("a", bytearray(b)), ("b", bytearray(b"not audio"))],
+            "media_id string, blob binary")
+        got = {r.media_id: r for r in mm.audio_info(df).collect()}
+        assert got["a"].bitrate_kbps == 128
+        assert got["b"].bitrate_kbps is None
