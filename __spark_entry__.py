@@ -1064,15 +1064,18 @@ def q_pdf_table_cells(spark, sf_dir):
 
 
 def q_office_extract(spark, sf_dir):
-    """xlsx + pptx + rtf + odt extraction under the gate, byte-exact:
-    each doc becomes one deterministic spreadsheet (shared strings, a
-    numeric cell, a column gap via r= references), one presentation (a
-    paragraph + an <a:tbl> table), one RTF (header destinations, a
-    paragraph + a \\trowd table) and one odt (heading + paragraph +
-    table), built distributed from its words, sniffed (zip-member /
+    """Seven Office container families under one gate, byte-exact:
+    per doc one xlsx (shared strings, numeric cell, r=-reference column
+    gap), one pptx (paragraph + <a:tbl>), one RTF (header destinations,
+    paragraph + \\trowd table), one odt (heading + paragraph + table),
+    one legacy .doc (CFB ministream, both piece encodings), one legacy
+    .xls (BIFF8 SST — CONTINUE-split on even doc_ids — plus RK/NUMBER
+    cells and a column gap) and one legacy .ppt (text atoms), all built
+    distributed from its words, sniffed (zip-member / OLE2-stream /
     magic dispatch) and rendered to the canonical XHTML; the oracle
-    string-builds all four expected renders closed-form from the same
-    word arithmetic (operators/office.py, rtf.py, odf.py)."""
+    string-builds all seven expected renders closed-form from the same
+    word arithmetic (operators/office.py, rtf.py, odf.py, cfb.py,
+    doc_binary.py, legacy_office.py)."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
