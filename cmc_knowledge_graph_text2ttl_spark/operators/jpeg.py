@@ -239,6 +239,10 @@ def _decode_jpeg_impl(data: bytes) -> Tuple[int, int, int, bytes]:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if not 0 < w * h <= 64_000_000:
+                # corrupt/adversarial SOF dims must not pre-allocate the
+                # planes (np.zeros of 65535^2 would OOM the executor)
+                raise ValueError(f"JPEG dimensions {w}x{h} out of range")
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append(

@@ -23,6 +23,7 @@ sizing — not row counts — is the operative knob.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 import zlib
 from typing import Callable, Iterator, List, Optional, Tuple
@@ -129,6 +130,25 @@ def sniff_media(data: Optional[bytes]) -> tuple:
         return ("image", "tiff") + _tiff_dims(data)
     if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
         return ("audio", "mp3", None, None)
+    if data[:4] == b"OggS":
+        return ("audio", "ogg", None, None)
+    if data[:4] == b"fLaC":
+        return ("audio", "flac", None, None)
+    if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
+        # ICO: first directory entry carries dims; 0 encodes 256
+        w, h = data[6] or 256, data[7] or 256
+        return ("image", "ico", w, h)
+    head = data[:1024].lstrip()
+    if head[:5] == b"<?xml" or head[:4] == b"<svg":
+        m = re.search(rb"<svg\b[^>]*>", data[:4096])
+        if m is not None:
+            tag = m.group(0)
+            def attr(name):
+                am = re.search(
+                    rb'\b' + name + rb'="\s*(\d+)(?:\.\d+)?\s*(?:px)?\s*"', tag
+                )
+                return int(am.group(1)) if am else None
+            return ("image", "svg", attr(b"width"), attr(b"height"))
     if len(data) > 11 and data[4:8] == b"ftyp":
         brand = data[8:12]
         if brand in (b"avif", b"avis"):
@@ -537,6 +557,10 @@ def _decode_png_impl(data: bytes) -> Tuple[int, int, int, bytes]:
         raise ValueError("PNG missing IHDR")
     if ctype not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError(f"PNG colortype={ctype} interlace={interlace} invalid")
+    if not 0 < width * height <= 64_000_000:
+        # corrupt or adversarial IHDR dims must not pre-allocate the
+        # sample grid — one bad row would otherwise OOM the executor
+        raise ValueError(f"PNG dimensions {width}x{height} out of range")
     valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(ctype, (8, 16))
     if bitd not in valid_depths:
         raise ValueError(f"PNG bitdepth={bitd} invalid for colortype={ctype}")
@@ -818,9 +842,14 @@ def encode_tiff(
     return magic + struct.pack(end + "I", ifd_off) + pix + ifd + tail
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> List[int]:
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, limit: Optional[int] = None
+) -> List[int]:
     """GIF-variant LZW decode (LSB-first bit packing, growing code
-    sizes up to 12 bits, CLEAR resets) → color indices."""
+    sizes up to 12 bits, CLEAR resets) → color indices. ``limit``
+    stops decoding once that many indices exist — LZW expands up to
+    ~2700×, so an unbounded decode of a crafted stream is a memory
+    bomb; callers pass the frame's pixel count."""
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -849,6 +878,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> List[int]:
             else:
                 raise ValueError(f"GIF LZW bad code {code}")
             out.extend(entry)
+            if limit is not None and len(out) >= limit:
+                return out
             if prev is not None and len(table) < 4096:
                 table.append(prev + [entry[0]])
                 if len(table) == (1 << code_size) and code_size < 12:
@@ -936,6 +967,10 @@ def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
                 pos += 3 * n
             if ct is None:
                 raise ValueError("GIF image has no color table")
+            if not 0 < w * h <= 64_000_000:
+                # corrupt/adversarial descriptor dims: the index list
+                # and RGB buffer must never be attacker-sized
+                raise ValueError(f"GIF dimensions {w}x{h} out of range")
             mcs = data[pos]
             pos += 1
             lzw = bytearray()
@@ -943,7 +978,7 @@ def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
                 blen = data[pos]
                 lzw += data[pos + 1 : pos + 1 + blen]
                 pos += 1 + blen
-            indices = _gif_lzw_decode(bytes(lzw), mcs)[: w * h]
+            indices = _gif_lzw_decode(bytes(lzw), mcs, limit=w * h)[: w * h]
             if len(indices) < w * h:
                 raise ValueError("GIF pixel data truncated")
             if ipacked & 0x40:  # interlaced: storage rows -> display rows

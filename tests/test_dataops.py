@@ -1192,3 +1192,29 @@ class TestMp3Info:
         got = {r.media_id: r for r in mm.audio_info(df).collect()}
         assert got["a"].bitrate_kbps == 128
         assert got["b"].bitrate_kbps is None
+
+
+class TestSniffExtensions:
+    """ICO / SVG / OGG / FLAC magic + dimension sniffing."""
+
+    def test_ico_dims_with_256_encoding(self):
+        ico = b"\x00\x00\x01\x00\x01\x00" + bytes([32, 0]) + b"\x00" * 20
+        assert mm.sniff_media(ico) == ("image", "ico", 32, 256)
+
+    def test_svg_with_and_without_xml_prolog(self):
+        svg = (b'<?xml version="1.0"?>\n<svg xmlns="x" width="120" '
+               b'height="80.5px" viewBox="0 0 1 1">')
+        assert mm.sniff_media(svg) == ("image", "svg", 120, 80)
+        assert mm.sniff_media(b'  <svg width="10px" height="20">') == (
+            "image", "svg", 10, 20)
+        # percentage / missing attrs -> None dims, still svg
+        assert mm.sniff_media(b'<svg width="100%">') == (
+            "image", "svg", None, None)
+
+    def test_non_svg_xml_and_html_stay_unknown(self):
+        assert mm.sniff_media(b'<?xml version="1.0"?><rss/>')[0] == "unknown"
+        assert mm.sniff_media(b"<html><body>x</body></html>")[0] == "unknown"
+
+    def test_audio_containers(self):
+        assert mm.sniff_media(b"OggS" + b"\x00" * 30)[:2] == ("audio", "ogg")
+        assert mm.sniff_media(b"fLaC" + b"\x00" * 30)[:2] == ("audio", "flac")
