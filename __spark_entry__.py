@@ -1876,6 +1876,75 @@ def q_warc_read(spark, sf_dir):
     )
 
 
+def q_web_ingest(spark, sf_dir):
+    """END-TO-END crawl ingestion under one gate: mixed-format
+    documents (canonical HTML, RTF, odt) wrapped as HTTP responses in
+    WARC segments spanning the full storage matrix (plain/.gz ×
+    identity/chunked transfer-coding), read back with one task per
+    segment, content-sniffed and extracted — the composed path a
+    Common-Crawl user runs, verified byte-exactly per document."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import odf as ODF
+    from cmc_knowledge_graph_text2ttl_spark.operators import rtf as R
+    from cmc_knowledge_graph_text2ttl_spark.operators.extract import extract_text
+    from cmc_knowledge_graph_text2ttl_spark.sources import warc as W
+
+    def build_segment(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for d, t in zip(pdf["doc_id"].astype(int), pdf["text"]):
+            words = t.split(" ")
+            w = [words[k] if k < len(words) else "pad" for k in range(8)]
+            v = d % 4
+            if v < 2:
+                body = (
+                    f"<html><body><p>{w[0]} {w[1]}</p>"
+                    f"<p>{w[2]}</p></body></html>"
+                ).encode()
+            elif v == 2:
+                body = R.make_rtf([f"{w[3]} {w[4]}", [[w[5], str(d)]]])
+            else:
+                body = ODF.make_odt([(2, w[6]), f"{w[7]} {d}"])
+            recs.append((f"doc://{d}", f"2024-02-{1 + d % 27:02d}T00:00:00Z", body))
+        g = int(pdf["seg"].iloc[0])
+        data = W.build_warc(recs, compress=g >= 3, chunked=g % 3 == 2)
+        return pd.DataFrame(
+            {"seg": [g], "ext": [".warc.gz" if g >= 3 else ".warc"], "data": [data]}
+        )
+
+    segs = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .withColumn("seg", F.col("doc_id") % 6)
+        .groupBy("seg")
+        .applyInPandas(build_segment, "seg long, ext string, data binary")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="web_ingest_gate_")
+    for r in segs:
+        with open(os.path.join(root, f"seg{r.seg}{r.ext}"), "wb") as f:
+            f.write(bytes(r.data))
+    pages = (
+        W.read_warc(spark, root)
+        .where("error is null")
+        .select(
+            "url",
+            "warc_ts",
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    out = extract_text(pages)
+    return out.select(
+        "url", F.col("text").alias("xhtml"), "content_type", "extract_error"
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt compliance under the gate: per-host policies parsed
     once into a broadcast rules dimension, longest-rule-wins decisions
@@ -2349,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 1: new this round (r4) --------------------------------
         "media_exif": q_media_exif,               # EXIF APP1/IFD extraction
         "media_mp3": q_media_mp3,                 # MP3 frame-header facts
+        "web_ingest": q_web_ingest,               # WARC->sniff->extract e2e
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2398,8 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
         "tpch_rollup": q_tpch_rollup,
-        "orders_without_lineitems": q_orders_without_lineitems,
         # ---- 50-entry driver window ends here --------------------------
+        "orders_without_lineitems": q_orders_without_lineitems,
         "events_json_props": q_events_json_props,
         "events_sessions": q_events_sessions,
         # -- group 4: driver-verified green in rounds 2 AND 3 ------------
@@ -3200,6 +3270,35 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
        substr(text, 1, 150) AS text,
        CAST(2 AS BIGINT) AS n_boilerplate_lines
 FROM documents
+""",
+        "web_ingest": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ww AS (
+  SELECT doc_id,
+         coalesce(ws[1], 'pad') AS w1, coalesce(ws[2], 'pad') AS w2,
+         coalesce(ws[3], 'pad') AS w3, coalesce(ws[4], 'pad') AS w4,
+         coalesce(ws[5], 'pad') AS w5, coalesce(ws[6], 'pad') AS w6,
+         coalesce(ws[7], 'pad') AS w7, coalesce(ws[8], 'pad') AS w8
+  FROM w
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CASE
+         WHEN doc_id % 4 < 2 THEN
+           '<html><body><p>' || w1 || ' ' || w2 || '</p><p>' || w3 ||
+           '</p></body></html>'
+         WHEN doc_id % 4 = 2 THEN
+           '<html><body><p>' || w4 || ' ' || w5 || '</p><table><tr><td>' ||
+           w6 || '</td><td>' || CAST(doc_id AS VARCHAR) ||
+           '</td></tr></table></body></html>'
+         ELSE
+           '<html><body><h2>' || w7 || '</h2><p>' || w8 || ' ' ||
+           CAST(doc_id AS VARCHAR) || '</p></body></html>'
+       END AS xhtml,
+       CASE WHEN doc_id % 4 < 2 THEN 'html'
+            WHEN doc_id % 4 = 2 THEN 'rtf' ELSE 'odt' END AS content_type,
+       CAST(NULL AS VARCHAR) AS extract_error
+FROM ww
 """,
         "media_mp3": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
