@@ -2231,6 +2231,46 @@ def q_media_mp3(spark, sf_dir):
     return MM.audio_info(media)
 
 
+def q_media_frames(spark, sf_dir):
+    """Frame sampling under the gate: each doc gets a 3-frame animated
+    GIF (full-canvas solid frames, palette-indexed by (doc_id+k)%4);
+    sample_frames(n_frames=2) must pick frames 0 and 2 via the
+    evenly-spaced rule and report exact per-channel means — all
+    closed-form from the same palette arithmetic as media_gif."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 5, 6 + did % 3
+                frames = [
+                    {"indices": [(did + k) % 4] * (w * h)} for k in range(3)
+                ]
+                ids.append(str(did))
+                blobs.append(
+                    MM.encode_gif_animated(w, h, frames, GIF_PALETTE)
+                )
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    out = MM.sample_frames(media, n_frames=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channel",
+        F.floor(F.col("mean") * 100).cast("bigint").alias("mean_scaled"),
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2419,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif": q_media_exif,               # EXIF APP1/IFD extraction
         "media_mp3": q_media_mp3,                 # MP3 frame-header facts
         "web_ingest": q_web_ingest,               # WARC->sniff->extract e2e
+        "media_frames": q_media_frames,           # animated-GIF frame sample
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2467,8 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
-        "tpch_rollup": q_tpch_rollup,
         # ---- 50-entry driver window ends here --------------------------
+        "tpch_rollup": q_tpch_rollup,
         "orders_without_lineitems": q_orders_without_lineitems,
         "events_json_props": q_events_json_props,
         "events_sessions": q_events_sessions,
@@ -3270,6 +3311,19 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
        substr(text, 1, 150) AS text,
        CAST(2 AS BIGINT) AS n_boilerplate_lines
 FROM documents
+""",
+        # palette j -> (j*37, j*59, j*83) — shared with media_gif
+        "media_frames": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(3 AS INTEGER) AS n_frames,
+       CAST(8 + doc_id % 5 AS INTEGER) AS width,
+       CAST(6 + doc_id % 3 AS INTEGER) AS height,
+       CAST(c AS INTEGER) AS channel,
+       CAST(((doc_id + fi) % 4) *
+            ([37, 59, 83])[CAST(c AS INTEGER) + 1] * 100 AS BIGINT)
+         AS mean_scaled
+FROM documents, (VALUES (0), (2)) t(fi), generate_series(0, 2) g(c)
 """,
         "web_ingest": """
 WITH w AS (

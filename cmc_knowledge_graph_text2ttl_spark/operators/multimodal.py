@@ -26,7 +26,7 @@ import hashlib
 import re
 import struct
 import zlib
-from typing import Callable, Iterator, List, Optional, Tuple
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import pandas as pd
 
@@ -999,6 +999,233 @@ def _decode_gif_impl(data: bytes) -> Tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"GIF bad block marker 0x{b:02x}")
     raise ValueError("GIF contains no image data")
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: Optional[int] = None
+) -> Tuple[int, int, List[bytes]]:
+    """Animated GIF → (canvas_w, canvas_h, [full-canvas RGB bytes per
+    frame]) with real compositing: frames paint at their descriptor
+    offsets, a GCE transparent index leaves the underlying canvas
+    visible, and disposal methods 0/1 (leave), 2 (restore background —
+    zeros) and 3 (restore previous) apply between frames. Same LZW /
+    interlace / allocation-guard core as :func:`decode_gif`."""
+    try:
+        return _decode_gif_frames_impl(data, max_frames)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt GIF stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_gif_frames_impl(
+    data: bytes, max_frames: Optional[int]
+) -> Tuple[int, int, List[bytes]]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if not 0 < sw * sh <= 64_000_000:
+        raise ValueError(f"GIF canvas {sw}x{sh} out of range")
+    pos = 13
+    gct: Optional[bytes] = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    canvas = bytearray(sw * sh * 3)
+    frames: List[bytes] = []
+    disposal = 0
+    transparent: Optional[int] = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                flags = data[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[pos + 4] if flags & 0x01 else None
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            x0, y0, w, h, ipacked = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            if not 0 < w * h <= 64_000_000:
+                raise ValueError(f"GIF dimensions {w}x{h} out of range")
+            if x0 + w > sw or y0 + h > sh:
+                raise ValueError("GIF frame exceeds the canvas")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos]:
+                blen = data[pos]
+                lzw += data[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            pos += 1  # block terminator
+            indices = _gif_lzw_decode(bytes(lzw), mcs, limit=w * h)[: w * h]
+            if len(indices) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            if ipacked & 0x40:
+                rows = [indices[r * w : (r + 1) * w] for r in range(h)]
+                deint: List[Optional[List[int]]] = [None] * h
+                for disp, row in zip(_gif_interlace_order(h), rows):
+                    deint[disp] = row
+                indices = [k for row in deint for k in row]  # type: ignore[union-attr]
+            ncolors = len(ct) // 3
+            prev = bytes(canvas) if disposal == 3 else None
+            for yy in range(h):
+                base = ((y0 + yy) * sw + x0) * 3
+                for xx in range(w):
+                    k = indices[yy * w + xx]
+                    if k == transparent:
+                        continue
+                    if k >= ncolors:
+                        raise ValueError(f"GIF index {k} outside color table")
+                    o = base + xx * 3
+                    canvas[o : o + 3] = ct[k * 3 : k * 3 + 3]
+            frames.append(bytes(canvas))
+            if max_frames is not None and len(frames) >= max_frames:
+                return (sw, sh, frames)
+            if disposal == 2:
+                for yy in range(h):
+                    o = ((y0 + yy) * sw + x0) * 3
+                    canvas[o : o + 3 * w] = b"\x00" * (3 * w)
+            elif disposal == 3 and prev is not None:
+                canvas = bytearray(prev)
+            disposal = 0
+            transparent = None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF bad block marker 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return (sw, sh, frames)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channel", IntegerType(), False),
+        StructField("mean", DoubleType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Evenly-spaced frame sampling over animated GIFs — the
+    frame-sample primitive a video/animation training pipeline needs,
+    on the one multi-frame format with a pure-stdlib decoder here.
+    Emits per-sampled-frame per-channel exact means (integer sums, so
+    partition-order independent); undecodable rows are skipped like
+    resize_media. For real video codecs inject a decoder-backed
+    variant upstream — the Spark-side shape is identical."""
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[tuple] = []
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    sw, sh, frames = decode_gif_frames(bytes(raw))
+                except (ValueError, NotImplementedError):
+                    continue
+                total = len(frames)
+                if total <= n_frames:
+                    picks = list(range(total))
+                else:
+                    picks = sorted(
+                        {
+                            k * (total - 1) // (n_frames - 1)
+                            if n_frames > 1
+                            else 0
+                            for k in range(n_frames)
+                        }
+                    )
+                n_px = sw * sh
+                for fi in picks:
+                    px = frames[fi]
+                    for c in range(3):
+                        s = sum(px[c::3])
+                        rows.append(
+                            (
+                                str(mid),
+                                fi,
+                                total,
+                                sw,
+                                sh,
+                                c,
+                                s / n_px if n_px else 0.0,
+                            )
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+                )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    frames: Sequence[dict],
+    palette: List[tuple],
+) -> bytes:
+    """Deterministic multi-frame GIF89a: each frame dict has
+    ``indices`` (row-major over its rect) plus optional ``x0 y0 w h
+    disposal transparent delay`` — the fixture counterpart of
+    :func:`decode_gif_frames`."""
+    bits = max(1, (len(palette) - 1).bit_length())
+    size = 1 << bits
+    ct = bytearray()
+    for j in range(size):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        ct += bytes((r, g, b))
+    mcs = max(2, bits)
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    )
+    out += ct
+    for f in frames:
+        x0, y0 = f.get("x0", 0), f.get("y0", 0)
+        w, h = f.get("w", width), f.get("h", height)
+        transparent = f.get("transparent")
+        flags = (f.get("disposal", 0) & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            flags |= 0x01
+            tidx = transparent
+        out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack(
+            "<H", f.get("delay", 10)
+        ) + bytes([tidx, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", x0, y0, w, h, 0)
+        lzw = _gif_lzw_encode(list(f["indices"]), mcs)
+        out += bytes([mcs])
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def _gif_interlace_order(height: int) -> List[int]:

@@ -1218,3 +1218,71 @@ class TestSniffExtensions:
     def test_audio_containers(self):
         assert mm.sniff_media(b"OggS" + b"\x00" * 30)[:2] == ("audio", "ogg")
         assert mm.sniff_media(b"fLaC" + b"\x00" * 30)[:2] == ("audio", "flac")
+
+
+class TestGifFrames:
+    """Animated-GIF frame decode + compositing + frame sampling."""
+
+    PAL = [(10, 20, 30), (200, 100, 50), (0, 0, 255), (255, 255, 0)]
+
+    def _px(self, frame, sw, x, y):
+        o = (y * sw + x) * 3
+        return tuple(frame[o:o + 3])
+
+    def test_compositing_disposal2_and_transparency(self):
+        sw, sh = 6, 4
+        blob = mm.encode_gif_animated(sw, sh, [
+            {"indices": [1] * (sw * sh)},
+            {"x0": 1, "y0": 1, "w": 4, "h": 2, "indices": [2] * 8,
+             "disposal": 2},
+            {"indices": [3 if i % 2 else 0 for i in range(sw * sh)],
+             "transparent": 0},
+        ], self.PAL)
+        w, h, frames = mm.decode_gif_frames(blob)
+        assert (w, h, len(frames)) == (sw, sh, 3)
+        assert frames[0] == bytes(self.PAL[1]) * (sw * sh)
+        assert self._px(frames[1], sw, 2, 2) == self.PAL[2]
+        assert self._px(frames[1], sw, 0, 0) == self.PAL[1]
+        # frame 2: disposal-2 cleared the rect; transparency shows through
+        assert self._px(frames[2], sw, 1, 1) == self.PAL[3]  # painted
+        assert self._px(frames[2], sw, 0, 0) == self.PAL[1]  # outside rect
+        assert self._px(frames[2], sw, 2, 1) == (0, 0, 0)    # cleared
+
+    def test_disposal3_restores_previous(self):
+        sw, sh = 5, 3
+        blob = mm.encode_gif_animated(sw, sh, [
+            {"indices": [1] * (sw * sh)},
+            {"indices": [2] * (sw * sh), "disposal": 3},
+            {"indices": [0] * (sw * sh), "transparent": 0},
+        ], self.PAL)
+        _, _, fr = mm.decode_gif_frames(blob)
+        assert fr[1] == bytes(self.PAL[2]) * (sw * sh)
+        assert fr[2] == bytes(self.PAL[1]) * (sw * sh)
+
+    def test_single_frame_and_max_frames(self):
+        blob1 = mm.encode_gif(4, 3, [0] * 12, self.PAL)
+        assert len(mm.decode_gif_frames(blob1)[2]) == 1
+        anim = mm.encode_gif_animated(4, 3, [
+            {"indices": [k % 4] * 12} for k in range(5)], self.PAL)
+        assert len(mm.decode_gif_frames(anim, max_frames=2)[2]) == 2
+
+    def test_frame_exceeding_canvas_raises(self):
+        blob = mm.encode_gif_animated(4, 3, [
+            {"x0": 2, "y0": 0, "w": 4, "h": 3, "indices": [0] * 12}],
+            self.PAL)
+        with pytest.raises(ValueError, match="canvas"):
+            mm.decode_gif_frames(blob)
+
+    def test_sample_frames_even_spacing(self, spark):
+        blob = mm.encode_gif_animated(4, 3, [
+            {"indices": [k % 4] * 12} for k in range(7)], self.PAL)
+        df = spark.createDataFrame(
+            [("a", bytearray(blob)), ("bad", bytearray(b"not a gif"))],
+            "media_id string, blob binary")
+        got = mm.sample_frames(df, n_frames=3).collect()
+        assert {r.media_id for r in got} == {"a"}
+        picks = sorted({r.frame_idx for r in got})
+        assert picks == [0, 3, 6] and all(r.n_frames == 7 for r in got)
+        by = {(r.frame_idx, r.channel): r.mean for r in got}
+        assert by[(3, 0)] == self.PAL[3][0]
+        assert by[(6, 2)] == self.PAL[6 % 4][2]
