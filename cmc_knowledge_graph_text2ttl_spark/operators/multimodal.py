@@ -1124,28 +1124,51 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def video_frames_stub(data: bytes) -> Tuple[int, int, List[bytes]]:
+    """Frame-decoder slot for real video containers (mp4/webm): no
+    pure-Python codec exists for them, so this raises — rows land in
+    the skip path of :func:`sample_frames`, and a deployment with
+    PyAV/ffmpeg injects its own ``decoder=`` with this signature
+    ((w, h, [full-frame RGB bytes])) to light the same plumbing up."""
+    mtype, fmt, _, _ = sniff_media(data)
+    raise NotImplementedError(
+        f"no pure-Python frame decoder for {mtype}/{fmt}; inject decoder="
+    )
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,
     blob_col: str = "blob",
     id_col: str = "media_id",
+    decoder: Optional[Callable] = None,
 ) -> DataFrame:
-    """Evenly-spaced frame sampling over animated GIFs — the
-    frame-sample primitive a video/animation training pipeline needs,
-    on the one multi-frame format with a pure-stdlib decoder here.
-    Emits per-sampled-frame per-channel exact means (integer sums, so
+    """Evenly-spaced frame sampling — the frame-sample primitive a
+    video/animation training pipeline needs. The default decoder is
+    REAL for animated GIF (:func:`decode_gif_frames`, the one
+    multi-frame format with a pure-stdlib codec here) and raises for
+    video containers (:func:`video_frames_stub`); inject ``decoder=``
+    (bytes → (w, h, [RGB frames])) to back it with a real video codec
+    — batch shape, schema and sampling rule are identical. Emits
+    per-sampled-frame per-channel exact means (integer sums, so
     partition-order independent); undecodable rows are skipped like
-    resize_media. For real video codecs inject a decoder-backed
-    variant upstream — the Spark-side shape is identical."""
+    resize_media."""
     if n_frames < 1:
         raise ValueError("n_frames must be >= 1")
+
+    def default_decoder(data: bytes) -> Tuple[int, int, List[bytes]]:
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_frames(data)
+        return video_frames_stub(data)
+
+    dec = decoder or default_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: List[tuple] = []
             for mid, raw in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    sw, sh, frames = decode_gif_frames(bytes(raw))
+                    sw, sh, frames = dec(bytes(raw))
                 except (ValueError, NotImplementedError):
                     continue
                 total = len(frames)

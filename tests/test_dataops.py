@@ -1286,3 +1286,27 @@ class TestGifFrames:
         by = {(r.frame_idx, r.channel): r.mean for r in got}
         assert by[(3, 0)] == self.PAL[3][0]
         assert by[(6, 2)] == self.PAL[6 % 4][2]
+
+    def test_injected_video_decoder(self, spark):
+        # mp4-shaped bytes + an injected decoder: the same plumbing
+        # lights up without any GIF involvement
+        fake_mp4 = b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64
+
+        def dec(data):
+            assert data[4:8] == b"ftyp"
+            return (2, 1, [bytes([9, 9, 9, 9, 9, 9]), bytes([3, 3, 3, 3, 3, 3])])
+
+        df = spark.createDataFrame(
+            [("v", bytearray(fake_mp4))], "media_id string, blob binary")
+        got = mm.sample_frames(df, n_frames=2, decoder=dec).collect()
+        assert {(r.frame_idx, r.channel, r.mean) for r in got} == {
+            (0, 0, 9.0), (0, 1, 9.0), (0, 2, 9.0),
+            (1, 0, 3.0), (1, 1, 3.0), (1, 2, 3.0)}
+
+    def test_video_stub_raises_and_rows_skip(self, spark):
+        fake_mp4 = b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64
+        with pytest.raises(NotImplementedError, match="decoder="):
+            mm.video_frames_stub(fake_mp4)
+        df = spark.createDataFrame(
+            [("v", bytearray(fake_mp4))], "media_id string, blob binary")
+        assert mm.sample_frames(df).collect() == []
