@@ -26,6 +26,8 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import re
+
 from html import escape as _xml_escape
 from html.parser import HTMLParser
 from typing import Iterator, List, Optional
@@ -166,18 +168,56 @@ def _already_canonical(text: str) -> bool:
     return pos == len(text) and not stack
 
 
+_META_CHARSET = re.compile(
+    rb"<meta\s[^>]*?charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", re.I
+)
+
+
+def _decode_html_bytes(data: bytes) -> str:
+    """Charset resolution in Tika's precedence order: BOM (strict — a
+    declared BOM with broken payload is a real error row, which is what
+    keeps the synthetic corpus' malformed rows on the error path),
+    then strict UTF-8 (the fast, overwhelmingly-common case), then a
+    ``<meta charset>`` / http-equiv declaration in the first 2 KB
+    (decoded tolerantly — real pages mislabel), else cp1252-with-
+    replacement, the de-facto web fallback."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return data.decode("utf-8-sig")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return data.decode("utf-16")
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET.search(data[:2048])
+    if m is not None:
+        name = m.group(1).decode("ascii", "replace").strip().lower()
+        try:
+            import codecs
+
+            codec = codecs.lookup(name).name
+        except LookupError:
+            codec = "cp1252"
+        if codec in ("utf-16", "utf-16-le", "utf-16-be", "utf-32"):
+            codec = "cp1252"  # a 16-bit label on non-BOM bytes is a lie
+        return data.decode(codec, "replace")
+    return data.decode("cp1252", "replace")
+
+
 def html_to_xhtml_text(data: bytes) -> str:
-    """Deterministic HTML→XHTML text: UTF-8 decode (strict — malformed
-    bytes are an error row, reference skips such docs at
-    runner.py:333-339), Tika-style markup normalization, first-root
-    truncation. Real crawl HTML loses scripts/styles/attributes here, so
-    downstream regex workflows see clean structural text only.
+    """Deterministic HTML→XHTML text: charset-resolved decode
+    (:func:`_decode_html_bytes` — BOM / strict UTF-8 / meta charset /
+    cp1252 fallback, matching the Tika behavior the reference got from
+    runner.py:36-115; only a broken BOM payload remains an error row),
+    Tika-style markup normalization, first-root truncation. Real crawl
+    HTML loses scripts/styles/attributes here, so downstream regex
+    workflows see clean structural text only.
 
     Already-canonical input (exactly what the normalizer itself emits —
     the normalizer is a fixpoint, property-tested) takes a single-scan
     fast path and skips the parser: recrawl/pretextized corpora pay no
     parse cost, messy crawl HTML gets the full treatment."""
-    text = data.decode("utf-8")
+    text = _decode_html_bytes(data)
     if not _already_canonical(text):
         norm = _XhtmlNormalizer()
         norm.feed(text)
@@ -260,8 +300,13 @@ class _PlainTextExtractor(HTMLParser):
 
 def html_to_plain_text(data) -> str:
     """Markup-free text for the training-data pipeline (dedup/quality/
-    lang-id operate on THIS, not on XHTML). Accepts bytes or str."""
-    text = data.decode("utf-8") if isinstance(data, (bytes, bytearray)) else data
+    lang-id operate on THIS, not on XHTML). Accepts bytes or str;
+    bytes go through the same charset resolution as the XHTML path."""
+    text = (
+        _decode_html_bytes(bytes(data))
+        if isinstance(data, (bytes, bytearray))
+        else data
+    )
     p = _PlainTextExtractor()
     p.feed(text)
     p.close()

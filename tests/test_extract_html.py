@@ -150,3 +150,49 @@ class TestPlainText:
         # self-closed block tags still emit boundaries, real scripts still skip
         assert html_to_plain_text("a<br/>b<script>x()</script>c") == "a\nbc"
         assert html_to_plain_text("<table><tr><td/>x</tr></table>") == "x"
+
+
+class TestCharsetResolution:
+    """BOM / strict-UTF8 / meta-charset / cp1252-fallback decode."""
+
+    def test_declared_cp1252(self):
+        raw = ('<html><head><meta charset="windows-1252"></head>'
+               '<body><p>café — ok</p></body></html>').encode("cp1252")
+        assert "café — ok" in html_to_xhtml_text(raw)
+
+    def test_http_equiv_shift_jis(self):
+        raw = ('<html><head><meta http-equiv="Content-Type" '
+               'content="text/html; charset=Shift_JIS"></head>'
+               "<body><p>日本語</p></body></html>").encode("shift_jis")
+        assert "日本語" in html_to_xhtml_text(raw)
+
+    def test_undeclared_non_utf8_falls_back_to_cp1252(self):
+        raw = "<html><body><p>naïve</p></body></html>".encode("cp1252")
+        assert "naïve" in html_to_xhtml_text(raw)
+
+    def test_utf8_bom_and_utf16_bom(self):
+        assert "<p>x</p>" in html_to_xhtml_text(
+            b"\xef\xbb\xbf<html><body><p>x</p></body></html>")
+        u16 = "<html><body><p>utf16 page</p></body></html>".encode("utf-16")
+        assert "utf16 page" in html_to_xhtml_text(u16)
+
+    def test_broken_bom_payload_stays_error_row(self):
+        # the synthetic corpus' malformed row: UTF-16 BOM, odd payload
+        text, _, err = extract_one(b"\xff\xfe<html><oops")
+        assert text is None and "UnicodeDecodeError" in err
+
+    def test_bogus_or_lying_charset_labels(self):
+        bogus = ('<html><head><meta charset="no-such-enc"></head>'
+                 "<body><p>é</p></body></html>").encode("cp1252")
+        assert "é" in html_to_xhtml_text(bogus)
+        # a utf-16 label on non-BOM bytes is ignored (it cannot be true
+        # for bytes that already look like ASCII-compatible markup)
+        lying = ('<html><head><meta charset="utf-16"></head>'
+                 "<body><p>é</p></body></html>").encode("cp1252")
+        assert "é" in html_to_xhtml_text(lying)
+
+    def test_mislabelled_utf8ish_bytes_replace_not_crash(self):
+        raw = ('<html><head><meta charset="utf-8"></head>'
+               "<body><p>x</p></body></html>").encode("cp1252")[:-1] + b"\xff>"
+        out = html_to_xhtml_text(raw)
+        assert "<p>x</p>" in out  # U+FFFD somewhere is fine
