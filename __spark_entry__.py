@@ -2271,6 +2271,58 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def _synth_dhash_media(spark, sf_dir):
+    """Per-doc 3-channel images where PAIRS (2k, 2k+1) share the exact
+    pixel formula px[j] = (s*31 + j*17 + (j%7)*41) % 256 (s = doc_id
+    rounded down to even) but use DIFFERENT containers (PNG vs BMP) —
+    perceptual near-dup must see through the re-encode."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sd = did - did % 2
+                w, h = 16 + sd % 13, 9 + sd % 7
+                px = bytes(
+                    (sd * 31 + j * 17 + (j % 7) * 41) % 256
+                    for j in range(w * h * 3)
+                )
+                enc = MM.encode_png if did % 2 == 0 else MM.encode_bmp
+                ids.append(str(did))
+                blobs.append(enc(w, h, px, 3))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(gen, schema="media_id string, blob binary")
+
+
+def q_media_dhash(spark, sf_dir):
+    """Perceptual dHash under the gate: decode (PNG or BMP) → integer
+    grayscale → 9×8 nearest resample → 64 comparison bits as four
+    16-bit bands; the oracle replays every step closed-form (the
+    resize center rule as exact integer division)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import image_dhash
+
+    return image_dhash(_synth_dhash_media(spark, sf_dir))
+
+
+def q_media_near_dup(spark, sf_dir):
+    """Image-level near-dup under the gate: band-bucketed candidate
+    join + exact popcount verify at Hamming 0 over the paired corpus —
+    each (2k, 2k+1) pair shares pixels across PNG/BMP containers; the
+    oracle self-joins its own closed-form dHash table."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+        image_near_dup,
+    )
+
+    return image_near_dup(_synth_dhash_media(spark, sf_dir), max_hamming=0)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2460,6 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp3": q_media_mp3,                 # MP3 frame-header facts
         "web_ingest": q_web_ingest,               # WARC->sniff->extract e2e
         "media_frames": q_media_frames,           # animated-GIF frame sample
+        "media_dhash": q_media_dhash,             # perceptual dHash bands
+        "media_near_dup": q_media_near_dup,       # image near-dup pairs
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2506,9 +2560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
+        # ---- 50-entry driver window ends here --------------------------
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
-        # ---- 50-entry driver window ends here --------------------------
         "tpch_rollup": q_tpch_rollup,
         "orders_without_lineitems": q_orders_without_lineitems,
         "events_json_props": q_events_json_props,
@@ -2597,6 +2651,48 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        CAST(NULL AS VARCHAR) AS extract_error
 FROM cc
 """
+
+
+def _dhash_bands_sql() -> str:
+    """Closed-form dHash bands CTE body: replays integer grayscale,
+    the 9x8 nearest resample (center rule as exact integer division:
+    floor((g+0.5)*dim/out) == ((2g+1)*dim)//(2*out)) and the 64
+    adjacent comparisons over the _synth_dhash_media pixel formula."""
+    return """
+WITH d AS (
+  SELECT doc_id, doc_id - doc_id % 2 AS s FROM documents
+), dim AS (
+  SELECT doc_id, s, 16 + s % 13 AS w, 9 + s % 7 AS h FROM d
+), grid AS (
+  SELECT doc_id, s, gx, gy,
+         3 * (least(h - 1, ((2 * gy + 1) * h) // 16) * w
+              + least(w - 1, ((2 * gx + 1) * w) // 18)) AS j0
+  FROM dim, generate_series(0, 8) t1(gx), generate_series(0, 7) t2(gy)
+), g AS (
+  SELECT doc_id, gx, gy,
+         (  (s * 31 +  j0      * 17 + ( j0      % 7) * 41) % 256
+          + (s * 31 + (j0 + 1) * 17 + ((j0 + 1) % 7) * 41) % 256
+          + (s * 31 + (j0 + 2) * 17 + ((j0 + 2) % 7) * 41) % 256) // 3
+           AS gray
+  FROM grid
+), bits AS (
+  SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+         CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b
+    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+), bands AS (
+  SELECT doc_id, i // 16 AS band,
+         CAST(SUM(bit * (1 << (i % 16))) AS INTEGER) AS v
+  FROM bits GROUP BY doc_id, i // 16
+), dh AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN v END) AS b0,
+         MAX(CASE WHEN band = 1 THEN v END) AS b1,
+         MAX(CASE WHEN band = 2 THEN v END) AS b2,
+         MAX(CASE WHEN band = 3 THEN v END) AS b3
+  FROM bands GROUP BY doc_id
+)"""
 
 
 def _office_extract_sql() -> str:
@@ -3313,6 +3409,17 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
 FROM documents
 """,
         # palette j -> (j*37, j*59, j*83) — shared with media_gif
+        "media_dhash": _dhash_bands_sql() + """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, b0, b1, b2, b3 FROM dh
+""",
+        "media_near_dup": _dhash_bands_sql() + """
+SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
+       CAST(b.doc_id AS VARCHAR) AS id_b,
+       CAST(0 AS INTEGER) AS hamming
+FROM dh a JOIN dh b
+  ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
+WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
         "media_frames": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(fi AS INTEGER) AS frame_idx,

@@ -1310,3 +1310,78 @@ class TestGifFrames:
         df = spark.createDataFrame(
             [("v", bytearray(fake_mp4))], "media_id string, blob binary")
         assert mm.sample_frames(df).collect() == []
+
+
+class TestImageHash:
+    """Perceptual dHash + image near-dup (operators/imagehash.py)."""
+
+    @staticmethod
+    def _px(s, w, h):
+        return bytes((s * 31 + j * 17 + (j % 7) * 41) % 256
+                     for j in range(w * h * 3))
+
+    def test_cross_container_invariance(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+            dhash_bands,
+        )
+
+        w, h = 16, 11
+        px = self._px(7, w, h)
+        hashes = {
+            dhash_bands(*mm.decode_png(mm.encode_png(w, h, px, 3))),
+            dhash_bands(*mm.decode_bmp(mm.encode_bmp(w, h, px, 3))),
+            dhash_bands(*mm.decode_tiff(mm.encode_tiff(w, h, px, 3))),
+        }
+        assert len(hashes) == 1
+        b = hashes.pop()
+        assert all(0 <= v < 65536 for v in b)
+
+    def test_resize_invariance_on_smooth_image(self):
+        # dHash's robustness claim is for natural (low-frequency)
+        # content: a smooth gradient survives a downscale almost
+        # bit-exactly. (Per-pixel noise aliases under resampling and
+        # legitimately changes the hash — that is not a dup.)
+        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+            dhash_bands,
+        )
+
+        w, h = 40, 30
+        px = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (x * 255 // (w - 1), y * 255 // (h - 1),
+                      (x + y) * 255 // (w + h - 2))
+        )
+        small = mm.resize_nearest(px, w, h, 3, 20, 15)
+        a = dhash_bands(w, h, 3, px)
+        b = dhash_bands(20, 15, 3, small)
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        assert ham <= 4, ham
+
+    def test_near_dup_finds_cross_container_pairs(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+            image_near_dup,
+        )
+
+        rows = []
+        for k in range(4):
+            w, h = 12 + k, 9 + k
+            px = self._px(k * 10, w, h)
+            rows.append((f"p{k}", bytearray(mm.encode_png(w, h, px, 3))))
+            rows.append((f"q{k}", bytearray(mm.encode_bmp(w, h, px, 3))))
+        rows.append(("junk", bytearray(b"not an image")))
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+        got = {(r.id_a, r.id_b) for r in image_near_dup(df).collect()}
+        assert got == {(f"p{k}", f"q{k}") for k in range(4)}
+
+    def test_max_hamming_bounds(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+            image_near_dup,
+        )
+
+        df = spark.createDataFrame(
+            [("a", bytearray(mm.encode_png(2, 2, bytes(12), 3)))],
+            "media_id string, blob binary")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_near_dup(df, max_hamming=4)
