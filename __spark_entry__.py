@@ -2306,7 +2306,7 @@ def q_media_dhash(spark, sf_dir):
     grayscale → 9×8 nearest resample → 64 comparison bits as four
     16-bit bands; the oracle replays every step closed-form (the
     resize center rule as exact integer division)."""
-    from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import image_dhash
+    from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import image_dhash
 
     return image_dhash(_synth_dhash_media(spark, sf_dir))
 
@@ -2316,11 +2316,65 @@ def q_media_near_dup(spark, sf_dir):
     join + exact popcount verify at Hamming 0 over the paired corpus —
     each (2k, 2k+1) pair shares pixels across PNG/BMP containers; the
     oracle self-joins its own closed-form dHash table."""
-    from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+    from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
         image_near_dup,
     )
 
     return image_near_dup(_synth_dhash_media(spark, sf_dir), max_hamming=0)
+
+
+def _synth_fp_audio(spark, sf_dir):
+    """Per-doc WAVs where PAIRS (2k, 2k+1) share the sample formula
+    v(i) = ((s*31 + i*17) % 2003) - 1001 (s = even-floored doc_id,
+    n = 200 + (s%7)*40) but 2k is MONO and 2k+1 STEREO with the signal
+    duplicated on both channels — the mono mix is identical, so the
+    fingerprint must see through the channel layout."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sd = did - did % 2
+                n = 200 + (sd % 7) * 40
+                v = [((sd * 31 + i * 17) % 2003) - 1001 for i in range(n)]
+                if did % 2 == 0:
+                    blob = MM.encode_wav(v, 8000, 1)
+                else:
+                    inter = [x for s2 in v for x in (s2, s2)]
+                    blob = MM.encode_wav(inter, 8000, 2)
+                ids.append(str(did))
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(gen, schema="media_id string, blob binary")
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """Audio difference-hash under the gate: WAV decode → integer mono
+    mix → 33 windows → exact integer energies → 32 comparison bits as
+    two 16-bit bands, replayed closed-form by the oracle."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+        audio_fingerprint,
+    )
+
+    return audio_fingerprint(_synth_fp_audio(spark, sf_dir))
+
+
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-dup under the gate: band-bucketed pairs at Hamming 0
+    over the mono/stereo paired corpus; oracle self-joins its own
+    closed-form fingerprint table."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+        audio_near_dup,
+    )
+
+    return audio_near_dup(_synth_fp_audio(spark, sf_dir), max_hamming=0)
 
 
 def q_media_meta(spark, sf_dir):
@@ -2514,6 +2568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,           # animated-GIF frame sample
         "media_dhash": q_media_dhash,             # perceptual dHash bands
         "media_near_dup": q_media_near_dup,       # image near-dup pairs
+        "audio_fingerprint": q_audio_fingerprint,  # audio energy dhash
+        "audio_near_dup": q_audio_near_dup,       # audio near-dup pairs
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2558,9 +2614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_triples": q_jsonld_triples,
         "feed_parse": q_feed_parse,
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        # ---- 50-entry driver window ends here --------------------------
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
-        # ---- 50-entry driver window ends here --------------------------
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
         "tpch_rollup": q_tpch_rollup,
@@ -2651,6 +2707,40 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        CAST(NULL AS VARCHAR) AS extract_error
 FROM cc
 """
+
+
+def _audio_fp_sql() -> str:
+    """Closed-form audio fingerprint CTE: exact integer window energies
+    over the _synth_fp_audio sample formula (mono mix of the stereo
+    twin is identical by construction, so one formula covers both)."""
+    return """
+WITH d AS (
+  SELECT doc_id, doc_id - doc_id % 2 AS s FROM documents
+), dim AS (
+  SELECT doc_id, s, (200 + (s % 7) * 40) // 33 AS wlen FROM d
+), e AS (
+  SELECT doc_id, k,
+         SUM(CAST(((s * 31 + (k * wlen + j) * 17) % 2003 - 1001) AS BIGINT)
+             * CAST(((s * 31 + (k * wlen + j) * 17) % 2003 - 1001) AS BIGINT))
+           AS energy
+  FROM dim,
+       generate_series(0, 32) t1(k),
+       generate_series(0, 12) t2(j)
+  WHERE j < wlen
+  GROUP BY doc_id, k
+), bits AS (
+  SELECT a.doc_id, a.k AS i,
+         CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 32
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i < 16 THEN bit * (1 << i) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(SUM(CASE WHEN i >= 16 THEN bit * (1 << (i - 16)) ELSE 0 END)
+              AS INTEGER) AS b1
+  FROM bits GROUP BY doc_id
+)"""
 
 
 def _dhash_bands_sql() -> str:
@@ -3409,6 +3499,16 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
 FROM documents
 """,
         # palette j -> (j*37, j*59, j*83) — shared with media_gif
+        "audio_fingerprint": _audio_fp_sql() + """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, b0, b1 FROM fp
+""",
+        "audio_near_dup": _audio_fp_sql() + """
+SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
+       CAST(b.doc_id AS VARCHAR) AS id_b,
+       CAST(0 AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.b0 = b.b0 AND a.b1 = b.b1
+WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
         "media_dhash": _dhash_bands_sql() + """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, b0, b1, b2, b3 FROM dh
 """,

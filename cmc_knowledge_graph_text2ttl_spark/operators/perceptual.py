@@ -1,5 +1,5 @@
-"""Perceptual image hashing + image-level near-dup — dHash over the
-pure-stdlib decoders.
+"""Perceptual media hashing + near-dup — image dHash and an audio
+energy-difference fingerprint over the pure-stdlib decoders.
 
 The image-side analog of the text near-dup family (dedup.py): exact
 image dedup falls out of media_metadata's sha256, but re-encoded /
@@ -29,7 +29,14 @@ from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from .multimodal import decode_image, resize_nearest
 
-__all__ = ["dhash_bands", "image_dhash", "image_near_dup"]
+__all__ = [
+    "dhash_bands",
+    "image_dhash",
+    "image_near_dup",
+    "audio_dhash_bands",
+    "audio_fingerprint",
+    "audio_near_dup",
+]
 
 HASH_W, HASH_H = 8, 8  # 8x8 comparison grid over a 9x8 resample
 
@@ -87,6 +94,120 @@ def image_dhash(
                 )
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def audio_dhash_bands(
+    channels: int, samples, n_windows: int = 33
+) -> Tuple[int, int]:
+    """(b0, b1) 16-bit bands of a 32-bit audio difference-hash: mono
+    mix (integer floor average), ``n_windows`` equal windows (remainder
+    dropped), exact integer energy (sum of squares) per window, one
+    bit per adjacent-window comparison — the audio analog of the image
+    dHash, every step integer-exact for the SQL gate."""
+    if channels > 1:
+        mono = [
+            sum(samples[f * channels + c] for c in range(channels)) // channels
+            for f in range(len(samples) // channels)
+        ]
+    else:
+        mono = list(samples)
+    wlen = len(mono) // n_windows
+    if wlen == 0:
+        return (0, 0)
+    energies = [
+        sum(v * v for v in mono[k * wlen : (k + 1) * wlen])
+        for k in range(n_windows)
+    ]
+    b0 = b1 = 0
+    for k in range(n_windows - 1):
+        if energies[k + 1] > energies[k]:
+            if k < 16:
+                b0 |= 1 << k
+            else:
+                b1 |= 1 << (k - 16)
+    return (b0, b1)
+
+
+AUDIO_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("b0", IntegerType(), False),
+        StructField("b1", IntegerType(), False),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, b0, b1) per decodable WAV row (undecodable skipped)."""
+    from .multimodal import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    ch, _rate, _nf, samples = decode_wav(bytes(raw))
+                except (ValueError, NotImplementedError):
+                    continue
+                rows.append((str(mid),) + audio_dhash_bands(ch, samples))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in AUDIO_DHASH_SCHEMA.fields]
+                )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=AUDIO_DHASH_SCHEMA
+    )
+
+
+def audio_near_dup(
+    df: DataFrame,
+    max_hamming: int = 0,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming) WAV pairs with fingerprint Hamming ≤
+    ``max_hamming`` (< 2 — two 16-bit bands pigeonhole). Same banded
+    bucket-join shape as :func:`image_near_dup`."""
+    if not 0 <= max_hamming < 2:
+        raise ValueError("max_hamming must be in [0, 1] for 2-band pigeonhole")
+    fps = audio_fingerprint(df, blob_col, id_col)
+    band_rows = fps.select(
+        "media_id",
+        "b0",
+        "b1",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(k)), F.col(f"b{k}").cast("string"))
+                    for k in range(2)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), "band_key")
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            *[F.col(f"a.b{k}").alias(f"ab{k}") for k in range(2)],
+            *[F.col(f"b.b{k}").alias(f"bb{k}") for k in range(2)],
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"ab{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(2)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def image_near_dup(

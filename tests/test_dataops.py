@@ -1321,7 +1321,7 @@ class TestImageHash:
                      for j in range(w * h * 3))
 
     def test_cross_container_invariance(self):
-        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
             dhash_bands,
         )
 
@@ -1341,7 +1341,7 @@ class TestImageHash:
         # content: a smooth gradient survives a downscale almost
         # bit-exactly. (Per-pixel noise aliases under resampling and
         # legitimately changes the hash — that is not a dup.)
-        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
             dhash_bands,
         )
 
@@ -1360,7 +1360,7 @@ class TestImageHash:
         assert ham <= 4, ham
 
     def test_near_dup_finds_cross_container_pairs(self, spark):
-        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
             image_near_dup,
         )
 
@@ -1376,7 +1376,7 @@ class TestImageHash:
         assert got == {(f"p{k}", f"q{k}") for k in range(4)}
 
     def test_max_hamming_bounds(self, spark):
-        from cmc_knowledge_graph_text2ttl_spark.operators.imagehash import (
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
             image_near_dup,
         )
 
@@ -1385,3 +1385,58 @@ class TestImageHash:
             "media_id string, blob binary")
         with pytest.raises(ValueError, match="pigeonhole"):
             image_near_dup(df, max_hamming=4)
+
+
+class TestAudioFingerprint:
+    """Audio energy difference-hash + near-dup (operators/perceptual.py)."""
+
+    @staticmethod
+    def _sig(s, n):
+        return [((s * 31 + i * 17) % 2003) - 1001 for i in range(n)]
+
+    def test_mono_stereo_invariance(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            audio_dhash_bands,
+        )
+
+        v = self._sig(5, 300)
+        mono = audio_dhash_bands(1, v)
+        stereo = audio_dhash_bands(2, [x for s in v for x in (s, s)])
+        assert mono == stereo
+        assert all(0 <= b < 65536 for b in mono)
+
+    def test_short_signal_yields_zero_hash(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            audio_dhash_bands,
+        )
+
+        assert audio_dhash_bands(1, [5] * 10) == (0, 0)  # < 33 samples
+
+    def test_near_dup_sees_through_channel_layout(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            audio_near_dup,
+        )
+
+        rows = []
+        for k in range(3):
+            v = self._sig(k * 1000 + 13, 264)
+            rows.append((f"m{k}", bytearray(mm.encode_wav(v, 8000, 1))))
+            rows.append(
+                (f"s{k}",
+                 bytearray(mm.encode_wav(
+                     [x for t in v for x in (t, t)], 8000, 2))))
+        rows.append(("junk", bytearray(b"not audio bytes")))
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+        got = {(r.id_a, r.id_b) for r in audio_near_dup(df).collect()}
+        assert {(f"m{k}", f"s{k}") for k in range(3)} <= got
+
+    def test_max_hamming_bound(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            audio_near_dup,
+        )
+
+        df = spark.createDataFrame(
+            [("a", bytearray(mm.encode_wav([1] * 100, 8000, 1)))],
+            "media_id string, blob binary")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            audio_near_dup(df, max_hamming=2)
