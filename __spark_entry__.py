@@ -1232,6 +1232,58 @@ def q_text_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), shingle_n=8)
 
 
+def q_text_pii(spark, sf_dir):
+    """PII scrubbing under the gate: deterministic email/IP/phone
+    injections appended to each doc, redacted by the shared
+    Java-regex/RE2-compatible patterns; DuckDB replays the exact
+    regexes (global replace) and must produce identical scrubbed text
+    and per-category counts."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.42 call +1 (212) 555-0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected)
+
+
+def q_corpus_c4(spark, sf_dir):
+    """C4 + Gopher document heuristics under the gate: five
+    deterministic input variants (clean / curly-brace / lorem-ipsum /
+    truncated / javascript-boilerplate) per doc_id%5; the oracle
+    rebuilds the same variants and re-states every rule closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+        c4_gopher_rules,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    v = F.col("doc_id") % 5
+    text2 = (
+        F.when(v == 1, F.concat(F.col("text"), F.lit(" {x}")))
+        .when(v == 2, F.concat(F.lit("Lorem ipsum dolor "), F.col("text")))
+        .when(
+            v == 3,
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " "),
+        )
+        .when(
+            v == 4,
+            F.concat(F.lit("Please enable JavaScript. "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return c4_gopher_rules(docs.select("doc_id", text2.alias("text")))
+
+
 def q_corpus_filter(spark, sf_dir):
     """The end-to-end keep/drop verdict (quality + repetition + lang)
     with machine-readable reasons — the corpus-curation composition."""
@@ -2570,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dup": q_media_near_dup,       # image near-dup pairs
         "audio_fingerprint": q_audio_fingerprint,  # audio energy dhash
         "audio_near_dup": q_audio_near_dup,       # audio near-dup pairs
+        "text_pii": q_text_pii,                   # email/IP/phone scrub
+        "corpus_c4": q_corpus_c4,                 # C4+Gopher doc rules
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2612,9 +2666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
         "jsonld_triples": q_jsonld_triples,
+        # ---- 50-entry driver window ends here --------------------------
         "feed_parse": q_feed_parse,
         "tpch_pricing_summary": q_tpch_pricing_summary,
-        # ---- 50-entry driver window ends here --------------------------
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
         "events_hourly": q_events_hourly,
@@ -3499,6 +3553,89 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
 FROM documents
 """,
         # palette j -> (j*37, j*59, j*83) — shared with media_gif
+        "text_pii": r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.42 call +1 (212) 555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || ' end' AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM inj
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS n_ipv4,
+         regexp_replace(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\+?[0-9][0-9().\- ]{7,}[0-9]'))
+           AS n_phone,
+         regexp_replace(t, '\+?[0-9][0-9().\- ]{7,}[0-9]',
+                        '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id AS id, t AS text,
+       CAST(n_email AS INTEGER) AS n_email,
+       CAST(n_ipv4 AS INTEGER) AS n_ipv4,
+       CAST(n_phone AS INTEGER) AS n_phone
+FROM s3
+""",
+        "corpus_c4": r"""
+WITH v AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 1 THEN text || ' {x}'
+           WHEN 2 THEN 'Lorem ipsum dolor ' || text
+           WHEN 3 THEN array_to_string(string_split(text, ' ')[1:5], ' ')
+           WHEN 4 THEN 'Please enable JavaScript. ' || text
+           ELSE text
+         END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, t,
+         CASE WHEN len(trim(t)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS n_words,
+         len(t) - len(regexp_replace(t, '[.!?]', '', 'g')) AS n_sentences,
+         len(regexp_replace(t, '\s+', '', 'g')) AS n_chars
+  FROM v
+), r AS (
+  SELECT doc_id, n_words, n_sentences,
+         CASE WHEN n_words > 0 THEN (n_chars * 100) // n_words END AS mwl,
+         list_filter([
+           CASE WHEN position('{' IN t) > 0 THEN 'curly_brace' END,
+           CASE WHEN position('lorem ipsum' IN lower(t)) > 0
+                THEN 'lorem_ipsum' END,
+           CASE WHEN position('enable javascript' IN lower(t)) > 0
+                THEN 'javascript' END,
+           CASE WHEN n_sentences < 3 THEN 'too_few_sentences' END,
+           CASE WHEN n_words < 20 THEN 'too_short' END,
+           CASE WHEN n_words > 100000 THEN 'too_long' END,
+           CASE WHEN (n_chars * 100) // n_words < 300 THEN 'short_words' END,
+           CASE WHEN (n_chars * 100) // n_words > 1000 THEN 'long_words' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT doc_id AS id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_sentences AS INTEGER) AS n_sentences,
+       CAST(mwl AS BIGINT) AS mean_word_len_x100,
+       len(reasons) = 0 AS keep,
+       array_to_string(reasons, ',') AS reasons
+FROM r
+""",
         "audio_fingerprint": _audio_fp_sql() + """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, b0, b1 FROM fp
 """,

@@ -159,3 +159,61 @@ def corpus_filter_with_near_dups(
         reasons.alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+def c4_gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_sentences: int = 3,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+) -> DataFrame:
+    """(id, n_words, n_sentences, mean_word_len_x100, keep, reasons) —
+    the published C4 + Gopher document-level heuristics as pure column
+    expressions (zero UDFs, map-side only):
+
+    * C4: drop documents containing ``{`` (code), the phrase
+      "lorem ipsum", or "enable javascript" boilerplate; require at
+      least ``min_sentences`` terminal-punctuation marks;
+    * Gopher: word count in [min_words, max_words]; mean word length
+      in [min_mean_word_len, max_mean_word_len].
+
+    ``mean_word_len_x100`` is the floor-scaled integer (total
+    non-space chars * 100 // words) — the partition-independent form
+    every cross-engine mean in this repo uses."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(words))
+    n_sent = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.!?]", "")
+    )
+    n_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    mwl100 = F.when(n_words > 0, (n_chars * 100).cast("bigint") / n_words)
+    mwl100 = F.floor(mwl100).cast("bigint")
+    lower = F.lower(F.col(text_col))
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col(text_col).contains("{"), F.lit("curly_brace")),
+            F.when(lower.contains("lorem ipsum"), F.lit("lorem_ipsum")),
+            F.when(lower.contains("enable javascript"), F.lit("javascript")),
+            F.when(n_sent < min_sentences, F.lit("too_few_sentences")),
+            F.when(n_words < min_words, F.lit("too_short")),
+            F.when(n_words > max_words, F.lit("too_long")),
+            F.when(
+                mwl100 < min_mean_word_len * 100, F.lit("short_words")
+            ),
+            F.when(mwl100 > max_mean_word_len * 100, F.lit("long_words")),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        mwl100.alias("mean_word_len_x100"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )

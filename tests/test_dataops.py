@@ -1440,3 +1440,75 @@ class TestAudioFingerprint:
             "media_id string, blob binary")
         with pytest.raises(ValueError, match="pigeonhole"):
             audio_near_dup(df, max_hamming=2)
+
+
+class TestPiiScrub:
+    """PII redaction (operators/pii.py)."""
+
+    def test_all_three_categories(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@ex-ample.co.uk then 192.168.1.250 then "
+                 "+44 (0) 20 7946 0958 done")],
+            ["doc_id", "text"])
+        r = scrub_pii(df).collect()[0]
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 1, 1)
+        assert r.text == "mail <EMAIL> then <IP> then <PHONE> done"
+
+    def test_plain_words_years_and_versions_untouched(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
+
+        text = "in 2024 version 3.1.4 of the tool shipped to 12 users"
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        r = scrub_pii(df).collect()[0]
+        assert r.text == text
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (0, 0, 0)
+
+    def test_email_scrubbed_before_phone_sees_digits(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
+
+        # digit-heavy local part must become <EMAIL>, not <PHONE>
+        df = spark.createDataFrame(
+            [(1, "ref 0012345678901@corp.example end")], ["doc_id", "text"])
+        r = scrub_pii(df).collect()[0]
+        assert r.text == "ref <EMAIL> end"
+        assert (r.n_email, r.n_phone) == (1, 0)
+
+
+class TestC4GopherRules:
+    def test_each_rule_fires(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+            c4_gopher_rules,
+        )
+
+        good = ("A first sentence here today. Another follows right after "
+                "it. And one more closes things out. " * 2)
+        rows = [
+            (1, good),
+            (2, good + " {x}"),
+            (3, "Lorem ipsum dolor. " + good),
+            (4, "Please enable JavaScript. " + good),
+            (5, "five words only no punct"),
+            (6, good + " " + "a " * 40),          # short_words pressure
+            (7, good + " " + "extraordinarily " * 60),  # long words
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.id: r for r in c4_gopher_rules(df).collect()}
+        assert got[1].keep and got[1].reasons == ""
+        assert "curly_brace" in got[2].reasons
+        assert "lorem_ipsum" in got[3].reasons
+        assert "javascript" in got[4].reasons
+        assert "too_few_sentences" in got[5].reasons
+        assert "too_short" in got[5].reasons
+        assert "short_words" in got[6].reasons
+        assert "long_words" in got[7].reasons
+
+    def test_empty_text(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+            c4_gopher_rules,
+        )
+
+        df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+        r = c4_gopher_rules(df).collect()[0]
+        assert r.n_words == 0 and not r.keep
