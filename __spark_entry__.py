@@ -1284,6 +1284,35 @@ def q_corpus_c4(spark, sf_dir):
     return c4_gopher_rules(docs.select("doc_id", text2.alias("text")))
 
 
+def q_crawl_blocklist(spark, sf_dir):
+    """Domain-blocklist filtering under the gate: hosts explode into
+    their dot-suffixes (bounded fan-out) and LEFT ANTI join a
+    dimension blocklist — suffix entries block whole registrable
+    domains, exact entries block single hosts; the oracle restates the
+    surviving set closed-form from the id arithmetic."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.urls import (
+        filter_blocked_domains,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("site0.example",), ("site1.example",), ("h3.site2.example",)],
+        ["domain"],
+    )
+    return filter_blocked_domains(pages, blocklist).select("doc_id", "url")
+
+
 def q_corpus_filter(spark, sf_dir):
     """The end-to-end keep/drop verdict (quality + repetition + lang)
     with machine-readable reasons — the corpus-curation composition."""
@@ -2624,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,       # audio near-dup pairs
         "text_pii": q_text_pii,                   # email/IP/phone scrub
         "corpus_c4": q_corpus_c4,                 # C4+Gopher doc rules
+        "crawl_blocklist": q_crawl_blocklist,     # domain suffix filter
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2665,8 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
-        "jsonld_triples": q_jsonld_triples,
         # ---- 50-entry driver window ends here --------------------------
+        "jsonld_triples": q_jsonld_triples,
         "feed_parse": q_feed_parse,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
@@ -3553,6 +3583,15 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
 FROM documents
 """,
         # palette j -> (j*37, j*59, j*83) — shared with media_gif
+        "crawl_blocklist": """
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 20 AS VARCHAR)
+         || '.site' || CAST(doc_id % 5 AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+FROM documents
+WHERE doc_id % 5 NOT IN (0, 1)
+  AND NOT (doc_id % 20 = 3 AND doc_id % 5 = 2)
+""",
         "text_pii": r"""
 WITH inj AS (
   SELECT doc_id,

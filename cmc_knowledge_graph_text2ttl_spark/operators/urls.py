@@ -174,3 +174,43 @@ def resolve_url_col(base: Column, ref: Column) -> Column:
         F.when(r_has_frag, F.concat(F.lit("#"), r_frag)).otherwise(F.lit("")),
     )
     return F.when(r_scheme != "", ref).otherwise(resolved)
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    max_labels: int = 6,
+) -> DataFrame:
+    """Drop rows whose URL host matches a blocklist entry exactly OR as
+    a dot-suffix (``ads.example.com`` is blocked by ``example.com``) —
+    the standard crawl-curation blocklist semantics.
+
+    Scale shape: the host explodes into at most ``max_labels`` dot
+    suffixes (bounded fan-out — registrable domains are shallow) and
+    LEFT ANTI joins the blocklist on the suffix. The blocklist is a
+    dimension table: Spark broadcasts it under AQE when it is small,
+    and the join stays a plain key join (never a per-row UDF loop or a
+    cartesian LIKE scan) when it is not.
+    """
+    host = host_col(F.col(url_col))
+    # suffixes: host itself + each parent domain, e.g. a.b.c ->
+    # [a.b.c, b.c, c]; built with split + slice, no UDF
+    labels = F.split(host, r"\.")
+    n = F.least(F.size(labels), F.lit(max_labels))
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(
+            F.slice(labels, i, F.size(labels) - i + 1), "."
+        ),
+    )
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(blocklist.columns[0]))).alias("_blocked")
+    ).distinct()
+    exploded = df.withColumn("_sfx", F.explode(suffixes))
+    hit_ids = (
+        exploded.join(bl, exploded["_sfx"] == bl["_blocked"], "left_semi")
+        .select(url_col)
+        .distinct()
+    )
+    return df.join(hit_ids, url_col, "left_anti")

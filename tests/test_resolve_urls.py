@@ -86,3 +86,36 @@ class TestRfc3986Vectors:
         )
         r = df.withColumn("got", resolve_url_col(F.col("base"), F.col("ref"))).collect()[0]
         assert r.got == "https://cdn.x/y?z"
+
+
+class TestBlocklist:
+    """Domain-suffix blocklist filtering (urls.filter_blocked_domains)."""
+
+    def test_suffix_exact_and_near_miss(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import (
+            filter_blocked_domains,
+        )
+
+        docs = spark.createDataFrame([
+            ("http://ads.example.com/x", 1),
+            ("https://example.com/y", 2),
+            ("http://example.org/z", 3),
+            ("http://good.net/a", 4),
+            ("http://notexample.com/b", 5),   # suffix must be dot-anchored
+            ("http://deep.a.b.example.org/c", 6),
+        ], ["url", "v"])
+        bl = spark.createDataFrame(
+            [("example.com",), ("EXAMPLE.ORG ",)], ["domain"])
+        got = sorted(r.v for r in filter_blocked_domains(docs, bl).collect())
+        assert got == [4, 5]
+
+    def test_empty_blocklist_keeps_everything(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import (
+            filter_blocked_domains,
+        )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        docs = spark.createDataFrame([("http://a.b/x", 1)], ["url", "v"])
+        bl = spark.createDataFrame(
+            [], StructType([StructField("domain", StringType())]))
+        assert filter_blocked_domains(docs, bl).count() == 1
