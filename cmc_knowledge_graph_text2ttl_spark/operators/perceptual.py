@@ -173,7 +173,7 @@ def audio_near_dup(
     bucket-join shape as :func:`image_near_dup`."""
     if not 0 <= max_hamming < 2:
         raise ValueError("max_hamming must be in [0, 1] for 2-band pigeonhole")
-    fps = audio_fingerprint(df, blob_col, id_col)
+    fps = audio_fingerprint(df, blob_col, id_col).persist()  # joined twice
     band_rows = fps.select(
         "media_id",
         "b0",
@@ -223,7 +223,10 @@ def image_near_dup(
     shuffle keys are the band values, never an all-pairs product."""
     if not 0 <= max_hamming < 4:
         raise ValueError("max_hamming must be in [0, 3] for 4-band pigeonhole")
-    fps = image_dhash(df, blob_col, id_col)
+    # persist: the self-join consumes the fingerprints twice, and
+    # re-computing them means re-DECODING every image twice — the
+    # dominant cost (same rationale as the minhash shingle persist)
+    fps = image_dhash(df, blob_col, id_col).persist()
     band_rows = fps.select(
         "media_id",
         "b0",
