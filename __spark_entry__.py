@@ -1313,6 +1313,56 @@ def q_crawl_blocklist(spark, sf_dir):
     return filter_blocked_domains(pages, blocklist).select("doc_id", "url")
 
 
+def q_corpus_safety(spark, sf_dir):
+    """Safety-curation capstone under one gate: domain blocklist →
+    PII scrub → C4/Gopher verdict, composed exactly as a production
+    pre-training cleanup pass would chain them; the oracle chains the
+    same three closed-form stages."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+        c4_gopher_rules,
+    )
+    from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
+    from cmc_knowledge_graph_text2ttl_spark.operators.urls import (
+        filter_blocked_domains,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example now"),
+        ).alias("text"),
+    )
+    blocklist = spark.createDataFrame(
+        [("site0.example",), ("h3.site2.example",)], ["domain"]
+    )
+    allowed = filter_blocked_domains(pages, blocklist)
+    scrubbed = scrub_pii(allowed)  # id, text, n_email, n_ipv4, n_phone
+    verdict = c4_gopher_rules(scrubbed, text_col="text", id_col="id")
+    return (
+        scrubbed.select(
+            "id",
+            "text",
+            (
+                F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")
+            ).alias("n_pii"),
+        )
+        .join(verdict.select("id", "n_words", "keep", "reasons"), "id")
+        .select("id", "text", "n_pii", "n_words", "keep", "reasons")
+    )
+
+
 def q_corpus_filter(spark, sf_dir):
     """The end-to-end keep/drop verdict (quality + repetition + lang)
     with machine-readable reasons — the corpus-curation composition."""
@@ -2654,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,                   # email/IP/phone scrub
         "corpus_c4": q_corpus_c4,                 # C4+Gopher doc rules
         "crawl_blocklist": q_crawl_blocklist,     # domain suffix filter
+        "corpus_safety": q_corpus_safety,         # blocklist+pii+c4 chain
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2694,8 +2745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
-        "sitemap_parse": q_sitemap_parse,
         # ---- 50-entry driver window ends here --------------------------
+        "sitemap_parse": q_sitemap_parse,
         "jsonld_triples": q_jsonld_triples,
         "feed_parse": q_feed_parse,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -3583,6 +3634,68 @@ SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/'
 FROM documents
 """,
         # palette j -> (j*37, j*59, j*83) — shared with media_gif
+        "corpus_safety": r"""
+WITH kept AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example now' AS t
+  FROM documents
+  WHERE doc_id % 5 <> 0
+    AND NOT (doc_id % 20 = 3 AND doc_id % 5 = 2)
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM kept
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS n_ipv4,
+         regexp_replace(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\+?[0-9][0-9().\- ]{7,}[0-9]'))
+           AS n_phone,
+         regexp_replace(t, '\+?[0-9][0-9().\- ]{7,}[0-9]',
+                        '<PHONE>', 'g') AS t
+  FROM s2
+), m AS (
+  SELECT doc_id, t, n_email + n_ipv4 + n_phone AS n_pii,
+         CASE WHEN len(trim(t)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS n_words,
+         len(t) - len(regexp_replace(t, '[.!?]', '', 'g')) AS n_sentences,
+         len(regexp_replace(t, '\s+', '', 'g')) AS n_chars
+  FROM s3
+), r AS (
+  SELECT doc_id, t, n_pii, n_words,
+         list_filter([
+           CASE WHEN position('{' IN t) > 0 THEN 'curly_brace' END,
+           CASE WHEN position('lorem ipsum' IN lower(t)) > 0
+                THEN 'lorem_ipsum' END,
+           CASE WHEN position('enable javascript' IN lower(t)) > 0
+                THEN 'javascript' END,
+           CASE WHEN n_sentences < 3 THEN 'too_few_sentences' END,
+           CASE WHEN n_words < 20 THEN 'too_short' END,
+           CASE WHEN n_words > 100000 THEN 'too_long' END,
+           CASE WHEN (n_chars * 100) // n_words < 300 THEN 'short_words' END,
+           CASE WHEN (n_chars * 100) // n_words > 1000 THEN 'long_words' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT doc_id AS id, t AS text,
+       CAST(n_pii AS INTEGER) AS n_pii,
+       CAST(n_words AS INTEGER) AS n_words,
+       len(reasons) = 0 AS keep,
+       array_to_string(reasons, ',') AS reasons
+FROM r
+""",
         "crawl_blocklist": """
 SELECT doc_id,
        'http://h' || CAST(doc_id % 20 AS VARCHAR)
