@@ -120,13 +120,16 @@ class _SstReader:
     def chars(self, cch: int, high: bool) -> str:
         """cch characters honouring per-continuation flag bytes."""
         out: List[str] = []
+        header_ci = self._ci  # chunk the string HEADER ended in
         while cch:
             self._ensure()
             if self._ci >= len(self._chunks):
                 raise ValueError("SST string truncated")
             chunk = self._chunks[self._ci]
-            if self._pos == 0 and out:
-                # continuation boundary: fresh fHighByte flag byte
+            if self._pos == 0 and (out or self._ci != header_ci):
+                # char data crossed a CONTINUE boundary (including the
+                # header-ends-exactly-at-record-end case, where zero
+                # chars precede the boundary): fresh fHighByte flag
                 high = bool(chunk[0] & 0x01)
                 self._pos = 1
             avail = len(chunk) - self._pos

@@ -134,3 +134,32 @@ class TestPpt:
         blob = L.make_cfb([("PowerPoint Document", bad)])
         with pytest.raises(ValueError, match="truncated"):
             L.ppt_to_xhtml_text(blob)
+
+
+class TestSstBoundaryEdge:
+    def test_header_ending_exactly_at_record_boundary(self):
+        # string header (cch+grbit) fills the SST record to the byte;
+        # ALL characters live in the CONTINUE, which therefore starts
+        # with its own flag byte even though zero chars preceded it
+        head = struct.pack("<H", 3) + b"\x00"  # cch=3, compressed
+        cont = b"\x01" + "abc".encode("utf-16-le")  # flag flips to wide
+        sst_body = struct.pack("<ii", 1, 1) + head
+        wb = (
+            L._rec(L._BOF, struct.pack("<HHHHII", 0x0600, 5, 0, 0, 0, 0))
+            + L._rec(
+                L._BOUNDSHEET,
+                struct.pack("<IH", 0, 0) + L._xl_unicode("S", short=True),
+            )
+            + L._rec(L._SST, sst_body)
+            + L._rec(L._CONTINUE, cont)
+            + L._rec(L._EOF, b"")
+        )
+        sheet = (
+            L._rec(L._BOF, struct.pack("<HHHHII", 0x0600, 0x10, 0, 0, 0, 0))
+            + L._rec(L._LABELSST, struct.pack("<HHHI", 0, 0, 0, 0))
+            + L._rec(L._EOF, b"")
+        )
+        full = bytearray(wb + sheet)
+        struct.pack_into("<I", full, 4 + 16 + 4, len(wb))
+        blob = L.make_cfb([("Workbook", bytes(full))])
+        assert "<td>abc</td>" in L.xls_to_xhtml_text(blob)
