@@ -2508,6 +2508,22 @@ def q_audio_near_dup(spark, sf_dir):
     return audio_near_dup(_synth_fp_audio(spark, sf_dir), max_hamming=0)
 
 
+def q_media_clusters(spark, sf_dir):
+    """Perceptual cluster resolution under the gate: dHash pairs →
+    connected components → survivor per cluster over the PNG/BMP
+    paired corpus. At Hamming 0 clusters are exactly the identical-
+    hash groups, so the oracle labels each doc with the MIN string id
+    of its hash group — including coincidental cross-seed collisions,
+    which must cluster too."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+        media_dedup_clusters,
+    )
+
+    return media_dedup_clusters(
+        _synth_dhash_media(spark, sf_dir), modality="image"
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2705,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_c4": q_corpus_c4,                 # C4+Gopher doc rules
         "crawl_blocklist": q_crawl_blocklist,     # domain suffix filter
         "corpus_safety": q_corpus_safety,         # blocklist+pii+c4 chain
+        "media_clusters": q_media_clusters,       # dhash pairs->CC->survivor
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2744,8 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
-        "crawl_batches": q_crawl_batches,
         # ---- 50-entry driver window ends here --------------------------
+        "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
         "jsonld_triples": q_jsonld_triples,
         "feed_parse": q_feed_parse,
@@ -3797,6 +3814,18 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
        CAST(0 AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.b0 = b.b0 AND a.b1 = b.b1
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        "media_clusters": _dhash_bands_sql() + """
+, lab AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         MIN(CAST(doc_id AS VARCHAR))
+           OVER (PARTITION BY b0, b1, b2, b3) AS cluster_id
+  FROM dh
+)
+SELECT media_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_cluster,
+       media_id = cluster_id AS is_survivor
+FROM lab
 """,
         "media_dhash": _dhash_bands_sql() + """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, b0, b1, b2, b3 FROM dh

@@ -263,3 +263,49 @@ def image_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def media_dedup_clusters(
+    df: DataFrame,
+    modality: str = "image",
+    max_hamming: int = 0,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    small_graph_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(media_id, cluster_id, n_cluster, is_survivor) — resolve
+    perceptual near-dup PAIRS into clusters with one survivor each,
+    the media analog of dedup.near_duplicate_clusters (same CC
+    operator, same survivor rule: lexicographically smallest member).
+    Undecodable rows are singleton survivors — their exact-dup story
+    is the metadata sha256, not a perceptual hash.
+
+    Scale shape identical to the text path: banded pair generation,
+    CC over the (tiny) pair graph, one left join + one window."""
+    from pyspark.sql import Window
+
+    from .canonicalize import connected_components
+
+    if modality == "image":
+        pairs = image_near_dup(df, max_hamming, blob_col, id_col)
+    elif modality == "audio":
+        pairs = audio_near_dup(df, max_hamming, blob_col, id_col)
+    else:
+        raise ValueError(f"modality must be 'image' or 'audio', got {modality!r}")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(
+        edges, small_graph_threshold=small_graph_threshold
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("media_id")).distinct()
+    lab = ids.join(comp, ids["media_id"] == comp["node"], "left").select(
+        "media_id", F.coalesce("component", "media_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "media_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_cluster"),
+        (F.col("media_id") == F.col("cluster_id")).alias("is_survivor"),
+    )

@@ -1512,3 +1512,36 @@ class TestC4GopherRules:
         df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
         r = c4_gopher_rules(df).collect()[0]
         assert r.n_words == 0 and not r.keep
+
+    def test_media_dedup_clusters(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            media_dedup_clusters,
+        )
+
+        rows = []
+        for k in range(3):
+            w, h = 12 + k, 9 + k
+            px = self._px(k * 10, w, h)
+            rows.append((f"p{k}", bytearray(mm.encode_png(w, h, px, 3))))
+            rows.append((f"q{k}", bytearray(mm.encode_bmp(w, h, px, 3))))
+        rows.append(("zz_solo", bytearray(mm.encode_png(5, 5, self._px(99, 5, 5), 3))))
+        rows.append(("junk", bytearray(b"not an image")))
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+        got = {r.media_id: (r.cluster_id, r.n_cluster, r.is_survivor)
+               for r in media_dedup_clusters(df).collect()}
+        for k in range(3):
+            assert got[f"p{k}"] == (f"p{k}", 2, True)
+            assert got[f"q{k}"] == (f"p{k}", 2, False)
+        # undecodable and unique rows are singleton survivors
+        assert got["zz_solo"] == ("zz_solo", 1, True)
+        assert got["junk"] == ("junk", 1, True)
+
+    def test_media_dedup_clusters_bad_modality(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            media_dedup_clusters,
+        )
+
+        df = spark.createDataFrame(
+            [("a", bytearray(b""))], "media_id string, blob binary")
+        with pytest.raises(ValueError, match="modality"):
+            media_dedup_clusters(df, modality="video").collect()
