@@ -1521,10 +1521,12 @@ class TestC4GopherRules:
         rows = []
         for k in range(3):
             w, h = 12 + k, 9 + k
-            px = self._px(k * 10, w, h)
+            px = TestImageHash._px(k * 10, w, h)
             rows.append((f"p{k}", bytearray(mm.encode_png(w, h, px, 3))))
             rows.append((f"q{k}", bytearray(mm.encode_bmp(w, h, px, 3))))
-        rows.append(("zz_solo", bytearray(mm.encode_png(5, 5, self._px(99, 5, 5), 3))))
+        rows.append(
+            ("zz_solo",
+             bytearray(mm.encode_png(5, 5, TestImageHash._px(99, 5, 5), 3))))
         rows.append(("junk", bytearray(b"not an image")))
         df = spark.createDataFrame(rows, "media_id string, blob binary")
         got = {r.media_id: (r.cluster_id, r.n_cluster, r.is_survivor)
