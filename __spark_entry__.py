@@ -2524,6 +2524,38 @@ def q_media_clusters(spark, sf_dir):
     )
 
 
+def q_media_mp4(spark, sf_dir):
+    """Header-only MP4 facts under the gate: each doc gets a two-track
+    ISO-BMFF fixture (mvhd duration, tkhd 16.16 dims on the video
+    track, stsd fourccs varying with doc_id); the oracle restates
+    every field from the id arithmetic."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codecs = ("avc1", "mp4a") if did % 2 else ("hvc1", "opus")
+                blobs.append(
+                    MM.encode_mp4_header(
+                        1000 + did * 37,
+                        320 + did % 1280,
+                        240 + did % 720,
+                        codecs=codecs,
+                    )
+                )
+                ids.append(str(did))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    return MM.video_info(media)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2722,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_blocklist": q_crawl_blocklist,     # domain suffix filter
         "corpus_safety": q_corpus_safety,         # blocklist+pii+c4 chain
         "media_clusters": q_media_clusters,       # dhash pairs->CC->survivor
+        "media_mp4": q_media_mp4,                 # ISO-BMFF box facts
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2760,8 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels": q_media_pixels,
         "media_resize": q_media_resize,
         "media_audio": q_media_audio,
-        "crawl_delta": q_crawl_delta,
         # ---- 50-entry driver window ends here --------------------------
+        "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
         "jsonld_triples": q_jsonld_triples,
@@ -3814,6 +3847,16 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
        CAST(0 AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.b0 = b.b0 AND a.b1 = b.b1
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        "media_mp4": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(1000 + doc_id * 37 AS BIGINT) AS duration_ms,
+       CAST(320 + doc_id % 1280 AS INTEGER) AS width,
+       CAST(240 + doc_id % 720 AS INTEGER) AS height,
+       CAST(2 AS INTEGER) AS n_tracks,
+       CASE WHEN doc_id % 2 = 1 THEN 'avc1,mp4a' ELSE 'hvc1,opus' END
+         AS codecs
+FROM documents
 """,
         "media_clusters": _dhash_bands_sql() + """
 , lab AS (

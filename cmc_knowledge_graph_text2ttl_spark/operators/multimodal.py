@@ -155,7 +155,8 @@ def sniff_media(data: Optional[bytes]) -> tuple:
             return ("image", "avif", None, None)
         if brand in (b"heic", b"heix", b"mif1"):
             return ("image", "heic", None, None)
-        return ("video", "mp4", None, None)
+        info = mp4_info(data)
+        return ("video", "mp4", info.get("width"), info.get("height"))
     return ("unknown", None, None, None)
 
 
@@ -1447,6 +1448,117 @@ def encode_mp3_header(
     return tag + hdr + b"\x00" * max(0, n_audio_bytes - 4)
 
 
+_MP4_CONTAINERS = frozenset(
+    {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+)
+
+
+def mp4_info(data: bytes) -> dict:
+    """Header-only MP4/ISO-BMFF facts: {'duration_ms', 'width',
+    'height', 'n_tracks', 'codecs'} from the box tree (ftyp/moov/mvhd/
+    trak/tkhd/stsd) — no codec decode, pure byte walk. Handles 32- and
+    64-bit box sizes and mvhd/tkhd versions 0/1. Returns {} when no
+    moov is present (e.g. a fragmented or truncated stream)."""
+    out: dict = {}
+    codecs: List[str] = []
+    n_tracks = 0
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        nonlocal n_tracks
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit size
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return  # malformed: stop walking, keep what we have
+            if btype in _MP4_CONTAINERS:
+                if btype == b"trak":
+                    n_tracks += 1
+                walk(body, pos + size, depth + 1)
+            elif btype == b"mvhd" and body + 4 <= hi:
+                ver = data[body]
+                if ver == 1 and body + 32 <= hi:
+                    tsc, dur = struct.unpack(">IQ", data[body + 20 : body + 32])
+                else:
+                    tsc, dur = struct.unpack(">II", data[body + 12 : body + 20])
+                if tsc:
+                    out["duration_ms"] = dur * 1000 // tsc
+            elif btype == b"tkhd":
+                # width/height are 16.16 fixed point at the box tail
+                end = pos + size
+                if end - 8 >= body:
+                    w, h = struct.unpack(">II", data[end - 8 : end])
+                    w, h = w >> 16, h >> 16
+                    if w and h:  # audio tracks carry 0x0
+                        out.setdefault("width", w)
+                        out.setdefault("height", h)
+            elif btype == b"stsd" and body + 16 <= hi:
+                fourcc = data[body + 12 : body + 16]
+                if fourcc.isalnum():
+                    codecs.append(fourcc.decode("ascii"))
+            pos += size  # advance to the sibling box
+
+    try:
+        walk(0, len(data))
+    except (struct.error, IndexError):
+        pass
+    if not out and not codecs and n_tracks == 0:
+        return {}
+    out["n_tracks"] = n_tracks
+    out["codecs"] = ",".join(codecs)
+    return out
+
+
+def encode_mp4_header(
+    duration_ms: int,
+    width: int,
+    height: int,
+    codecs: Sequence[str] = ("avc1", "mp4a"),
+) -> bytes:
+    """Minimal ISO-BMFF fixture: ftyp + moov(mvhd + one trak per codec
+    with tkhd dims on the first, stsd fourcc) — header facts only."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration_ms)
+        + b"\x00" * 80,
+    )
+    traks = b""
+    for i, cc in enumerate(codecs):
+        w = width if i == 0 else 0
+        h = height if i == 0 else 0
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">III", 0, 0, i + 1)
+            + b"\x00" * 52
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        entry = struct.pack(">I", 16) + cc.encode("ascii") + b"\x00" * 8
+        stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", minf)
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2avc1mp41")
+    return ftyp + moov
+
+
 AUDIO_INFO_SCHEMA = StructType(
     [
         StructField("media_id", StringType(), False),
@@ -1479,6 +1591,43 @@ def audio_info(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=AUDIO_INFO_SCHEMA)
+
+
+VIDEO_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("duration_ms", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("codecs", StringType(), True),
+    ]
+)
+
+
+def video_info(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """binary column → header-only MP4 facts (:func:`mp4_info`) —
+    bytes-local, no decode; non-MP4 rows yield all-null fields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in VIDEO_INFO_SCHEMA.fields}
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                info = mp4_info(bytes(raw)) if raw is not None else {}
+                rows["media_id"].append(str(mid))
+                rows["duration_ms"].append(info.get("duration_ms"))
+                rows["width"].append(info.get("width"))
+                rows["height"].append(info.get("height"))
+                nt = info.get("n_tracks")
+                rows["n_tracks"].append(int(nt) if nt is not None else None)
+                rows["codecs"].append(info.get("codecs"))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=VIDEO_INFO_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = StructType(

@@ -1547,3 +1547,45 @@ class TestC4GopherRules:
             [("a", bytearray(b""))], "media_id string, blob binary")
         with pytest.raises(ValueError, match="modality"):
             media_dedup_clusters(df, modality="video").collect()
+
+
+class TestMp4Info:
+    """ISO-BMFF box parsing (operators/multimodal.py)."""
+
+    def test_roundtrip(self):
+        b = mm.encode_mp4_header(83500, 1920, 1080)
+        assert mm.mp4_info(b) == {
+            "duration_ms": 83500, "width": 1920, "height": 1080,
+            "n_tracks": 2, "codecs": "avc1,mp4a"}
+        assert mm.sniff_media(b) == ("video", "mp4", 1920, 1080)
+
+    def test_truncations_never_crash(self):
+        b = mm.encode_mp4_header(5000, 640, 480)
+        for cut in range(0, len(b), 7):
+            assert isinstance(mm.mp4_info(b[:cut]), dict)
+
+    def test_ftyp_only_and_garbage(self):
+        assert mm.mp4_info(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 24) in (
+            {}, {"n_tracks": 0, "codecs": ""})
+        assert mm.mp4_info(b"garbage!") == {}
+
+    def test_64bit_box_size(self):
+        b = bytearray(mm.encode_mp4_header(7000, 100, 50, codecs=("avc1",)))
+        # rewrite the moov header to the 64-bit size form in place
+        i = bytes(b).find(b"moov") - 4
+        import struct as _s
+        (size32,) = _s.unpack(">I", b[i:i + 4])
+        moov_body = bytes(b[i + 8:i + size32])
+        new_moov = (_s.pack(">I", 1) + b"moov"
+                    + _s.pack(">Q", 16 + len(moov_body)) + moov_body)
+        blob = bytes(b[:i]) + new_moov
+        assert mm.mp4_info(blob)["duration_ms"] == 7000
+
+    def test_video_info_operator(self, spark):
+        df = spark.createDataFrame(
+            [("v", bytearray(mm.encode_mp4_header(1500, 320, 240))),
+             ("x", bytearray(b"not a video"))],
+            "media_id string, blob binary")
+        got = {r.media_id: r for r in mm.video_info(df).collect()}
+        assert got["v"].duration_ms == 1500 and got["v"].codecs == "avc1,mp4a"
+        assert got["x"].duration_ms is None
