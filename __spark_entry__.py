@@ -2076,6 +2076,54 @@ def q_web_ingest(spark, sf_dir):
     )
 
 
+def q_archive_read(spark, sf_dir):
+    """Archive ingestion under the gate, byte-exact: documents packed
+    as members of six archive segments spanning the format matrix
+    (tar / tar.gz / zip, two of each), read back one task per archive
+    with per-archive error isolation; md5 of each member's bytes must
+    equal DuckDB's md5 over the same text."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.sources import archives as AR
+
+    def build_segment(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        members = [
+            (f"docs/m{d}.txt", t.encode())
+            for d, t in zip(pdf["doc_id"].astype(int), pdf["text"])
+        ]
+        g = int(pdf["seg"].iloc[0])
+        if g < 2:
+            data, ext = AR.build_tar(members), ".tar"
+        elif g < 4:
+            data, ext = AR.build_tar(members, gz=True), ".tar.gz"
+        else:
+            data, ext = AR.build_zip(members), ".zip"
+        return pd.DataFrame({"seg": [g], "ext": [ext], "data": [data]})
+
+    segs = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .withColumn("seg", F.col("doc_id") % 6)
+        .groupBy("seg")
+        .applyInPandas(build_segment, "seg long, ext string, data binary")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="archive_gate_")
+    for r in segs:
+        with open(os.path.join(root, f"seg{r.seg}{r.ext}"), "wb") as f:
+            f.write(bytes(r.data))
+    out = AR.read_archives(spark, root).where("error is null")
+    return out.select(
+        "member",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.md5("data").alias("digest"),
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt compliance under the gate: per-host policies parsed
     once into a broadcast rules dimension, longest-rule-wins decisions
@@ -2755,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_safety": q_corpus_safety,         # blocklist+pii+c4 chain
         "media_clusters": q_media_clusters,       # dhash pairs->CC->survivor
         "media_mp4": q_media_mp4,                 # ISO-BMFF box facts
+        "archive_read": q_archive_read,           # tar/tgz/zip source
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2792,8 +2841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_pixels": q_media_pixels,
         "media_resize": q_media_resize,
-        "media_audio": q_media_audio,
         # ---- 50-entry driver window ends here --------------------------
+        "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
@@ -3847,6 +3896,12 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
        CAST(0 AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.b0 = b.b0 AND a.b1 = b.b1
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        "archive_read": """
+SELECT 'docs/m' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
 """,
         "media_mp4": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
