@@ -2604,6 +2604,41 @@ def q_media_mp4(spark, sf_dir):
     return MM.video_info(media)
 
 
+def q_media_id3(spark, sf_dir):
+    """ID3v2 text-frame provenance under the gate: each doc's MP3
+    carries title/artist/album/year frames built from its words and
+    id; the oracle restates every field closed-form."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = t.split(" ")
+                w0 = words[0] if words else "pad"
+                w1 = words[1] if len(words) > 1 else "pad"
+                blobs.append(
+                    MM.encode_id3_mp3(
+                        {
+                            "title": f"{w0} {w1}",
+                            "artist": f"artist {did}",
+                            "album": w0,
+                            "year": str(1970 + did % 55),
+                        }
+                    )
+                )
+                ids.append(str(did))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    return MM.audio_tags(media)
+
+
 def q_media_meta(spark, sf_dir):
     """Header-level media metadata (PNG IHDR / GIF screen / JPEG SOF scan)
     over synthesized blobs; the oracle knows the synthesis formulas."""
@@ -2804,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_clusters": q_media_clusters,       # dhash pairs->CC->survivor
         "media_mp4": q_media_mp4,                 # ISO-BMFF box facts
         "archive_read": q_archive_read,           # tar/tgz/zip source
+        "media_id3": q_media_id3,                 # ID3v2 provenance tags
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2840,8 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "media_meta": q_media_meta,
         "media_pixels": q_media_pixels,
-        "media_resize": q_media_resize,
         # ---- 50-entry driver window ends here --------------------------
+        "media_resize": q_media_resize,
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
@@ -3896,6 +3932,17 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
        CAST(0 AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.b0 = b.b0 AND a.b1 = b.b1
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        "media_id3": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       coalesce(ws[1], 'pad') || ' ' || coalesce(ws[2], 'pad') AS title,
+       'artist ' || CAST(doc_id AS VARCHAR) AS artist,
+       coalesce(ws[1], 'pad') AS album,
+       CAST(1970 + doc_id % 55 AS VARCHAR) AS year
+FROM w
 """,
         "archive_read": """
 SELECT 'docs/m' || CAST(doc_id AS VARCHAR) || '.txt' AS member,

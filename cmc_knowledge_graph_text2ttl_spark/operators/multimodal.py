@@ -134,6 +134,8 @@ def sniff_media(data: Optional[bytes]) -> tuple:
         return ("audio", "ogg", None, None)
     if data[:4] == b"fLaC":
         return ("audio", "flac", None, None)
+    if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska / WebM)
+        return ("video", "webm", None, None)
     if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
         # ICO: first directory entry carries dims; 0 encodes 256
         w, h = data[6] or 256, data[7] or 256
@@ -1419,6 +1421,144 @@ def mp3_info(data: bytes) -> dict:
     return {}
 
 
+def flac_info(data: bytes) -> dict:
+    """Header-only FLAC facts from the STREAMINFO metadata block:
+    {'sample_rate', 'channels', 'bits_per_sample', 'duration_ms'}.
+    Returns {} when the stream is not FLAC or STREAMINFO is absent."""
+    if data[:4] != b"fLaC" or len(data) < 8:
+        return {}
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        (blen,) = (int.from_bytes(data[pos + 1 : pos + 4], "big"),)
+        body = data[pos + 4 : pos + 4 + blen]
+        if btype == 0 and len(body) >= 18:  # STREAMINFO
+            bits = int.from_bytes(body[10:18], "big")
+            rate = (bits >> 44) & 0xFFFFF
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            out = {
+                "sample_rate": rate,
+                "channels": channels,
+                "bits_per_sample": bps,
+            }
+            if rate:
+                out["duration_ms"] = total * 1000 // rate
+            return out
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+        pos += 4 + blen
+    return {}
+
+
+def encode_flac_header(
+    sample_rate: int, channels: int, bits_per_sample: int, total_samples: int
+) -> bytes:
+    """Minimal fLaC + STREAMINFO fixture (header facts only)."""
+    bits = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    body = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + len(body).to_bytes(3, "big") + body
+
+
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title",
+    "TPE1": "artist",
+    "TALB": "album",
+    "TDRC": "year",
+    "TYER": "year",
+}
+
+
+def id3_tags(data: bytes) -> dict:
+    """ID3v2.3/2.4 text frames (title/artist/album/year) — the audio
+    provenance analog of :func:`parse_exif`. Encoding bytes 0 (latin-1)
+    and 3 (utf-8) and the common 1 (utf-16 BOM) are honoured; frames
+    outside the tag length or malformed are skipped, never raised."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}
+    ver = data[3]
+    size = (
+        ((data[6] & 0x7F) << 21)
+        | ((data[7] & 0x7F) << 14)
+        | ((data[8] & 0x7F) << 7)
+        | (data[9] & 0x7F)
+    )
+    end = min(len(data), 10 + size)
+    pos = 10
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if not fid.strip(b"\x00"):
+            break  # padding
+        raw_sz = data[pos + 4 : pos + 8]
+        if ver >= 4:  # syncsafe in v2.4
+            fsz = (
+                ((raw_sz[0] & 0x7F) << 21)
+                | ((raw_sz[1] & 0x7F) << 14)
+                | ((raw_sz[2] & 0x7F) << 7)
+                | (raw_sz[3] & 0x7F)
+            )
+        else:
+            fsz = int.from_bytes(raw_sz, "big")
+        body = data[pos + 10 : pos + 10 + fsz]
+        pos += 10 + fsz
+        if len(body) < 1:
+            continue
+        key = _ID3_TEXT_FRAMES.get(fid.decode("latin-1", "replace"))
+        if key is None or key in out:
+            continue
+        enc, payload = body[0], body[1:]
+        try:
+            if enc == 0:
+                val = payload.decode("latin-1")
+            elif enc == 1:
+                val = payload.decode("utf-16")
+            elif enc == 3:
+                val = payload.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        val = val.rstrip("\x00")
+        if val:
+            out[key] = val
+    return out
+
+
+def encode_id3_mp3(
+    tags: dict,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    n_audio_bytes: int = 2000,
+) -> bytes:
+    """MP3 fixture whose ID3v2.3 tag carries the given text frames
+    (latin-1 when possible, else utf-16 with BOM)."""
+    frames = bytearray()
+    rev = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != "TDRC"}
+    for key, val in tags.items():
+        fid = rev[key].encode("ascii")
+        try:
+            body = b"\x00" + val.encode("latin-1")
+        except UnicodeEncodeError:
+            body = b"\x01\xfe\xff" + val.encode("utf-16-be")
+        frames += fid + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+    sz = len(frames)
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    ) + bytes(frames)
+    br_idx = _MP3_BITRATES[1].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(sample_rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    return tag + hdr + b"\x00" * max(0, n_audio_bytes - 4)
+
+
 def encode_mp3_header(
     bitrate_kbps: int = 128,
     sample_rate: int = 44100,
@@ -1627,6 +1767,38 @@ def video_info(
 
     return df.select(id_col, blob_col).mapInPandas(
         run, schema=VIDEO_INFO_SCHEMA
+    )
+
+
+AUDIO_TAGS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("title", StringType(), True),
+        StructField("artist", StringType(), True),
+        StructField("album", StringType(), True),
+        StructField("year", StringType(), True),
+    ]
+)
+
+
+def audio_tags(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """binary column → ID3v2 text-frame provenance (:func:`id3_tags`);
+    untagged rows yield all-null fields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_TAGS_SCHEMA.fields}
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                t = id3_tags(bytes(raw)) if raw is not None else {}
+                rows["media_id"].append(str(mid))
+                for k in ("title", "artist", "album", "year"):
+                    rows[k].append(t.get(k))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=AUDIO_TAGS_SCHEMA
     )
 
 

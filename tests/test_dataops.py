@@ -1589,3 +1589,42 @@ class TestMp4Info:
         got = {r.media_id: r for r in mm.video_info(df).collect()}
         assert got["v"].duration_ms == 1500 and got["v"].codecs == "avc1,mp4a"
         assert got["x"].duration_ms is None
+
+
+class TestAudioProvenance:
+    """FLAC STREAMINFO + ID3v2 text frames + WebM magic."""
+
+    def test_flac_streaminfo(self):
+        f = mm.encode_flac_header(44100, 2, 16, 44100 * 63)
+        assert mm.flac_info(f) == {
+            "sample_rate": 44100, "channels": 2, "bits_per_sample": 16,
+            "duration_ms": 63000}
+        assert mm.sniff_media(f)[:2] == ("audio", "flac")
+        assert mm.flac_info(b"fLaC") == {} and mm.flac_info(b"junk") == {}
+
+    def test_id3_text_frames_both_encodings(self):
+        b = mm.encode_id3_mp3({"title": "Nice Song",
+                               "artist": "Ané — 中文",
+                               "album": "LP", "year": "1999"})
+        assert mm.id3_tags(b) == {
+            "title": "Nice Song", "artist": "Ané — 中文",
+            "album": "LP", "year": "1999"}
+        # the frame header after the tag still parses
+        assert mm.mp3_info(b)["bitrate_kbps"] == 128
+
+    def test_id3_truncations_never_raise(self):
+        b = mm.encode_id3_mp3({"title": "T" * 80})
+        for cut in range(0, len(b), 5):
+            assert isinstance(mm.id3_tags(b[:cut]), dict)
+
+    def test_webm_magic(self):
+        assert mm.sniff_media(b"\x1a\x45\xdf\xa3" + b"\x00" * 20)[:2] == (
+            "video", "webm")
+
+    def test_audio_tags_operator(self, spark):
+        b = mm.encode_id3_mp3({"title": "X"})
+        df = spark.createDataFrame(
+            [("a", bytearray(b)), ("b", bytearray(b"untagged"))],
+            "media_id string, blob binary")
+        got = {r.media_id: r for r in mm.audio_tags(df).collect()}
+        assert got["a"].title == "X" and got["b"].title is None
