@@ -1363,6 +1363,18 @@ def q_corpus_safety(spark, sf_dir):
     )
 
 
+def q_corpus_shards(spark, sf_dir):
+    """Shard-manifest publish step under the gate: md5-deterministic
+    routing into 8 shards with a per-shard order-fixed integrity
+    digest (md5 over ascending comma-joined ids); the oracle rebuilds
+    the same shards and digests with DuckDB's md5/list_sort."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.traindata import (
+        shard_manifest,
+    )
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=8)
+
+
 def q_corpus_filter(spark, sf_dir):
     """The end-to-end keep/drop verdict (quality + repetition + lang)
     with machine-readable reasons — the corpus-curation composition."""
@@ -2840,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4": q_media_mp4,                 # ISO-BMFF box facts
         "archive_read": q_archive_read,           # tar/tgz/zip source
         "media_id3": q_media_id3,                 # ID3v2 provenance tags
+        "corpus_shards": q_corpus_shards,         # publish manifest
         "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
         "links_resolve": q_links_resolve,         # RFC 3986 base-join
         "skew_topk": q_skew_topk,                 # bounded salted top-k
@@ -2875,8 +2888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
         "media_meta": q_media_meta,
-        "media_pixels": q_media_pixels,
         # ---- 50-entry driver window ends here --------------------------
+        "media_pixels": q_media_pixels,
         "media_resize": q_media_resize,
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
@@ -3932,6 +3945,20 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
        CAST(0 AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.b0 = b.b0 AND a.b1 = b.b1
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        "corpus_shards": """
+WITH a AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         length(text) AS n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INTEGER) AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       md5(array_to_string(list_sort(list(id)), ',')) AS id_digest
+FROM a GROUP BY shard
 """,
         "media_id3": """
 WITH w AS (

@@ -447,3 +447,37 @@ def corpus_vocabulary(
         .orderBy(F.col("term_freq").desc(), F.col("token").asc())
         .limit(top_k)
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(shard, n_docs, total_chars, id_digest) — the publish step of a
+    curation pipeline: deterministic md5 shard routing (the repo's
+    hashing rule, NOT rangepartitioning — range boundaries are sampled
+    and would differ run to run) plus a per-shard integrity manifest a
+    downstream trainer can verify against.
+
+    ``id_digest`` is md5 over the comma-joined ASCENDING ids of the
+    shard — an order-fixed digest, so it is partition-independent and
+    cross-engine reproducible. The sort is per-shard (bounded by shard
+    size), not global. One shuffle total (the groupBy)."""
+    assigned = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    ).withColumn(
+        "shard", (md5_int(F.col("id")) % n_shards).cast("int")
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("id")), ",")
+            ).alias("id_digest"),
+        )
+    )

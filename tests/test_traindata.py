@@ -416,3 +416,30 @@ class TestCorpusVocabulary:
         plan = td.corpus_vocabulary(docs, top_k=50)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestShardManifest:
+    def test_deterministic_and_complete(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.traindata import (
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        m1 = {r.shard: (r.n_docs, r.total_chars, r.id_digest)
+              for r in shard_manifest(docs, 4).collect()}
+        m2 = {r.shard: (r.n_docs, r.total_chars, r.id_digest)
+              for r in shard_manifest(docs.repartition(13), 4).collect()}
+        assert m1 == m2  # partition-independent
+        assert sum(v[0] for v in m1.values()) == docs.count()
+        assert len(m1) <= 4 and all(0 <= s < 4 for s in m1)
+
+    def test_digest_tracks_membership(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.traindata import (
+            shard_manifest,
+        )
+
+        a = spark.createDataFrame([(1, "x"), (2, "yy")], ["doc_id", "text"])
+        b = spark.createDataFrame([(1, "x"), (3, "zzz")], ["doc_id", "text"])
+        da = {r.shard: r.id_digest for r in shard_manifest(a, 1).collect()}
+        db = {r.shard: r.id_digest for r in shard_manifest(b, 1).collect()}
+        assert da != db
