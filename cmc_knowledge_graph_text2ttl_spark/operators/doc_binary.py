@@ -96,8 +96,11 @@ def extract_doc_text(data: bytes, reader: CfbReader = None) -> str:
                 raise ValueError(".doc unicode piece out of range")
             parts.append(raw.decode("utf-16-le", "replace"))
     text = "".join(parts)
-    if ccp_text >= 0:
-        text = text[:ccp_text]
+    if 0 <= ccp_text:
+        # ccpText counts UTF-16 CODE UNITS (a non-BMP char is two CPs)
+        # — truncate in units, tolerating a split surrogate pair
+        enc = text.encode("utf-16-le", "surrogatepass")[: 2 * ccp_text]
+        text = enc.decode("utf-16-le", "ignore")
     return text
 
 
@@ -151,6 +154,11 @@ def make_doc(paragraphs: Sequence[str]) -> bytes:
     text = "".join(p + "\r" for p in paragraphs)
     half = len(text) // 2
     p1, p2 = text[:half], text[half:]
+
+    def cps(s: str) -> int:
+        # Word CPs are UTF-16 CODE UNITS — a non-BMP char is TWO CPs
+        return len(s.encode("utf-16-le")) // 2
+
     try:
         p1_bytes = p1.encode("cp1252")
         p1_compressed = True
@@ -162,7 +170,7 @@ def make_doc(paragraphs: Sequence[str]) -> bytes:
     struct.pack_into("<H", fib, 0, 0xA5EC)
     struct.pack_into("<H", fib, 2, 0x00C1)  # nFib: Word 97
     struct.pack_into("<H", fib, 10, 0x0200)  # fWhichTblStm → 1Table
-    struct.pack_into("<i", fib, 76, len(text))  # ccpText
+    struct.pack_into("<i", fib, 76, cps(text))  # ccpText, in CPs
 
     word = bytearray(fib)
     off1 = len(word)
@@ -174,9 +182,9 @@ def make_doc(paragraphs: Sequence[str]) -> bytes:
     word += p2.encode("utf-16-le")
 
     fc1 = (off1 << 1) | _FC_COMPRESSED if p1_compressed else off1
-    pieces = [(0, len(p1), fc1), (len(p1), len(text), off2)]
+    pieces = [(0, cps(p1), fc1), (cps(p1), cps(text), off2)]
     plc = b"".join(
-        struct.pack("<i", cp) for cp in [p[0] for p in pieces] + [len(text)]
+        struct.pack("<i", cp) for cp in [p[0] for p in pieces] + [cps(text)]
     )
     for _, _, fc in pieces:
         plc += struct.pack("<HIH", 0, fc, 0)
