@@ -1421,6 +1421,87 @@ def mp3_info(data: bytes) -> dict:
     return {}
 
 
+def ogg_info(data: bytes) -> dict:
+    """Header-only Ogg facts: {'codec', 'sample_rate', 'channels',
+    'duration_ms'} from the identification header in the head pages
+    plus the LAST page's granule position (scanned from the tail, the
+    standard duration trick — no packet decode). Vorbis granules are
+    PCM samples at the stream rate; Opus granules run at 48 kHz minus
+    the pre-skip."""
+    if data[:4] != b"OggS":
+        return {}
+    head = data[:4096]
+    out: dict = {}
+    i = head.find(b"\x01vorbis")
+    if i >= 0 and i + 16 <= len(head):
+        out["codec"] = "vorbis"
+        out["channels"] = head[i + 11]
+        (out["sample_rate"],) = struct.unpack(
+            "<I", head[i + 12 : i + 16]
+        )
+        rate = out["sample_rate"]
+        pre_skip = 0
+    else:
+        i = head.find(b"OpusHead")
+        if i < 0 or i + 12 > len(head):
+            return {"codec": "unknown"}
+        out["codec"] = "opus"
+        out["channels"] = head[i + 9]
+        (pre_skip,) = struct.unpack("<H", head[i + 10 : i + 12])
+        out["sample_rate"] = 48000  # Opus granules always run at 48 kHz
+        rate = 48000
+    tail = data[-65536:]
+    j = tail.rfind(b"OggS")
+    if j >= 0 and j + 14 <= len(tail) and rate:
+        (granule,) = struct.unpack("<q", tail[j + 6 : j + 14])
+        if granule > 0:
+            out["duration_ms"] = max(0, granule - pre_skip) * 1000 // rate
+    return out
+
+
+def encode_ogg_header(
+    codec: str,
+    sample_rate: int,
+    channels: int,
+    total_samples: int,
+    pre_skip: int = 312,
+) -> bytes:
+    """Minimal two-page Ogg fixture: an identification-header page and
+    a final page carrying the terminal granule (header facts only)."""
+
+    def page(granule: int, payload: bytes, htype: int) -> bytes:
+        return (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + b"\x00" * 12  # serial/seq/crc (not validated header-only)
+            + bytes([1, min(255, len(payload))])
+            + payload[:255]
+        )
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([channels])
+            + struct.pack("<I", sample_rate)
+            + b"\x00" * 16
+        )
+        granule = total_samples
+    elif codec == "opus":
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + struct.pack("<H", pre_skip)
+            + struct.pack("<I", sample_rate)
+            + b"\x00" * 4
+        )
+        granule = total_samples + pre_skip
+    else:
+        raise ValueError("codec must be 'vorbis' or 'opus'")
+    return page(0, ident, 0x02) + page(granule, b"\x00" * 16, 0x04)
+
+
 def flac_info(data: bytes) -> dict:
     """Header-only FLAC facts from the STREAMINFO metadata block:
     {'sample_rate', 'channels', 'bits_per_sample', 'duration_ms'}.

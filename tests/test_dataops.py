@@ -1628,3 +1628,15 @@ class TestAudioProvenance:
             "media_id string, blob binary")
         got = {r.media_id: r for r in mm.audio_tags(df).collect()}
         assert got["a"].title == "X" and got["b"].title is None
+
+    def test_ogg_vorbis_and_opus_duration(self):
+        v = mm.encode_ogg_header("vorbis", 44100, 2, 44100 * 30)
+        assert mm.ogg_info(v) == {"codec": "vorbis", "channels": 2,
+                                  "sample_rate": 44100, "duration_ms": 30000}
+        o = mm.encode_ogg_header("opus", 48000, 1, 48000 * 7)
+        assert mm.ogg_info(o) == {"codec": "opus", "channels": 1,
+                                  "sample_rate": 48000, "duration_ms": 7000}
+        assert mm.ogg_info(b"OggS" + b"\x00" * 40) == {"codec": "unknown"}
+        assert mm.ogg_info(b"nope") == {}
+        for cut in range(0, len(v), 3):
+            assert isinstance(mm.ogg_info(v[:cut]), dict)
