@@ -2875,6 +2875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_select_subquery": q_kg_select_subquery,
         "kg_select_agg": q_kg_select_agg,
         "kg_select_graph": q_kg_select_graph,
+        "media_pixels": q_media_pixels,           # PNG matrix rotation
+        "media_resize": q_media_resize,           # bmp/tiff decode path
         # -- group 3: never inside a driver gate window before r4 --------
         "kg_stream_triples": q_kg_stream_triples,
         "skew_collect": q_skew_collect,
@@ -2885,12 +2887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_manifests": q_text_pack_manifests,
         "emb_hashed": q_emb_hashed,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "emb_near_dup": q_emb_near_dup,
         "media_meta": q_media_meta,
         # ---- 50-entry driver window ends here --------------------------
-        "media_pixels": q_media_pixels,
-        "media_resize": q_media_resize,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_dup": q_emb_near_dup,
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
