@@ -1435,7 +1435,13 @@ def q_text_pack_manifests(spark, sf_dir):
     chunk and token counts per bin."""
     chunks = TD.chunk_documents(_docs(spark, sf_dir), window=32, stride=16)
     packed = TD.pack_chunks(chunks, capacity=512)
-    return TD.bin_manifests(packed, capacity=512)
+    out = TD.bin_manifests(packed, capacity=512)
+    # Gate contract: spans (ordered array<string>) → ';'-joined string so
+    # the driver harness can lexsort the output; operator stays array-typed.
+    return out.select(
+        "bin_id", "n_chunks", "n_tokens",
+        F.array_join(F.col("spans"), ";").alias("spans"),
+    )
 
 
 def q_corpus_stratified(spark, sf_dir):
@@ -1450,8 +1456,16 @@ def q_corpus_stratified(spark, sf_dir):
 def q_emb_hashed(spark, sf_dir):
     """Feature-hashing embeddings under the gate: ±tf into md5 buckets
     with md5-parity signs, densified per document — the all-integer
-    embed stage whose output the ANN/near-dup operators consume."""
-    return TD.embed_documents(_docs(spark, sf_dir), dim=32)
+    embed stage whose output the ANN/near-dup operators consume.
+
+    Gate projection: the dense vector is comma-joined to a string (the
+    driver harness cannot sort array columns); the operator itself
+    still returns array<bigint>."""
+    out = TD.embed_documents(_docs(spark, sf_dir), dim=32)
+    emb = F.array_join(
+        F.transform(F.col("embedding"), lambda x: x.cast("string")), ","
+    )
+    return out.select("id", emb.alias("embedding"))
 
 
 def q_corpus_curate(spark, sf_dir):
@@ -1491,7 +1505,12 @@ def q_skew_collect(spark, sf_dir):
     out = SK.salted_collect_list(
         _docs(spark, sf_dir), "lang", "doc_id", n_salts=16
     )
-    return out.select(F.col("key").alias("lang"), F.col("values").alias("vals"))
+    # Gate contract: no array columns (the driver harness lexsorts with
+    # pandas, which cannot hash lists) — join to a deterministic string.
+    vals = F.array_join(
+        F.transform(F.col("values"), lambda x: x.cast("string")), ","
+    )
+    return out.select(F.col("key").alias("lang"), vals.alias("vals"))
 
 
 def q_skew_topk(spark, sf_dir):
@@ -1504,7 +1523,11 @@ def q_skew_topk(spark, sf_dir):
     out = SK.salted_collect_topk(
         _docs(spark, sf_dir), "lang", "doc_id", k=5, n_salts=16
     )
-    return out.select(F.col("key").alias("lang"), F.col("values").alias("vals"))
+    # Gate contract: no array columns — join to a deterministic string.
+    vals = F.array_join(
+        F.transform(F.col("values"), lambda x: x.cast("string")), ","
+    )
+    return out.select(F.col("key").alias("lang"), vals.alias("vals"))
 
 
 def q_corpus_report(spark, sf_dir):
@@ -4626,11 +4649,11 @@ WITH w AS (
 SELECT CAST(prev // 512 AS BIGINT) AS bin_id,
        CAST(COUNT(*) AS INTEGER) AS n_chunks,
        CAST(SUM(n_words) AS BIGINT) AS n_tokens,
-       list(
+       array_to_string(list(
          CAST(id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
            || '@' || CAST(prev % 512 AS VARCHAR)
          ORDER BY prev % 512
-       ) AS spans
+       ), ';') AS spans
 FROM p GROUP BY prev // 512
 """,
         # all-integer unigram surprisal: (T*1e6) div tf per token,
@@ -4658,11 +4681,11 @@ FROM per_doc JOIN dim USING (token)
 GROUP BY id
 """,
         "skew_collect": """
-SELECT lang, list_sort(list(doc_id)) AS vals
+SELECT lang, array_to_string(list_sort(list(doc_id)), ',') AS vals
 FROM documents GROUP BY lang
 """,
         "skew_topk": """
-SELECT lang, (list_sort(list(doc_id)))[1:5] AS vals
+SELECT lang, array_to_string((list_sort(list(doc_id)))[1:5], ',') AS vals
 FROM documents GROUP BY lang
 """,
         # hashing-trick embeddings: ±1 per token into md5 buckets,
@@ -4685,7 +4708,9 @@ WITH tok AS (
 ), grid AS (
   SELECT id, j FROM ids, LATERAL unnest(generate_series(0, 31)) AS t(j)
 )
-SELECT g.id, list(COALESCE(sp.val, 0) ORDER BY g.j) AS embedding
+SELECT g.id,
+       array_to_string(list(COALESCE(sp.val, 0) ORDER BY g.j), ',')
+         AS embedding
 FROM grid g LEFT JOIN sp ON sp.id = g.id AND sp.bucket = g.j
 GROUP BY g.id
 """,

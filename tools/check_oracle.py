@@ -67,6 +67,24 @@ def main():
             print(f"FAIL  {name:32s} spark error: {ex}")
             failures.append(name)
             continue
+        # Driver-harness contract: the gate canonicalizes with a pandas
+        # lexsort, which throws "unhashable type" on list/dict cells.
+        # Reject array/map/struct output columns HERE so the class of
+        # round-4 driver reds (skew_topk etc.) can never recur.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        bad = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            print(
+                f"FAIL  {name:32s} gate schema has non-scalar columns "
+                f"{bad} (driver harness cannot sort them — project to "
+                f"strings with array_join)"
+            )
+            failures.append(name)
+            continue
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP  {name:32s} rows={len(srows)} (no oracle — rows-only)")
