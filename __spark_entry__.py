@@ -2489,7 +2489,14 @@ def _synth_dhash_media(spark, sf_dir):
     """Per-doc 3-channel images where PAIRS (2k, 2k+1) share the exact
     pixel formula px[j] = (s*31 + j*17 + (j%7)*41) % 256 (s = doc_id
     rounded down to even) but use DIFFERENT containers (PNG vs BMP) —
-    perceptual near-dup must see through the re-encode."""
+    perceptual near-dup must see through the re-encode.
+
+    HOT-CLUSTER + gray+alpha extension (round 5): docs with
+    doc_id % 10 == 7 all use seed 0 — one ~10% identical "blank
+    thumbnail" cluster (which also absorbs docs 0 and 1) exercising
+    the star-edge cluster path — and are encoded as GRAY+ALPHA PNG
+    (color type 4, gray = integer mean of the RGB formula, alpha a
+    varying junk channel the hash must ignore)."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
@@ -2501,15 +2508,27 @@ def _synth_dhash_media(spark, sf_dir):
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                sd = did - did % 2
+                sd = 0 if did % 10 == 7 else did - did % 2
                 w, h = 16 + sd % 13, 9 + sd % 7
                 px = bytes(
                     (sd * 31 + j * 17 + (j % 7) * 41) % 256
                     for j in range(w * h * 3)
                 )
-                enc = MM.encode_png if did % 2 == 0 else MM.encode_bmp
+                if did % 10 == 7:
+                    ga = bytes(
+                        v
+                        for p in range(w * h)
+                        for v in (
+                            (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3,
+                            (p * 7 + did) % 256,
+                        )
+                    )
+                    blob = MM.encode_png(w, h, ga, 2)
+                else:
+                    enc = MM.encode_png if did % 2 == 0 else MM.encode_bmp
+                    blob = enc(w, h, px, 3)
                 ids.append(str(did))
-                blobs.append(enc(w, h, px, 3))
+                blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 
     return docs.mapInPandas(gen, schema="media_id string, blob binary")
@@ -3053,10 +3072,16 @@ def _dhash_bands_sql() -> str:
     """Closed-form dHash bands CTE body: replays integer grayscale,
     the 9x8 nearest resample (center rule as exact integer division:
     floor((g+0.5)*dim/out) == ((2g+1)*dim)//(2*out)) and the 64
-    adjacent comparisons over the _synth_dhash_media pixel formula."""
+    adjacent comparisons over the _synth_dhash_media pixel formula.
+    Seed mirrors the fixture's hot-cluster rule (doc_id % 10 == 7 →
+    seed 0); the gray+alpha members hash identically because their
+    gray channel IS the RGB integer mean."""
     return """
 WITH d AS (
-  SELECT doc_id, doc_id - doc_id % 2 AS s FROM documents
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN 0
+              ELSE doc_id - doc_id % 2 END AS s
+  FROM documents
 ), dim AS (
   SELECT doc_id, s, 16 + s % 13 AS w, 9 + s % 7 AS h FROM d
 ), grid AS (

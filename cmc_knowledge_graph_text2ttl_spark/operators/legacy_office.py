@@ -76,8 +76,12 @@ def _records(data: bytes, start: int = 0):
 
 
 def _rk_value(rk: int) -> float:
-    cents = rk & 0x02
-    if rk & 0x01:  # 30-bit signed integer payload
+    # [MS-XLS] 2.5.276 RkNumber: bit 0 = fX100 (divide by 100),
+    # bit 1 = fInt (payload is a 30-bit signed integer, else the high
+    # 30 bits of an IEEE double). Matches xlrd and real Excel output —
+    # an earlier revision had the two flag bits swapped.
+    cents = rk & 0x01
+    if rk & 0x02:  # fInt: 30-bit signed integer payload
         v30 = rk >> 2
         v = float(v30 - (1 << 30) if v30 >= (1 << 29) else v30)
     else:  # high 30 bits of an IEEE double
@@ -375,7 +379,8 @@ def make_xls(
                                 rno,
                                 cno,
                                 0,
-                                ((v & ((1 << 30) - 1)) << 2) | 0x01,
+                                # fInt is bit 1 per [MS-XLS] 2.5.276
+                                ((v & ((1 << 30) - 1)) << 2) | 0x02,
                             ),
                         )
                     )

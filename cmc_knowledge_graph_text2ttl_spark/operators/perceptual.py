@@ -42,9 +42,17 @@ HASH_W, HASH_H = 8, 8  # 8x8 comparison grid over a 9x8 resample
 
 
 def dhash_bands(w: int, h: int, ch: int, px: bytes) -> Tuple[int, int, int, int]:
-    """(b0, b1, b2, b3) 16-bit bands of the 64-bit dHash."""
+    """(b0, b1, b2, b3) 16-bit bands of the 64-bit dHash.
+
+    Channel handling: 1 = gray as-is; 2 = gray+alpha (PNG color type 4)
+    takes the gray sample and ignores alpha; 3/4 = RGB(A) integer-floor
+    average of the first three samples. Indexing is per-pixel stride so
+    a 2-channel image never reads past the buffer (a gray+alpha PNG
+    used to raise IndexError on the last pixel)."""
     if ch == 1:
         gray = px
+    elif ch == 2:  # gray + alpha: gray sample only
+        gray = px[0::2]
     else:
         gray = bytes(
             (px[i] + px[i + 1] + px[i + 2]) // 3
@@ -85,9 +93,12 @@ def image_dhash(
             for mid, raw in zip(pdf[id_col], pdf[blob_col]):
                 try:
                     w, h, ch, px = decode_image(bytes(raw))
-                except (ValueError, NotImplementedError):
+                    bands = dhash_bands(w, h, ch, px)
+                except (ValueError, NotImplementedError, IndexError):
+                    # IndexError: a malformed decode result must skip the
+                    # row, not kill the task (web corpora are adversarial)
                     continue
-                rows.append((str(mid),) + dhash_bands(w, h, ch, px))
+                rows.append((str(mid),) + bands)
             if rows:
                 yield pd.DataFrame(
                     rows, columns=[f.name for f in DHASH_SCHEMA.fields]
@@ -162,30 +173,35 @@ def audio_fingerprint(
     )
 
 
-def audio_near_dup(
-    df: DataFrame,
-    max_hamming: int = 0,
-    blob_col: str = "blob",
-    id_col: str = "media_id",
+def _banded_pairs(
+    fps: DataFrame, n_bands: int, max_hamming: int, max_bucket: int
 ) -> DataFrame:
-    """(id_a, id_b, hamming) WAV pairs with fingerprint Hamming ≤
-    ``max_hamming`` (< 2 — two 16-bit bands pigeonhole). Same banded
-    bucket-join shape as :func:`image_near_dup`."""
-    if not 0 <= max_hamming < 2:
-        raise ValueError("max_hamming must be in [0, 1] for 2-band pigeonhole")
-    fps = audio_fingerprint(df, blob_col, id_col).persist()  # joined twice
+    """Shared banded LSH pair join over a (media_id, b0..b{n-1})
+    fingerprint table: explode one row per band → bucket-size cap →
+    self-join on band_key → exact popcount verify pushed into the
+    join's filter. Buckets larger than ``max_bucket`` are DROPPED, the
+    same boilerplate guard as dedup.minhash_lsh_pairs — pair output is
+    quadratic in bucket size, and at web scale one blank-thumbnail
+    bucket would otherwise emit trillions of pairs from a single band.
+    Callers that only need connectivity should use the star-edge path
+    in :func:`media_dedup_clusters`, which identical-fingerprint hot
+    clusters can never blow up OR get dropped from."""
+    band_names = [f"b{k}" for k in range(n_bands)]
     band_rows = fps.select(
         "media_id",
-        "b0",
-        "b1",
+        *band_names,
         F.explode(
             F.array(
                 *[
                     F.concat_ws(":", F.lit(str(k)), F.col(f"b{k}").cast("string"))
-                    for k in range(2)
+                    for k in range(n_bands)
                 ]
             )
         ).alias("band_key"),
+    )
+    sizes = band_rows.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
+    band_rows = band_rows.join(
+        sizes.filter(F.col("bsz") <= max_bucket).select("band_key"), "band_key"
     )
     cand = (
         band_rows.alias("a")
@@ -194,20 +210,37 @@ def audio_near_dup(
         .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
-            *[F.col(f"a.b{k}").alias(f"ab{k}") for k in range(2)],
-            *[F.col(f"b.b{k}").alias(f"bb{k}") for k in range(2)],
+            *[F.col(f"a.b{k}").alias(f"ab{k}") for k in range(n_bands)],
+            *[F.col(f"b.b{k}").alias(f"bb{k}") for k in range(n_bands)],
         )
         .distinct()
     )
     ham = sum(
         F.bit_count(F.col(f"ab{k}").bitwiseXOR(F.col(f"bb{k}")))
-        for k in range(2)
+        for k in range(n_bands)
     )
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_near_dup(
+    df: DataFrame,
+    max_hamming: int = 0,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) WAV pairs with fingerprint Hamming ≤
+    ``max_hamming`` (< 2 — two 16-bit bands pigeonhole). Same banded
+    bucket-join shape as :func:`image_near_dup`, including the
+    ``max_bucket`` hot-bucket guard."""
+    if not 0 <= max_hamming < 2:
+        raise ValueError("max_hamming must be in [0, 1] for 2-band pigeonhole")
+    fps = audio_fingerprint(df, blob_col, id_col).persist()  # joined twice
+    return _banded_pairs(fps, 2, max_hamming, max_bucket)
 
 
 def image_near_dup(
@@ -215,54 +248,22 @@ def image_near_dup(
     max_hamming: int = 0,
     blob_col: str = "blob",
     id_col: str = "media_id",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, hamming) image pairs with dHash Hamming distance ≤
     ``max_hamming`` (< 4 — the four 16-bit bands are the pigeonhole).
     Candidates come from four band-keyed bucket joins; the popcount
     verify is exact. Scale shape: identical to simhash_near_pairs —
-    shuffle keys are the band values, never an all-pairs product."""
+    shuffle keys are the band values, never an all-pairs product, and
+    band buckets over ``max_bucket`` members are dropped (quadratic
+    pair-output guard, parity with dedup.minhash_lsh_pairs)."""
     if not 0 <= max_hamming < 4:
         raise ValueError("max_hamming must be in [0, 3] for 4-band pigeonhole")
     # persist: the self-join consumes the fingerprints twice, and
     # re-computing them means re-DECODING every image twice — the
     # dominant cost (same rationale as the minhash shingle persist)
     fps = image_dhash(df, blob_col, id_col).persist()
-    band_rows = fps.select(
-        "media_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(":", F.lit(str(k)), F.col(f"b{k}").cast("string"))
-                    for k in range(4)
-                ]
-            )
-        ).alias("band_key"),
-    )
-    cand = (
-        band_rows.alias("a")
-        .join(band_rows.alias("b"), "band_key")
-        .filter(F.col("a.media_id") < F.col("b.media_id"))
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            *[F.col(f"a.b{k}").alias(f"ab{k}") for k in range(4)],
-            *[F.col(f"b.b{k}").alias(f"bb{k}") for k in range(4)],
-        )
-        .distinct()
-    )
-    ham = sum(
-        F.bit_count(F.col(f"ab{k}").bitwiseXOR(F.col(f"bb{k}")))
-        for k in range(4)
-    )
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _banded_pairs(fps, 4, max_hamming, max_bucket)
 
 
 def media_dedup_clusters(
@@ -272,6 +273,8 @@ def media_dedup_clusters(
     blob_col: str = "blob",
     id_col: str = "media_id",
     small_graph_threshold: int = 2_000_000,
+    star_edges: bool = True,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """(media_id, cluster_id, n_cluster, is_survivor) — resolve
     perceptual near-dup PAIRS into clusters with one survivor each,
@@ -280,6 +283,19 @@ def media_dedup_clusters(
     Undecodable rows are singleton survivors — their exact-dup story
     is the metadata sha256, not a perceptual hash.
 
+    ``star_edges=True`` (default) builds the edge set LINEARLY in hot
+    identical-fingerprint clusters: members collapse onto one
+    representative per distinct fingerprint (star edges member →
+    min-id rep, a map-side-combinable min + one join), and the banded
+    LSH pair join runs over DISTINCT fingerprints only. Components are
+    identical to the all-pairs path — a star edge joins fingerprints
+    at Hamming 0 (always ≤ max_hamming) and any cross-fingerprint pair
+    (a, b) is mirrored by its reps (same fingerprints, same bands) —
+    but a 10M-copy blank-thumbnail cluster contributes ONE row to the
+    pair join instead of a 5·10¹³-pair quadratic blowup, and can never
+    be dropped by the ``max_bucket`` guard (the cap sees one distinct
+    fingerprint, not 10M members).
+
     Scale shape identical to the text path: banded pair generation,
     CC over the (tiny) pair graph, one left join + one window."""
     from pyspark.sql import Window
@@ -287,14 +303,46 @@ def media_dedup_clusters(
     from .canonicalize import connected_components
 
     if modality == "image":
-        pairs = image_near_dup(df, max_hamming, blob_col, id_col)
+        n_bands, fingerprint = 4, image_dhash
+        if not 0 <= max_hamming < 4:
+            raise ValueError("max_hamming must be in [0, 3] for 4 bands")
     elif modality == "audio":
-        pairs = audio_near_dup(df, max_hamming, blob_col, id_col)
+        n_bands, fingerprint = 2, audio_fingerprint
+        if not 0 <= max_hamming < 2:
+            raise ValueError("max_hamming must be in [0, 1] for 2 bands")
     else:
         raise ValueError(f"modality must be 'image' or 'audio', got {modality!r}")
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    if star_edges:
+        band_names = [f"b{k}" for k in range(n_bands)]
+        fps = fingerprint(df, blob_col, id_col).persist()
+        reps = fps.groupBy(*band_names).agg(
+            F.min("media_id").alias("media_id")
+        )
+        star = (
+            fps.join(
+                reps.withColumnRenamed("media_id", "rep"), band_names
+            )
+            .filter(F.col("media_id") != F.col("rep"))
+            .select(F.col("media_id").alias("src"), F.col("rep").alias("dst"))
+        )
+        rep_pairs = _banded_pairs(reps, n_bands, max_hamming, max_bucket)
+        edges = star.union(
+            rep_pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+        )
+    else:
+        if modality == "image":
+            pairs = image_near_dup(
+                df, max_hamming, blob_col, id_col, max_bucket
+            )
+        else:
+            pairs = audio_near_dup(
+                df, max_hamming, blob_col, id_col, max_bucket
+            )
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
     comp = connected_components(
         edges, small_graph_threshold=small_graph_threshold
     )

@@ -1386,6 +1386,99 @@ class TestImageHash:
         with pytest.raises(ValueError, match="pigeonhole"):
             image_near_dup(df, max_hamming=4)
 
+    def test_gray_alpha_png_hashes_like_gray(self, spark):
+        # ch==2 (PNG color type 4) used to raise IndexError on the last
+        # pixel and kill the task; the gray sample must drive the hash
+        # and alpha must be ignored.
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            dhash_bands,
+            image_dhash,
+        )
+
+        w, h = 14, 10
+        gray = bytes((j * 37 + (j % 5) * 11) % 256 for j in range(w * h))
+        ga = bytes(v for j, g in enumerate(gray) for v in (g, (j * 7) % 256))
+        assert dhash_bands(w, h, 2, ga) == dhash_bands(w, h, 1, gray)
+        df = spark.createDataFrame(
+            [("ga", bytearray(mm.encode_png(w, h, ga, 2))),
+             ("g", bytearray(mm.encode_png(w, h, gray, 1)))],
+            "media_id string, blob binary")
+        got = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+               for r in image_dhash(df).collect()}
+        assert got["ga"] == got["g"]
+
+    def test_hot_bucket_cap_drops_pathological_bucket(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            image_near_dup,
+        )
+
+        # 6 identical images = one hot bucket of 6 in every band;
+        # plus one cross-container pair that must survive the cap.
+        rows = []
+        hot = self._px(3, 10, 8)
+        for k in range(6):
+            rows.append((f"hot{k}", bytearray(mm.encode_png(10, 8, hot, 3))))
+        other = self._px(40, 12, 9)
+        rows.append(("pa", bytearray(mm.encode_png(12, 9, other, 3))))
+        rows.append(("pb", bytearray(mm.encode_bmp(12, 9, other, 3))))
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+        capped = {(r.id_a, r.id_b)
+                  for r in image_near_dup(df, max_bucket=4).collect()}
+        assert capped == {("pa", "pb")}  # hot bucket dropped, pair kept
+        full = {(r.id_a, r.id_b) for r in image_near_dup(df).collect()}
+        assert ("pa", "pb") in full and len(full) == 1 + 15  # C(6,2) + 1
+
+    def test_star_edges_clusters_match_pairwise(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            media_dedup_clusters,
+        )
+
+        # hot identical cluster (5 members, mixed containers) + a
+        # cross-container pair + a singleton + junk
+        rows = []
+        hot = self._px(8, 11, 9)
+        for k in range(5):
+            enc = mm.encode_png if k % 2 == 0 else mm.encode_bmp
+            rows.append((f"h{k}", bytearray(enc(11, 9, hot, 3))))
+        other = self._px(60, 13, 10)
+        rows.append(("pa", bytearray(mm.encode_png(13, 10, other, 3))))
+        rows.append(("pb", bytearray(mm.encode_bmp(13, 10, other, 3))))
+        rows.append(("solo", bytearray(mm.encode_png(9, 9, self._px(90, 9, 9), 3))))
+        rows.append(("junk", bytearray(b"not an image")))
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+
+        def canon(res):
+            return sorted(
+                (r.media_id, r.cluster_id, r.n_cluster, r.is_survivor)
+                for r in res.collect()
+            )
+
+        star = canon(media_dedup_clusters(df, star_edges=True))
+        pairwise = canon(media_dedup_clusters(df, star_edges=False))
+        assert star == pairwise
+        by_id = {m: (c, n, s) for m, c, n, s in star}
+        assert by_id["h0"] == ("h0", 5, True)
+        assert by_id["h4"][0] == "h0" and not by_id["h4"][2]
+        assert by_id["pa"] == ("pa", 2, True)
+        assert by_id["solo"] == ("solo", 1, True)
+        assert by_id["junk"] == ("junk", 1, True)
+
+    def test_star_edges_survive_hot_bucket_cap(self, spark):
+        # the star path must keep a hot identical cluster intact even
+        # when max_bucket is smaller than the cluster (the cap sees ONE
+        # distinct fingerprint, not N members)
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            media_dedup_clusters,
+        )
+
+        hot = self._px(8, 11, 9)
+        rows = [(f"h{k}", bytearray(mm.encode_png(11, 9, hot, 3)))
+                for k in range(6)]
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+        out = media_dedup_clusters(df, star_edges=True, max_bucket=2)
+        got = {(r.media_id, r.cluster_id) for r in out.collect()}
+        assert got == {(f"h{k}", "h0") for k in range(6)}
+
 
 class TestAudioFingerprint:
     """Audio energy difference-hash + near-dup (operators/perceptual.py)."""

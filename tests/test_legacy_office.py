@@ -75,13 +75,31 @@ class TestXls:
         assert "<td>abcXY</td>" in L.xls_to_xhtml_text(blob)
 
     def test_rk_values(self):
-        assert L._rk_value((7 << 2) | 0x01) == 7.0
-        assert L._rk_value(((-7) & ((1 << 30) - 1)) << 2 | 0x01) == -7.0
+        # [MS-XLS] 2.5.276: bit 0 = fX100, bit 1 = fInt (matches xlrd)
+        assert L._rk_value((7 << 2) | 0x02) == 7.0
+        assert L._rk_value(((-7) & ((1 << 30) - 1)) << 2 | 0x02) == -7.0
         # 100x-scaled integer: 1234 cents
         assert L._rk_value((1234 << 2) | 0x03) == 12.34
         # double payload: 2.5 has a clean top-30-bit mantissa
         top = struct.unpack("<Q", struct.pack("<d", 2.5))[0] >> 32
         assert L._rk_value(top & 0xFFFFFFFC) == 2.5
+        # double / 100 (fX100 set, fInt clear): 1.0 high bits → 0.01
+        one = struct.unpack("<Q", struct.pack("<d", 1.0))[0] >> 32
+        assert L._rk_value((one & 0xFFFFFFFC) | 0x01) == 0.01
+
+    def test_rk_real_excel_vectors(self):
+        # Vectors as real Excel writes them (cross-checked against
+        # xlrd's rk decoder): integer 100 is 0x192 = (100<<2)|fInt.
+        assert L._rk_value(0x00000192) == 100.0
+        # 1.23 stored as 123 cents: (123<<2)|fInt|fX100 = 0x1EF
+        assert L._rk_value(0x000001EF) == 1.23
+        # 1.0 stored as a truncated double: word 0x3FF00000
+        assert L._rk_value(0x3FF00000) == 1.0
+        # make_xls round-trip: integers must come back intact, not as
+        # 8.5e-314 denormal garbage (the old swapped-bit failure mode)
+        blob = L.make_xls([("S", [[100, -42]])])
+        text = L.xls_to_xhtml_text(blob)
+        assert "<td>100</td>" in text and "<td>-42</td>" in text
 
     def test_dispatch_via_extract_one(self):
         blob = L.make_xls([("S", [["v"]])])
