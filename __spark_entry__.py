@@ -1307,7 +1307,7 @@ def q_crawl_blocklist(spark, sf_dir):
         ).alias("url"),
     )
     blocklist = spark.createDataFrame(
-        [("site0.example",), ("site1.example",), ("h3.site2.example",)],
+        [("site0.example",), ("site1.example",), ("h3.site3.example",)],
         ["domain"],
     )
     return filter_blocked_domains(pages, blocklist).select("doc_id", "url")
@@ -1345,7 +1345,7 @@ def q_corpus_safety(spark, sf_dir):
         ).alias("text"),
     )
     blocklist = spark.createDataFrame(
-        [("site0.example",), ("h3.site2.example",)], ["domain"]
+        [("site0.example",), ("h3.site3.example",)], ["domain"]
     )
     allowed = filter_blocked_domains(pages, blocklist)
     scrubbed = scrub_pii(allowed)  # id, text, n_email, n_ipv4, n_phone
@@ -3837,7 +3837,7 @@ WITH kept AS (
               || '@mail.example now' AS t
   FROM documents
   WHERE doc_id % 5 <> 0
-    AND NOT (doc_id % 20 = 3 AND doc_id % 5 = 2)
+    AND NOT (doc_id % 20 = 3 AND doc_id % 5 = 3)
 ), s1 AS (
   SELECT doc_id,
          len(regexp_extract_all(t,
@@ -3857,9 +3857,9 @@ WITH kept AS (
   FROM s1
 ), s3 AS (
   SELECT doc_id, n_email, n_ipv4,
-         len(regexp_extract_all(t, '\+?[0-9][0-9().\- ]{7,}[0-9]'))
+         len(regexp_extract_all(t, '\+?\(?[0-9](?:[().\- ]{0,3}[0-9]){8,}'))
            AS n_phone,
-         regexp_replace(t, '\+?[0-9][0-9().\- ]{7,}[0-9]',
+         regexp_replace(t, '\+?\(?[0-9](?:[().\- ]{0,3}[0-9]){8,}',
                         '<PHONE>', 'g') AS t
   FROM s2
 ), m AS (
@@ -3899,7 +3899,7 @@ SELECT doc_id,
          || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
 FROM documents
 WHERE doc_id % 5 NOT IN (0, 1)
-  AND NOT (doc_id % 20 = 3 AND doc_id % 5 = 2)
+  AND NOT (doc_id % 20 = 3 AND doc_id % 5 = 3)
 """,
         "text_pii": r"""
 WITH inj AS (
@@ -3929,9 +3929,9 @@ WITH inj AS (
   FROM s1
 ), s3 AS (
   SELECT doc_id, n_email, n_ipv4,
-         len(regexp_extract_all(t, '\+?[0-9][0-9().\- ]{7,}[0-9]'))
+         len(regexp_extract_all(t, '\+?\(?[0-9](?:[().\- ]{0,3}[0-9]){8,}'))
            AS n_phone,
-         regexp_replace(t, '\+?[0-9][0-9().\- ]{7,}[0-9]',
+         regexp_replace(t, '\+?\(?[0-9](?:[().\- ]{0,3}[0-9]){8,}',
                         '<PHONE>', 'g') AS t
   FROM s2
 )

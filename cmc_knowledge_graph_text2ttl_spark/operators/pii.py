@@ -34,10 +34,14 @@ PII_PATTERNS = (
         "<IP>",
     ),
     (
-        # 9+ digits in phone punctuation — conservative: plain words
-        # and years never match, international formats do
+        # 9+ DIGITS (not just 9+ chars) in phone punctuation — each
+        # repeat carries exactly one digit, so dotted dates
+        # ("2021.10.05") and year ranges ("1999-2024", 8 digits) never
+        # match while international formats do. Structural digit
+        # counting, no lookahead (RE2 has none — the DuckDB gate
+        # replays this verbatim).
         "phone",
-        r"\+?[0-9][0-9().\- ]{7,}[0-9]",
+        r"\+?\(?[0-9](?:[().\- ]{0,3}[0-9]){8,}",
         "<PHONE>",
     ),
 )

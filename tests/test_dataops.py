@@ -1558,6 +1558,19 @@ class TestPiiScrub:
         assert r.text == text
         assert (r.n_email, r.n_ipv4, r.n_phone) == (0, 0, 0)
 
+    def test_dates_and_year_ranges_not_phones(self, spark):
+        # 8-digit date-like tokens used to become <PHONE>; the pattern
+        # now counts DIGITS (9+), not characters.
+        from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
+
+        text = ("born 2021.10.05 active 1999-2024 range 10.05 - 12.31 "
+                "but call 020 7946 0958 ok")
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        r = scrub_pii(df).collect()[0]
+        assert r.text == ("born 2021.10.05 active 1999-2024 range "
+                          "10.05 - 12.31 but call <PHONE> ok")
+        assert r.n_phone == 1
+
     def test_email_scrubbed_before_phone_sees_digits(self, spark):
         from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
 
