@@ -2415,9 +2415,11 @@ def q_media_exif(spark, sf_dir):
 def q_media_mp3(spark, sf_dir):
     """Header-only MP3 facts under the gate: each doc gets an ID3v2 tag
     (size varying with doc_id) + one valid MPEG-1 Layer III frame
-    header + filler; the oracle restates bitrate/rate/channels/CBR
+    header + filler; the oracle restates bitrate/rate/channels/
     duration from the same id arithmetic, including the bitrate-table
-    lookup."""
+    lookup. VBR rotation (round 5): doc_id % 7 == 2 carries a Xing
+    frame-count tag, % 7 == 5 a VBRI tag — duration must come from
+    frames × 1152 / rate, not the CBR byte math."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
@@ -2429,6 +2431,7 @@ def q_media_mp3(spark, sf_dir):
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
+                vbr = {2: "Xing", 5: "VBRI"}.get(did % 7)
                 blobs.append(
                     MM.encode_mp3_header(
                         bitrate_kbps=MM._MP3_BITRATES[1][did % 14 + 1],
@@ -2436,6 +2439,8 @@ def q_media_mp3(spark, sf_dir):
                         mono=did % 2 == 0,
                         n_audio_bytes=1000 + did % 977,
                         id3_payload=(did % 3) * 100,
+                        vbr_frames=(40 + did % 211) if vbr else 0,
+                        vbr_tag=vbr or "Xing",
                     )
                 )
                 ids.append(str(did))
@@ -4108,10 +4113,13 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
             AS INTEGER) AS sample_rate,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
          AS channels,
-       CAST((1000 + doc_id % 977) * 8 //
-            ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])
-              [CAST(doc_id % 14 + 1 AS INTEGER) + 1] AS BIGINT)
-         AS duration_ms,
+       CAST(CASE WHEN doc_id % 7 IN (2, 5)
+                 THEN (40 + doc_id % 211) * 1152 * 1000 //
+                      ([44100,48000,32000])[CAST(doc_id % 3 AS INTEGER) + 1]
+                 ELSE (1000 + doc_id % 977) * 8 //
+                      ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                        [CAST(doc_id % 14 + 1 AS INTEGER) + 1]
+            END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 0
                  ELSE 10 + (doc_id % 3) * 100 END AS BIGINT) AS id3_bytes
 FROM documents

@@ -1382,9 +1382,15 @@ _MP3_RATES = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000]}
 def mp3_info(data: bytes) -> dict:
     """Header-only MP3 facts: {'bitrate_kbps', 'sample_rate',
     'channels', 'duration_ms', 'id3_bytes'} from the first Layer-III
-    frame header after any ID3v2 tag. duration_ms is the CBR estimate
-    (audio bytes × 8 / bitrate) — the honest header-only answer.
-    Returns {} when no valid frame header is found."""
+    frame header after any ID3v2 tag.
+
+    duration_ms: a Xing/Info tag (after the side info) or a VBRI tag
+    (fixed 32 bytes after the header) carries the total FRAME count —
+    frames × samples-per-frame / rate is the correct VBR duration (the
+    majority of web MP3s are VBR; CBR math over the first header's
+    bitrate would be wrong for all of them). Without a VBR tag the CBR
+    estimate (audio bytes × 8 / bitrate) is the honest header-only
+    answer. Returns {} when no valid frame header is found."""
     if len(data) < 4:
         return {}
     pos = 0
@@ -1410,11 +1416,43 @@ def mp3_info(data: bytes) -> dict:
                     rate = _MP3_RATES[v][sr_idx]
                     mode = (data[pos + 3] >> 6) & 0x03
                     audio_bytes = len(data) - pos
+                    spf = 1152 if v == 1 else 576  # Layer III samples/frame
+                    # Xing/Info sits after the side info (MPEG1: 17 mono /
+                    # 32 stereo; MPEG2: 9 / 17); VBRI at a fixed 32 bytes
+                    # past the header (Fraunhofer spec).
+                    if v == 1:
+                        side = 17 if mode == 3 else 32
+                    else:
+                        side = 9 if mode == 3 else 17
+                    frames = 0
+                    xo = pos + 4 + side
+                    if data[xo : xo + 4] in (b"Xing", b"Info"):
+                        if len(data) >= xo + 12:
+                            (flags,) = struct.unpack(
+                                ">I", data[xo + 4 : xo + 8]
+                            )
+                            if flags & 0x01:  # frame count present
+                                (frames,) = struct.unpack(
+                                    ">I", data[xo + 8 : xo + 12]
+                                )
+                    else:
+                        vo = pos + 4 + 32
+                        if (
+                            data[vo : vo + 4] == b"VBRI"
+                            and len(data) >= vo + 18
+                        ):
+                            (frames,) = struct.unpack(
+                                ">I", data[vo + 14 : vo + 18]
+                            )
+                    if frames:
+                        duration = frames * spf * 1000 // rate
+                    else:
+                        duration = audio_bytes * 8 // bitrate
                     return {
                         "bitrate_kbps": bitrate,
                         "sample_rate": rate,
                         "channels": 1 if mode == 3 else 2,
-                        "duration_ms": audio_bytes * 8 // bitrate,
+                        "duration_ms": duration,
                         "id3_bytes": id3,
                     }
         pos += 1
@@ -1646,10 +1684,14 @@ def encode_mp3_header(
     mono: bool = False,
     n_audio_bytes: int = 4000,
     id3_payload: int = 0,
+    vbr_frames: int = 0,
+    vbr_tag: str = "Xing",
 ) -> bytes:
     """Deterministic MP3 fixture: optional ID3v2 tag + one valid
     MPEG-1 Layer III frame header + zero filler (header-level facts
-    only — not decodable audio)."""
+    only — not decodable audio). With ``vbr_frames`` > 0 a Xing/Info
+    tag (after the MPEG1 side info) or a VBRI tag (fixed offset 32)
+    carries the frame count, as real VBR encoders write it."""
     br_idx = _MP3_BITRATES[1].index(bitrate_kbps)
     sr_idx = _MP3_RATES[1].index(sample_rate)
     hdr = bytes(
@@ -1660,13 +1702,31 @@ def encode_mp3_header(
             0xC0 if mono else 0x00,
         ]
     )
+    body = bytearray(hdr)
+    if vbr_frames:
+        if vbr_tag in ("Xing", "Info"):
+            side = 17 if mono else 32
+            body += b"\x00" * side
+            body += vbr_tag.encode("ascii")
+            body += struct.pack(">I", 0x01)  # flags: frames present
+            body += struct.pack(">I", vbr_frames)
+        elif vbr_tag == "VBRI":
+            body += b"\x00" * 32
+            body += b"VBRI"
+            body += struct.pack(">H", 1)  # version
+            body += struct.pack(">H", 0)  # delay
+            body += struct.pack(">H", 0)  # quality
+            body += struct.pack(">I", n_audio_bytes)  # stream bytes
+            body += struct.pack(">I", vbr_frames)
+        else:
+            raise ValueError(f"unknown vbr_tag {vbr_tag!r}")
     tag = b""
     if id3_payload:
         sz = id3_payload
         tag = b"ID3\x04\x00\x00" + bytes(
             [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
         ) + b"\x00" * sz
-    return tag + hdr + b"\x00" * max(0, n_audio_bytes - 4)
+    return tag + bytes(body) + b"\x00" * max(0, n_audio_bytes - len(body))
 
 
 _MP4_CONTAINERS = frozenset(

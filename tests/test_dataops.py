@@ -1193,6 +1193,37 @@ class TestMp3Info:
         assert got["a"].bitrate_kbps == 128
         assert got["b"].bitrate_kbps is None
 
+    def test_xing_frame_count_drives_duration(self):
+        # stereo MPEG1: Xing after 32-byte side info; 1000 frames at
+        # 44100 Hz = 1000*1152*1000//44100 = 26122 ms, NOT the CBR math
+        b = mm.encode_mp3_header(128, 44100, n_audio_bytes=4000,
+                                 vbr_frames=1000, vbr_tag="Xing")
+        info = mm.mp3_info(b)
+        assert info["duration_ms"] == 1000 * 1152 * 1000 // 44100
+        assert info["bitrate_kbps"] == 128  # header bitrate still reported
+
+    def test_info_tag_mono_side_info_offset(self):
+        # mono MPEG1 side info is 17 bytes; "Info" tag (LAME CBR) also
+        # carries a frame count
+        b = mm.encode_mp3_header(64, 32000, mono=True,
+                                 vbr_frames=320, vbr_tag="Info")
+        assert mm.mp3_info(b)["duration_ms"] == 320 * 1152 * 1000 // 32000
+
+    def test_vbri_fixed_offset(self):
+        b = mm.encode_mp3_header(192, 48000, vbr_frames=500,
+                                 vbr_tag="VBRI")
+        assert mm.mp3_info(b)["duration_ms"] == 500 * 1152 * 1000 // 48000
+
+    def test_vbr_tag_with_zero_frames_falls_back_to_cbr(self):
+        # a Xing tag whose flags say "no frame count" must not divide
+        # by zero or report 0 — CBR math is the fallback
+        b = bytearray(mm.encode_mp3_header(128, 44100, n_audio_bytes=4000,
+                                           vbr_frames=7, vbr_tag="Xing"))
+        # clear the flags word (offset: 4-byte header + 32 side + 4 tag)
+        b[4 + 32 + 4: 4 + 32 + 8] = b"\x00\x00\x00\x00"
+        info = mm.mp3_info(bytes(b))
+        assert info["duration_ms"] == 4000 * 8 // 128
+
 
 class TestSniffExtensions:
     """ICO / SVG / OGG / FLAC magic + dimension sniffing."""
