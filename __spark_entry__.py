@@ -2490,6 +2490,50 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_media_frames_mjpeg(spark, sf_dir):
+    """REAL video frame decode under the gate: each doc gets an MJPEG
+    AVI (RIFF/hdrl/movi with five '00dc' JPEG frames), walked and
+    decoded frame-by-frame with the repo's own JPEG codec
+    (multimodal.decode_mjpeg_avi). Frame k is a solid 8×8 DC-only
+    block of value (doc_id*13 + k*37) % 256, so every decoded pixel —
+    and therefore each sampled frame's per-channel mean — is
+    closed-form; sample_frames(n_frames=2) must pick frames {0, 4}
+    by the evenly-spaced rule."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    JP.encode_jpeg_blocks(
+                        8, 8, [[((did * 13 + k * 37) % 256) - 128] + [0] * 63]
+                    )
+                    for k in range(5)
+                ]
+                ids.append(str(did))
+                blobs.append(MM.encode_avi_mjpeg(8, 8, frames))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    out = MM.sample_frames(media, n_frames=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channel",
+        F.floor(F.col("mean") * 100).cast("bigint").alias("mean_scaled"),
+    )
+
+
 def _synth_dhash_media(spark, sf_dir):
     """Per-doc 3-channel images where PAIRS (2k, 2k+1) share the exact
     pixel formula px[j] = (s*31 + j*17 + (j%7)*41) % 256 (s = doc_id
@@ -2882,7 +2926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     run it before shipping regardless of window position.
     """
     return {
-        # -- group 1: new this round (r4) --------------------------------
+        # -- group 1: new this round (r5) --------------------------------
+        "media_frames_mjpeg": q_media_frames_mjpeg,  # real MJPEG-AVI decode
+        # -- group 1b: new in r4 -----------------------------------------
         "media_exif": q_media_exif,               # EXIF APP1/IFD extraction
         "media_mp3": q_media_mp3,                 # MP3 frame-header facts
         "web_ingest": q_web_ingest,               # WARC->sniff->extract e2e
@@ -4062,6 +4108,16 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
 FROM dh a JOIN dh b
   ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        "media_frames_mjpeg": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(5 AS INTEGER) AS n_frames,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(c AS INTEGER) AS channel,
+       CAST(((doc_id * 13 + fi * 37) % 256) * 100 AS BIGINT) AS mean_scaled
+FROM documents, (VALUES (0), (4)) t(fi), generate_series(0, 2) g(c)
 """,
         "media_frames": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -123,6 +123,13 @@ def sniff_media(data: Optional[bytes]) -> tuple:
         return ("audio", "wav", None, None)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return ("image", "webp") + _webp_dims(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        w = h = None
+        # avih (inside LIST hdrl) carries dwWidth/dwHeight at offset 32
+        i = data.find(b"avih")
+        if 0 <= i and i + 48 <= len(data):
+            w, h = struct.unpack("<II", data[i + 40 : i + 48])
+        return ("video", "avi", w, h)
     if data[:2] == b"BM" and len(data) >= 26:
         w, h = struct.unpack("<ii", data[18:26])
         return ("image", "bmp", w, abs(h))  # negative h = top-down rows
@@ -1132,11 +1139,114 @@ def video_frames_stub(data: bytes) -> Tuple[int, int, List[bytes]]:
     pure-Python codec exists for them, so this raises — rows land in
     the skip path of :func:`sample_frames`, and a deployment with
     PyAV/ffmpeg injects its own ``decoder=`` with this signature
-    ((w, h, [full-frame RGB bytes])) to light the same plumbing up."""
+    ((w, h, [full-frame RGB bytes])) to light the same plumbing up.
+    MJPEG-in-AVI is NOT a stub — :func:`decode_mjpeg_avi` is a real
+    decoder (RIFF walk + the repo's own baseline/progressive JPEG
+    codec per frame)."""
     mtype, fmt, _, _ = sniff_media(data)
     raise NotImplementedError(
         f"no pure-Python frame decoder for {mtype}/{fmt}; inject decoder="
     )
+
+
+def _riff_video_chunks(data: bytes, pos: int, end: int, out: List[bytes]) -> None:
+    """Walk RIFF chunks in data[pos:end], recursing into LISTs and
+    collecting '##dc'/'##db' video-stream payloads in stream order."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body_start = pos + 8
+        body_end = body_start + sz
+        if body_end > end:
+            raise ValueError("AVI chunk overruns its parent")
+        if cid in (b"LIST", b"RIFF"):
+            # 4-byte list type, then sub-chunks
+            _riff_video_chunks(data, body_start + 4, body_end, out)
+        elif (
+            len(cid) == 4
+            and cid[:2].isdigit()
+            and cid[2:] in (b"dc", b"db")
+        ):
+            out.append(data[body_start:body_end])
+        pos = body_end + (sz & 1)  # chunks are word-aligned
+
+
+def decode_mjpeg_avi(data: bytes) -> Tuple[int, int, List[bytes]]:
+    """REAL MJPEG-in-AVI frame decode: RIFF chunk walk collecting the
+    '##dc'/'##db' video chunks (each a standalone JPEG), decoded with
+    the repo's own pure-Python JPEG codec (operators/jpeg.py) —
+    the one web video codec reachable without a native library.
+    Returns (w, h, [full-frame RGB bytes]); grayscale JPEG frames are
+    expanded to RGB so the output contract matches decode_gif_frames.
+    Malformed containers/frames raise ValueError (per-row isolation in
+    sample_frames)."""
+    from .jpeg import decode_jpeg
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    chunks: List[bytes] = []
+    _riff_video_chunks(data, 12, min(len(data), 12 + struct.unpack(
+        "<I", data[4:8])[0] - 4), chunks)
+    if not chunks:
+        raise ValueError("AVI has no video chunks")
+    frames: List[bytes] = []
+    dims: Optional[Tuple[int, int]] = None
+    for raw in chunks:
+        w, h, ch, px = decode_jpeg(raw)
+        if dims is None:
+            dims = (w, h)
+        elif dims != (w, h):
+            raise ValueError("MJPEG frame dimensions vary mid-stream")
+        if ch == 1:
+            px = bytes(v for g in px for v in (g, g, g))
+        elif ch != 3:
+            raise ValueError(f"MJPEG frame has {ch} channels")
+        frames.append(px)
+    return (dims[0], dims[1], frames)
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, jpeg_frames: Sequence[bytes], fps: int = 25
+) -> bytes:
+    """Deterministic MJPEG AVI fixture: RIFF('AVI ') with a real hdrl
+    (avih + one video strl with 'MJPG' strh/strf) and a movi LIST of
+    '00dc' chunks — the fixture counterpart of
+    :func:`decode_mjpeg_avi`, structurally valid for other readers."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(1, fps),  # dwMicroSecPerFrame
+        0, 0, 0x10,               # rate, padding, flags (HASINDEX off)
+        n, 0, 1, 0,               # totalframes, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
 def sample_frames(
@@ -1162,6 +1272,8 @@ def sample_frames(
     def default_decoder(data: bytes) -> Tuple[int, int, List[bytes]]:
         if data[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif_frames(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            return decode_mjpeg_avi(data)
         return video_frames_stub(data)
 
     dec = decoder or default_decoder

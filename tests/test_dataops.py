@@ -1342,6 +1342,48 @@ class TestGifFrames:
             [("v", bytearray(fake_mp4))], "media_id string, blob binary")
         assert mm.sample_frames(df).collect() == []
 
+    @staticmethod
+    def _solid_jpeg(v):
+        from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
+
+        return JP.encode_jpeg_blocks(8, 8, [[v - 128] + [0] * 63])
+
+    def test_mjpeg_avi_roundtrip_exact(self):
+        avi = mm.encode_avi_mjpeg(
+            8, 8, [self._solid_jpeg(v) for v in (10, 99, 200)])
+        assert mm.sniff_media(avi) == ("video", "avi", 8, 8)
+        w, h, frames = mm.decode_mjpeg_avi(avi)
+        assert (w, h, len(frames)) == (8, 8, 3)
+        for v, px in zip((10, 99, 200), frames):
+            assert set(px) == {v}  # solid DC-only frame, byte-exact RGB
+
+    def test_mjpeg_sample_frames_default_decoder(self, spark):
+        avi = mm.encode_avi_mjpeg(
+            8, 8, [self._solid_jpeg(40 * k) for k in range(5)])
+        df = spark.createDataFrame(
+            [("v", bytearray(avi))], "media_id string, blob binary")
+        got = {(r.frame_idx, r.channel): r.mean
+               for r in mm.sample_frames(df, n_frames=2).collect()}
+        # evenly-spaced picks 0 and 4; means exactly the solid values
+        assert got == {(0, c): 0.0 for c in range(3)} | {
+            (4, c): 160.0 for c in range(3)}
+
+    def test_mjpeg_malformed_rows_skip_not_kill(self, spark):
+        good = mm.encode_avi_mjpeg(8, 8, [self._solid_jpeg(7)])
+        no_movi = good[:40]  # truncated container
+        bad_frame = mm.encode_avi_mjpeg(8, 8, [b"\xff\xd8garbage"])
+        mixed_dims = mm.encode_avi_mjpeg(
+            8, 8, [self._solid_jpeg(7),
+                   __import__("cmc_knowledge_graph_text2ttl_spark.operators.jpeg",
+                              fromlist=["j"]).encode_jpeg_blocks(
+                       16, 8, [[0] + [0] * 63, [0] + [0] * 63])])
+        df = spark.createDataFrame(
+            [("ok", bytearray(good)), ("t", bytearray(no_movi)),
+             ("bf", bytearray(bad_frame)), ("md", bytearray(mixed_dims))],
+            "media_id string, blob binary")
+        got = {r.media_id for r in mm.sample_frames(df).collect()}
+        assert got == {"ok"}
+
 
 class TestImageHash:
     """Perceptual dHash + image near-dup (operators/imagehash.py)."""
