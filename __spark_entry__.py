@@ -1365,14 +1365,16 @@ def q_corpus_safety(spark, sf_dir):
 
 def q_corpus_shards(spark, sf_dir):
     """Shard-manifest publish step under the gate: md5-deterministic
-    routing into 8 shards with a per-shard order-fixed integrity
-    digest (md5 over ascending comma-joined ids); the oracle rebuilds
-    the same shards and digests with DuckDB's md5/list_sort."""
+    routing into 8 shards with the TWO-LEVEL integrity digest (md5
+    over 16 sub-bucket digests, each md5 over its ascending
+    comma-joined ids) — no reducer holds a full shard id list; the
+    oracle rebuilds shards, sub-buckets and both digest levels with
+    DuckDB's md5/list_sort/string_agg."""
     from cmc_knowledge_graph_text2ttl_spark.operators.traindata import (
         shard_manifest,
     )
 
-    return shard_manifest(_docs(spark, sf_dir), n_shards=8)
+    return shard_manifest(_docs(spark, sf_dir), n_shards=8, sub_buckets=16)
 
 
 def q_corpus_filter(spark, sf_dir):
@@ -4045,19 +4047,29 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
 FROM fp a JOIN fp b ON a.b0 = b.b0 AND a.b1 = b.b1
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
 """,
+        # two-level digest: md5 over sub-bucket digests in sub order —
+        # mirrors shard_manifest(sub_buckets=16) exactly
         "corpus_shards": """
 WITH a AS (
   SELECT CAST(doc_id AS VARCHAR) AS id,
          length(text) AS n_chars,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-              % 8 AS INTEGER) AS shard
+              % 8 AS INTEGER) AS shard,
+         CAST(('0x' || substr(md5('sub' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 16 AS INTEGER) AS sub
   FROM documents
+), l1 AS (
+  SELECT shard, sub,
+         COUNT(*) AS n_docs,
+         SUM(n_chars) AS total_chars,
+         md5(array_to_string(list_sort(list(id)), ',')) AS sub_digest
+  FROM a GROUP BY shard, sub
 )
 SELECT shard,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       md5(array_to_string(list_sort(list(id)), ',')) AS id_digest
-FROM a GROUP BY shard
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(sub_digest, ',' ORDER BY sub)) AS id_digest
+FROM l1 GROUP BY shard
 """,
         "media_id3": """
 WITH w AS (

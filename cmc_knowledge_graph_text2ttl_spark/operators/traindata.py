@@ -14,7 +14,7 @@ so every result is bit-reproducible against the DuckDB oracle
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -454,6 +454,7 @@ def shard_manifest(
     n_shards: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sub_buckets: Optional[int] = 256,
 ) -> DataFrame:
     """(shard, n_docs, total_chars, id_digest) — the publish step of a
     curation pipeline: deterministic md5 shard routing (the repo's
@@ -461,23 +462,68 @@ def shard_manifest(
     and would differ run to run) plus a per-shard integrity manifest a
     downstream trainer can verify against.
 
-    ``id_digest`` is md5 over the comma-joined ASCENDING ids of the
-    shard — an order-fixed digest, so it is partition-independent and
-    cross-engine reproducible. The sort is per-shard (bounded by shard
-    size), not global. One shuffle total (the groupBy)."""
+    ``id_digest`` (default): a TWO-LEVEL digest — ids hash into
+    ``sub_buckets`` sub-buckets per shard (independent md5 slice),
+    each sub-bucket digests its comma-joined ASCENDING ids, and the
+    shard digest is md5 over the sub-digests in sub-bucket order. No
+    reducer ever materializes a full shard id list: level-1 buffers
+    are ~shard/sub_buckets ids, level 2 holds at most ``sub_buckets``
+    32-char digests. Still fully deterministic (hash routing + fixed
+    orders), partition-independent and cross-engine reproducible.
+
+    ``sub_buckets=None`` keeps the legacy FLAT digest (md5 over the
+    whole shard's sorted id list) — fine for small shards, but at web
+    scale one reducer then buffers billions of ids; size n_shards
+    accordingly if you opt into it. Two shuffles total (or one when
+    flat)."""
     assigned = docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
     ).withColumn(
         "shard", (md5_int(F.col("id")) % n_shards).cast("int")
     )
-    return (
-        assigned.groupBy("shard")
+    if sub_buckets is None:
+        return (
+            assigned.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.md5(
+                    F.array_join(F.array_sort(F.collect_list("id")), ",")
+                ).alias("id_digest"),
+            )
+        )
+    if sub_buckets < 1:
+        raise ValueError("sub_buckets must be >= 1 (or None for flat)")
+    sub = (
+        md5_int(F.concat(F.lit("sub"), F.col("id"))) % sub_buckets
+    ).cast("int")
+    level1 = (
+        assigned.withColumn("sub", sub)
+        .groupBy("shard", "sub")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.md5(
                 F.array_join(F.array_sort(F.collect_list("id")), ",")
+            ).alias("sub_digest"),
+        )
+    )
+    return (
+        level1.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("sub", "sub_digest"))
+                        ),
+                        lambda s: s["sub_digest"],
+                    ),
+                    ",",
+                )
             ).alias("id_digest"),
         )
     )

@@ -443,3 +443,70 @@ class TestShardManifest:
         da = {r.shard: r.id_digest for r in shard_manifest(a, 1).collect()}
         db = {r.shard: r.id_digest for r in shard_manifest(b, 1).collect()}
         assert da != db
+
+    def test_two_level_matches_python_model(self, spark):
+        # the two-level digest is exactly md5 over the sub-bucket md5s
+        # (sub order), each over its own sorted comma-joined ids
+        import hashlib
+
+        from cmc_knowledge_graph_text2ttl_spark.operators.traindata import (
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = docs.select("doc_id", "text").collect()
+
+        def h32(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        model = {}
+        for r in rows:
+            i = str(r.doc_id)
+            model.setdefault(h32(i) % 4, {}).setdefault(
+                h32("sub" + i) % 8, []
+            ).append(i)
+        expect = {}
+        for shard, subs in model.items():
+            subd = [
+                hashlib.md5(",".join(sorted(ids)).encode()).hexdigest()
+                for _, ids in sorted(subs.items())
+            ]
+            expect[shard] = hashlib.md5(",".join(subd).encode()).hexdigest()
+        got = {r.shard: r.id_digest
+               for r in shard_manifest(docs, 4, sub_buckets=8).collect()}
+        assert got == expect
+
+    def test_hot_shard_buffers_bounded(self, spark):
+        # n_shards=1 routes EVERYTHING to one shard — the flat digest's
+        # worst case. With sub_buckets the level-1 aggregation must
+        # spread the ids over (shard, sub) keys, and the result must be
+        # partition-independent and equal regardless of sub_buckets
+        # count... for n_docs/total_chars; digests differ by scheme but
+        # each must be internally stable.
+        from cmc_knowledge_graph_text2ttl_spark.operators.traindata import (
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        one = shard_manifest(docs, 1, sub_buckets=32)
+        m1 = {r.shard: (r.n_docs, r.total_chars, r.id_digest)
+              for r in one.collect()}
+        m2 = {r.shard: (r.n_docs, r.total_chars, r.id_digest)
+              for r in shard_manifest(
+                  docs.repartition(17), 1, sub_buckets=32).collect()}
+        assert m1 == m2 and m1[0][0] == docs.count()
+        # the level-1 plan aggregates on (shard, sub), not shard alone
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "sub" in plan
+
+    def test_flat_option_preserved(self, spark):
+        import hashlib
+
+        from cmc_knowledge_graph_text2ttl_spark.operators.traindata import (
+            shard_manifest,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "x"), (2, "yy"), (3, "z")], ["doc_id", "text"])
+        got = shard_manifest(a, 1, sub_buckets=None).collect()[0]
+        assert got.id_digest == hashlib.md5(b"1,2,3").hexdigest()
