@@ -1005,8 +1005,9 @@ def q_pdf_table_cells(spark, sf_dir):
     9 words, title paragraph, odd doc_ids Flate-compressed, doc_id%3==0
     packed as PDF 1.5 — /ObjStm container + /Type /XRef stream with PNG
     Up-predicted entries, NO raw obj markers for the dicts — and
-    doc_id%3==1 RC4-128-encrypted with the Standard security handler,
-    empty user password, per-object stream keys), flows
+    doc_id%3==1 Standard-handler encrypted with empty user password:
+    %6==1 RC4-128 R3, %6==4 /AESV2 R4 (AES-128-CBC stdlib decrypt,
+    round-5 rotation), per-object stream keys), flows
     through sniff → stdlib text-layer parse → 7-stage geometric
     recognizer → XHTML; the oracle string-builds the expected render."""
     import pandas as pd
@@ -1045,9 +1046,14 @@ def q_pdf_table_cells(spark, sf_dir):
                     title=f"doc {i}",
                     compress=bool(int(i) % 2),
                     objstm=int(i) % 3 == 0,
-                    # RC4-128 Standard-handler encryption on the
-                    # classic-layout remainder (empty user password)
-                    encrypt=int(i) % 3 == 1,
+                    # Standard-handler encryption on the classic-layout
+                    # remainder (empty user password): alternate RC4-128
+                    # and AES-128 /AESV2 by parity of (doc_id-1)/3
+                    encrypt=(
+                        ("aesv2" if int(i) % 6 == 4 else "rc4")
+                        if int(i) % 3 == 1
+                        else False
+                    ),
                 )
                 rows["url"].append(f"doc://{i}")
                 rows["warc_ts"].append(None)

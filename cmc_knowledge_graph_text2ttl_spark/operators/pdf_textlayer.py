@@ -93,8 +93,148 @@ def _pad_password(pw: bytes) -> bytes:
     return (pw + _PDF_PAD)[:32]
 
 
+# ---------------------------------------------------------------------------
+# AES-128 (FIPS-197) — pure stdlib, for the /AESV2 crypt filter.
+# Both directions: CBC decrypt for reading encrypted PDFs, CBC encrypt
+# for building fixtures. Verified against the FIPS-197 appendix vector
+# in tests.
+
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytes(256)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+_AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _aes_expand_key(key: bytes) -> List[bytes]:
+    """128-bit key → 11 round keys of 16 bytes."""
+    w = [key[i : i + 4] for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = w[i - 1]
+        if i % 4 == 0:
+            t = bytes(
+                _AES_SBOX[t[(j + 1) % 4]] ^ (_AES_RCON[i // 4 - 1] if j == 0 else 0)
+                for j in range(4)
+            )
+        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
+    return [b"".join(w[r * 4 : r * 4 + 4]) for r in range(11)]
+
+
+def _aes_encrypt_block(rk: List[bytes], block: bytes) -> bytes:
+    s = bytes(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, 11):
+        s = bytes(_AES_SBOX[b] for b in s)
+        # ShiftRows on column-major state: out[r + 4c] = in[r + 4((c+r)%4)]
+        s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))
+        if rnd < 10:
+            m = bytearray(16)
+            for c in range(4):
+                col = s[4 * c : 4 * c + 4]
+                m[4 * c + 0] = _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
+                m[4 * c + 1] = col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
+                m[4 * c + 2] = col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
+                m[4 * c + 3] = _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
+            s = bytes(m)
+        s = bytes(a ^ b for a, b in zip(s, rk[rnd]))
+    return s
+
+
+def _aes_decrypt_block(rk: List[bytes], block: bytes) -> bytes:
+    s = bytes(a ^ b for a, b in zip(block, rk[10]))
+    for rnd in range(9, -1, -1):
+        # InvShiftRows: out[r + 4c] = in[r + 4((c-r)%4)]
+        s = bytes(s[(i - 4 * (i % 4)) % 16] for i in range(16))
+        s = bytes(_AES_INV_SBOX[b] for b in s)
+        s = bytes(a ^ b for a, b in zip(s, rk[rnd]))
+        if rnd > 0:
+            m = bytearray(16)
+            for c in range(4):
+                col = s[4 * c : 4 * c + 4]
+                m[4 * c + 0] = (
+                    _gmul(col[0], 14) ^ _gmul(col[1], 11)
+                    ^ _gmul(col[2], 13) ^ _gmul(col[3], 9)
+                )
+                m[4 * c + 1] = (
+                    _gmul(col[0], 9) ^ _gmul(col[1], 14)
+                    ^ _gmul(col[2], 11) ^ _gmul(col[3], 13)
+                )
+                m[4 * c + 2] = (
+                    _gmul(col[0], 13) ^ _gmul(col[1], 9)
+                    ^ _gmul(col[2], 14) ^ _gmul(col[3], 11)
+                )
+                m[4 * c + 3] = (
+                    _gmul(col[0], 11) ^ _gmul(col[1], 13)
+                    ^ _gmul(col[2], 9) ^ _gmul(col[3], 14)
+                )
+            s = bytes(m)
+    return s
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PKCS#7-padded CBC encrypt; returns iv + ciphertext (the PDF
+    /AESV2 stream layout, §7.6.2)."""
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`_aes_cbc_encrypt`: data = iv + ciphertext.
+    Raises PdfParseError on bad layout or padding (per-row isolation)."""
+    if len(data) < 32 or len(data) % 16:
+        raise PdfParseError("AES stream not a whole number of blocks")
+    rk = _aes_expand_key(key)
+    iv, ct = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        blk = ct[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise PdfParseError("AES stream has invalid padding")
+    return bytes(out[:-pad])
+
+
 def _std_file_key(
-    o: bytes, p: int, fid: bytes, rev: int, n: int, user_pw: bytes = b""
+    o: bytes,
+    p: int,
+    fid: bytes,
+    rev: int,
+    n: int,
+    user_pw: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key (n bytes)."""
     h = hashlib.md5()
@@ -102,6 +242,8 @@ def _std_file_key(
     h.update(o[:32])
     h.update(struct.pack("<i", p))
     h.update(fid)
+    if rev >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if rev >= 3:
         for _ in range(50):
@@ -408,6 +550,7 @@ class _PdfDoc:
             raise PdfParseError("no indirect objects found")
         self._parsed: Dict[int, object] = {}
         self._enc_key: Optional[bytes] = None
+        self._enc_aes = False  # True when the crypt filter is /AESV2
         self._setup_encryption(data)
         try:
             containers, compressed = self._walk_xref_streams(data)
@@ -430,7 +573,9 @@ class _PdfDoc:
         password the web-crawl path can assume. The derived key is
         verified against /U; a mismatch means a real password, which is
         a loud per-row error (like PyMuPDF's needs_pass in the
-        reference's stack). AES (R4 /AESV2, R5/R6) raises."""
+        reference's stack). R4 /AESV2 (AES-128-CBC, the post-Acrobat-7
+        default) is handled with the stdlib AES above; R5/R6 (AES-256,
+        /V 5) raises."""
         enc = None
         fid = b""
         for m in re.finditer(rb"trailer", data):
@@ -473,7 +618,7 @@ class _PdfDoc:
         rev = int(self.resolve(ed.get("R")) or 2)
         length = int(self.resolve(ed.get("Length")) or 40)
         if v == 4:
-            # crypt filters: only /V2 (RC4) — /AESV2 needs AES
+            # crypt filters: /V2 (RC4) and /AESV2 (AES-128-CBC)
             stmf = self.resolve(ed.get("StmF")) or ("name", "Identity")
             cf = self.resolve(ed.get("CF"))
             cfm = None
@@ -481,9 +626,11 @@ class _PdfDoc:
                 cfd = self.resolve(cf.get(stmf[1]))
                 if isinstance(cfd, dict):
                     cfm = cfd.get("CFM")
-            if cfm != ("name", "V2"):
+            if cfm == ("name", "AESV2"):
+                self._enc_aes = True
+            elif cfm != ("name", "V2"):
                 raise PdfParseError(
-                    f"unsupported crypt filter {cfm!r} (AES or custom)"
+                    f"unsupported crypt filter {cfm!r} (AES-256 or custom)"
                 )
         elif v not in (1, 2):
             raise PdfParseError(f"unsupported /Encrypt /V {v}")
@@ -496,7 +643,10 @@ class _PdfDoc:
         if p >= 1 << 31:
             p -= 1 << 32  # some writers store P as unsigned
         n = 5 if rev == 2 else max(5, min(16, length // 8))
-        key = _std_file_key(o, p, fid, rev, n)
+        em = self.resolve(ed.get("EncryptMetadata"))
+        key = _std_file_key(
+            o, p, fid, rev, n, encrypt_metadata=em is not False
+        )
         if isinstance(u, bytes):
             expect = _std_user_value(key, fid, rev)
             got, want = (u[:16], expect[:16]) if rev >= 3 else (u[:32], expect)
@@ -511,6 +661,8 @@ class _PdfDoc:
             self._enc_key
             + struct.pack("<I", num)[:3]
             + struct.pack("<I", gen)[:2]
+            # AES object keys append the spec's 'sAlT' marker (§7.6.2)
+            + (b"sAlT" if self._enc_aes else b"")
         ).digest()
         return h[: min(len(self._enc_key) + 5, 16)]
 
@@ -656,10 +808,14 @@ class _PdfDoc:
         if self._enc_key is not None and not (
             isinstance(d, dict) and d.get("Type") == ("name", "XRef")
         ):
-            # every stream except the xref stream is RC4-encrypted with
-            # the per-object key (PDF 1.7 §7.6.2 Algorithm 1; gen 0 —
-            # the raw scan keys objects by number only)
-            payload = _rc4(self._object_key(num), payload)
+            # every stream except the xref stream is encrypted with the
+            # per-object key (PDF 1.7 §7.6.2 Algorithm 1; gen 0 — the
+            # raw scan keys objects by number only): RC4 keystream, or
+            # for /AESV2 a 16-byte IV + AES-128-CBC + PKCS#7 padding
+            if self._enc_aes:
+                payload = _aes_cbc_decrypt(self._object_key(num), payload)
+            else:
+                payload = _rc4(self._object_key(num), payload)
         filt = d.get("Filter") if isinstance(d, dict) else None
         filt = self.resolve(filt)
         filters: List[object] = (
@@ -974,13 +1130,18 @@ def make_table_pdf(
     (NO raw ``N 0 obj`` markers for them) and a ``/Type /XRef``
     cross-reference STREAM with PNG Up-predicted /W-packed entries —
     the file is only readable through the xref-stream + ObjStm path.
-    ``encrypt=True`` (classic layout only) applies the Standard
-    security handler, RC4-128 R3, empty user password, owner password
-    "owner" — stream payloads RC4-encrypted with per-object keys, /O
-    and /U computed per Algorithms 3/5, /ID derived from the content.
+    ``encrypt=True`` (or ``"rc4"``; classic layout only) applies the
+    Standard security handler, RC4-128 R3, empty user password, owner
+    password "owner" — stream payloads RC4-encrypted with per-object
+    keys, /O and /U computed per Algorithms 3/5, /ID derived from the
+    content. ``encrypt="aesv2"`` emits the post-Acrobat-7 default
+    instead: /V 4 /R 4 with an /AESV2 StdCF crypt filter, streams
+    AES-128-CBC with a content-derived deterministic IV.
     """
     if encrypt and objstm:
         raise ValueError("encrypt fixture supports the classic layout only")
+    if encrypt not in (False, True, "rc4", "aesv2"):
+        raise ValueError(f"encrypt must be bool, 'rc4' or 'aesv2', got {encrypt!r}")
     n_rows = len(cell_texts)
     n_cols = len(cell_texts[0]) if n_rows else 0
     if n_rows < 3 or n_cols < 3:
@@ -1042,7 +1203,8 @@ def make_table_pdf(
 
     trailer_extra = ""
     if encrypt:
-        rev, n = 3, 16
+        aes = encrypt == "aesv2"
+        rev, n = (4, 16) if aes else (3, 16)
         fid = hashlib.md5(b"kg-fixture-id:" + content).digest()
         o_val = _std_owner_value(b"owner", b"", rev, n)
         p = -3904  # print/copy denied — a typical protected-PDF mask
@@ -1054,11 +1216,16 @@ def make_table_pdf(
                 file_key
                 + struct.pack("<I", num)[:3]
                 + struct.pack("<I", 0)[:2]
+                + (b"sAlT" if aes else b"")
             ).digest()
             return h[:16]
 
         # re-encrypt the content stream (object 4) payload in place
-        enc_stream = _rc4(objkey(4), stream)
+        if aes:
+            iv = hashlib.md5(b"kg-aes-iv:" + content).digest()[:16]
+            enc_stream = _aes_cbc_encrypt(objkey(4), iv, stream)
+        else:
+            enc_stream = _rc4(objkey(4), stream)
         objs[3] = (
             f"<< /Length {len(enc_stream)}{filt} >>\nstream\n".encode()
             + enc_stream
@@ -1068,12 +1235,19 @@ def make_table_pdf(
         def hx(b: bytes) -> str:
             return "<" + b.hex() + ">"
 
-        objs.append(
-            (
+        if aes:
+            enc_dict = (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/P {p} /O {hx(o_val)} /U {hx(u_val)} >>"
+            )
+        else:
+            enc_dict = (
                 "<< /Filter /Standard /V 2 /R 3 /Length 128 "
                 f"/P {p} /O {hx(o_val)} /U {hx(u_val)} >>"
-            ).encode()
-        )
+            )
+        objs.append(enc_dict.encode())
         trailer_extra = (
             f" /Encrypt {len(objs)} 0 R /ID [{hx(fid)} {hx(fid)}]"
         )

@@ -361,7 +361,7 @@ class TestEncryption:
         with pytest.raises(ValueError, match="password"):
             pdf_bytes_to_xhtml(bytes(blob))
 
-    def test_aes_crypt_filter_raises(self):
+    def test_aesv2_renders_same_as_plain(self):
         from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
             pdf_bytes_to_xhtml,
         )
@@ -369,14 +369,65 @@ class TestEncryption:
             make_table_pdf,
         )
 
-        blob = make_table_pdf(self.CELLS, encrypt=True)
+        plain = pdf_bytes_to_xhtml(make_table_pdf(self.CELLS, title="T"))
+        for compress in (False, True):
+            enc = make_table_pdf(
+                self.CELLS, title="T", compress=compress, encrypt="aesv2"
+            )
+            assert b"/AESV2" in enc
+            assert pdf_bytes_to_xhtml(enc) == plain
+
+    def test_aes256_crypt_filter_raises(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
+            pdf_bytes_to_xhtml,
+        )
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        blob = make_table_pdf(self.CELLS, encrypt="aesv2")
+        blob = blob.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+        with pytest.raises(ValueError, match="AES-256|crypt filter"):
+            pdf_bytes_to_xhtml(blob)
+
+    def test_aesv2_declared_but_rc4_payload_is_loud_not_garbage(self):
+        # a stream that is not IV+whole-blocks (or has bad padding)
+        # must raise per-row, never return mojibake
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
+            pdf_bytes_to_xhtml,
+        )
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        blob = make_table_pdf(self.CELLS, encrypt=True)  # RC4 streams
         blob = blob.replace(
             b"/Filter /Standard /V 2 /R 3 /Length 128",
             b"/Filter /Standard /V 4 /R 4 /Length 128 "
             b"/StmF /StdCF /CF << /StdCF << /CFM /AESV2 >> >>",
         )
-        with pytest.raises(ValueError, match="AES|crypt filter"):
+        with pytest.raises(ValueError, match="AES"):
             pdf_bytes_to_xhtml(blob)
+
+    def test_aes_fips197_vector(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            _aes_cbc_decrypt,
+            _aes_cbc_encrypt,
+            _aes_decrypt_block,
+            _aes_encrypt_block,
+            _aes_expand_key,
+        )
+
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        rk = _aes_expand_key(key)
+        ct = _aes_encrypt_block(rk, pt)
+        assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+        assert _aes_decrypt_block(rk, ct) == pt
+        data = b"arbitrary length payload!" * 3
+        enc = _aes_cbc_encrypt(key, bytes(range(16)), data)
+        assert enc[:16] == bytes(range(16))
+        assert _aes_cbc_decrypt(key, enc) == data
 
     def test_rc4_known_vector(self):
         from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import _rc4
