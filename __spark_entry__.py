@@ -2553,7 +2553,10 @@ def _synth_dhash_media(spark, sf_dir):
     thumbnail" cluster (which also absorbs docs 0 and 1) exercising
     the star-edge cluster path — and are encoded as GRAY+ALPHA PNG
     (color type 4, gray = integer mean of the RGB formula, alpha a
-    varying junk channel the hash must ignore)."""
+    varying junk channel the hash must ignore). docs with
+    doc_id % 10 == 3 re-encode the same RGB pixels as LOSSLESS WEBP
+    (VP8L) — near-dup must see through the PNG/BMP↔WebP re-encode;
+    the oracle needs no change because the pixels are identical."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
@@ -2581,6 +2584,12 @@ def _synth_dhash_media(spark, sf_dir):
                         )
                     )
                     blob = MM.encode_png(w, h, ga, 2)
+                elif did % 10 == 3:
+                    from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+                        encode_webp_lossless,
+                    )
+
+                    blob = encode_webp_lossless(w, h, px, 3)
                 else:
                     enc = MM.encode_png if did % 2 == 0 else MM.encode_bmp
                     blob = enc(w, h, px, 3)
@@ -2772,6 +2781,47 @@ def q_media_pixels(spark, sf_dir):
     )
 
 
+def q_media_webp(spark, sf_dir):
+    """REAL lossless-WebP (VP8L) decode under the gate: per-doc solid
+    RGB (doc even) or RGBA (doc odd) images through the full prefix-
+    code path (canonical trees, code-length codes) of operators/vp8l;
+    exact per-channel means must equal the colors, channels always 4
+    (VP8L is ARGB), alpha 255 for RGB input."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+    from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 9, 4 + did % 5
+                rgb = ((did * 7) % 256, (did * 13) % 256, (did * 29) % 256)
+                if did % 2 == 0:
+                    px = bytes(rgb) * (w * h)
+                    blob = encode_webp_lossless(w, h, px, 3)
+                else:
+                    px = (bytes(rgb) + bytes([(did * 11) % 256])) * (w * h)
+                    blob = encode_webp_lossless(w, h, px, 4)
+                ids.append(str(did))
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "feature",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_scaled"),
+    )
+
+
 def q_media_resize(spark, sf_dir):
     """Decode → nearest-neighbor 4x4 resize under the gate: the gradient
     PNGs (doc_id % 3 == 0 in the synth media) have analytically known
@@ -2936,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- group 1: new this round (r5) --------------------------------
         "media_frames_mjpeg": q_media_frames_mjpeg,  # real MJPEG-AVI decode
+        "media_webp": q_media_webp,                  # VP8L lossless decode
         # -- group 1b: new in r4 -----------------------------------------
         "media_exif": q_media_exif,               # EXIF APP1/IFD extraction
         "media_mp3": q_media_mp3,                 # MP3 frame-header facts
@@ -4126,6 +4177,22 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
 FROM dh a JOIN dh b
   ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        "media_webp": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, feature,
+       CAST(CASE feature
+         WHEN 'width' THEN (5 + doc_id % 9) * 100
+         WHEN 'height' THEN (4 + doc_id % 5) * 100
+         WHEN 'channels' THEN 400
+         WHEN 'mean_c0' THEN ((doc_id * 7) % 256) * 100
+         WHEN 'mean_c1' THEN ((doc_id * 13) % 256) * 100
+         WHEN 'mean_c2' THEN ((doc_id * 29) % 256) * 100
+         WHEN 'mean_c3' THEN CASE WHEN doc_id % 2 = 0 THEN 25500
+                                  ELSE ((doc_id * 11) % 256) * 100 END
+       END AS BIGINT) AS value_scaled
+FROM documents,
+     (VALUES ('width'), ('height'), ('channels'),
+             ('mean_c0'), ('mean_c1'), ('mean_c2'), ('mean_c3')) f(feature)
 """,
         "media_frames_mjpeg": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

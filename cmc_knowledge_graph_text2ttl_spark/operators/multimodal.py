@@ -625,7 +625,8 @@ def _decode_png_impl(data: bytes) -> Tuple[int, int, int, bytes]:
 
 def decode_image(data: bytes):
     """bytes → (width, height, channels, raw pixels). Real for PNG,
-    GIF, BMP and uncompressed TIFF (pure stdlib) and JPEG
+    GIF, BMP, uncompressed TIFF, lossless WebP (VP8L — the common
+    thumbnail re-encode; lossy VP8 still raises) and JPEG
     (``operators/jpeg.py``, pure Python + numpy); other formats raise
     ``NotImplementedError`` — inject a decoder via
     ``extract_features(decoder=...)``."""
@@ -641,11 +642,15 @@ def decode_image(data: bytes):
         return decode_bmp(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        return decode_webp(data)
     mtype, fmt, _, _ = sniff_media(data)
     raise NotImplementedError(
         f"no pure-Python decoder for {mtype}/{fmt}; PNG, GIF, BMP, "
-        "uncompressed TIFF and JPEG are supported — inject decoder= for "
-        "other codecs"
+        "uncompressed TIFF, lossless WebP and JPEG are supported — "
+        "inject decoder= for other codecs"
     )
 
 

@@ -63,8 +63,12 @@ def test_extract_one_never_escapes(name, builder):
             trns=bytes([7, 8]))),
         ("bmp", lambda: mm.encode_bmp(9, 5, bytes(9 * 5 * 3), 3)),
         ("tiff", lambda: mm.encode_tiff(9, 5, bytes(9 * 5 * 3), 3)),
+        ("webp_vp8l", lambda: __import__(
+            "cmc_knowledge_graph_text2ttl_spark.operators.vp8l",
+            fromlist=["v"]).encode_webp_lossless(
+                9, 5, bytes((i * 13) % 256 for i in range(9 * 5 * 3)), 3)),
     ],
-    ids=["png_adam7", "png_pal4", "bmp", "tiff"],
+    ids=["png_adam7", "png_pal4", "bmp", "tiff", "webp_vp8l"],
 )
 def test_image_decoders_raise_cleanly(name, builder):
     blob = builder()
