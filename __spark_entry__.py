@@ -2987,68 +2987,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 1: new this round (r5) --------------------------------
         "media_frames_mjpeg": q_media_frames_mjpeg,  # real MJPEG-AVI decode
         "media_webp": q_media_webp,                  # VP8L lossless decode
-        # -- group 1b: new in r4 -----------------------------------------
-        "media_exif": q_media_exif,               # EXIF APP1/IFD extraction
-        "media_mp3": q_media_mp3,                 # MP3 frame-header facts
-        "web_ingest": q_web_ingest,               # WARC->sniff->extract e2e
-        "media_frames": q_media_frames,           # animated-GIF frame sample
-        "media_dhash": q_media_dhash,             # perceptual dHash bands
-        "media_near_dup": q_media_near_dup,       # image near-dup pairs
-        "audio_fingerprint": q_audio_fingerprint,  # audio energy dhash
-        "audio_near_dup": q_audio_near_dup,       # audio near-dup pairs
-        "text_pii": q_text_pii,                   # email/IP/phone scrub
-        "corpus_c4": q_corpus_c4,                 # C4+Gopher doc rules
-        "crawl_blocklist": q_crawl_blocklist,     # domain suffix filter
-        "corpus_safety": q_corpus_safety,         # blocklist+pii+c4 chain
-        "media_clusters": q_media_clusters,       # dhash pairs->CC->survivor
-        "media_mp4": q_media_mp4,                 # ISO-BMFF box facts
-        "archive_read": q_archive_read,           # tar/tgz/zip source
-        "media_id3": q_media_id3,                 # ID3v2 provenance tags
-        "corpus_shards": q_corpus_shards,         # publish manifest
-        "office_extract": q_office_extract,       # xlsx/pptx OOXML dispatch
-        "links_resolve": q_links_resolve,         # RFC 3986 base-join
-        "skew_topk": q_skew_topk,                 # bounded salted top-k
-        # -- group 2: operator or fixture changed this round (r4) --------
-        "warc_read": q_warc_read,                 # .warc.gz members + chunked TE
-        "pdf_table_cells": q_pdf_table_cells,     # xref-stream/ObjStm fixture
-        "media_jpeg": q_media_jpeg,               # progressive SOF2 fixture
-        "media_gif": q_media_gif,                 # interlaced fixture
-        "links_extract": q_links_extract,         # relative-href resolution
-        "links_pagerank": q_links_pagerank,       # links.py shared path
-        "links_anchors": q_links_anchors,         # links.py shared path
-        "robots_filter": q_robots_filter,         # authority-key fix
-        "page_meta": q_page_meta,                 # '>'-in-quoted-attr fix
-        "page_og": q_page_og,                     # pagemeta.py shared path
-        "html_extract_clean": q_html_extract_clean,  # extract.py dispatch
-        "html_plain_text": q_html_plain_text,     # extract.py dispatch
-        "boilerplate_strip": q_boilerplate_strip,  # extract.py shared path
-        "kg_select_union": q_kg_select_union,     # SPARQL 3VL OR fix
-        "kg_select_modifiers": q_kg_select_modifiers,
-        "kg_select_subquery": q_kg_select_subquery,
-        "kg_select_agg": q_kg_select_agg,
-        "kg_select_graph": q_kg_select_graph,
-        "media_pixels": q_media_pixels,           # PNG matrix rotation
-        "media_resize": q_media_resize,           # bmp/tiff decode path
-        # -- group 3: never inside a driver gate window before r4 --------
-        "kg_stream_triples": q_kg_stream_triples,
-        "skew_collect": q_skew_collect,
-        "corpus_curate": q_corpus_curate,
-        "corpus_stratified": q_corpus_stratified,
-        "text_surprisal": q_text_surprisal,
-        "text_pack": q_text_pack,
-        "text_pack_manifests": q_text_pack_manifests,
-        "emb_hashed": q_emb_hashed,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "media_meta": q_media_meta,
-        # ---- 50-entry driver window ends here --------------------------
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "emb_near_dup": q_emb_near_dup,
+        # -- group 2: never in any CORRECTNESS_r*.json yet ---------------
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
         "crawl_batches": q_crawl_batches,
         "sitemap_parse": q_sitemap_parse,
         "jsonld_triples": q_jsonld_triples,
         "feed_parse": q_feed_parse,
+        # -- group 3: operator or gate fixture CHANGED this round (r5) ---
+        "skew_collect": q_skew_collect,           # de-arrayed projection
+        "skew_topk": q_skew_topk,                 # de-arrayed projection
+        "text_pack_manifests": q_text_pack_manifests,  # de-arrayed spans
+        "emb_hashed": q_emb_hashed,               # de-arrayed embedding
+        "office_extract": q_office_extract,       # RK flag-bit fix
+        "media_dhash": q_media_dhash,             # ch==2 + webp + hot cluster
+        "media_near_dup": q_media_near_dup,       # max_bucket cap
+        "media_clusters": q_media_clusters,       # star-edge path
+        "audio_fingerprint": q_audio_fingerprint,  # shared _banded_pairs
+        "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
+        "text_pii": q_text_pii,                   # digit-counting phone re
+        "corpus_safety": q_corpus_safety,         # phone re + exact host
+        "crawl_blocklist": q_crawl_blocklist,     # exact-host branch gated
+        "media_mp3": q_media_mp3,                 # Xing/VBRI VBR duration
+        "corpus_shards": q_corpus_shards,         # two-level digest
+        "pdf_table_cells": q_pdf_table_cells,     # AESV2 rotation
+        "media_frames": q_media_frames,           # sample_frames dispatch
+        # -- group 4: exactly ONE driver row so far (round-robin the
+        #    least-verified tail of the registry through the window) -----
+        "media_exif": q_media_exif,
+        "web_ingest": q_web_ingest,
+        "corpus_c4": q_corpus_c4,
+        "media_mp4": q_media_mp4,
+        "archive_read": q_archive_read,
+        "media_id3": q_media_id3,
+        "links_resolve": q_links_resolve,
+        "warc_read": q_warc_read,
+        "media_jpeg": q_media_jpeg,
+        "media_gif": q_media_gif,
+        "links_extract": q_links_extract,
+        "links_pagerank": q_links_pagerank,
+        "links_anchors": q_links_anchors,
+        "robots_filter": q_robots_filter,
+        "page_meta": q_page_meta,
+        "page_og": q_page_og,
+        "media_resize": q_media_resize,
+        "corpus_curate": q_corpus_curate,
+        "corpus_stratified": q_corpus_stratified,
+        "text_surprisal": q_text_surprisal,
+        "text_pack": q_text_pack,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "events_sessions": q_events_sessions,
+        "kg_tagdim": q_kg_tagdim,
+        "kg_match_list": q_kg_match_list,
+        # ---- 50-entry driver window ends here --------------------------
+        # one driver row, rotate through the window next round:
+        "kg_exec_echo_log": q_kg_exec_echo_log,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_verbatim": q_dedup_verbatim,
+        "corpus_report": q_corpus_report,
+        "text_chunks": q_text_chunks,
+        "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "text_vocab": q_text_vocab,
+        # two or more driver rows:
+        "html_extract_clean": q_html_extract_clean,
+        "html_plain_text": q_html_plain_text,
+        "boilerplate_strip": q_boilerplate_strip,
+        "kg_select_union": q_kg_select_union,
+        "kg_select_modifiers": q_kg_select_modifiers,
+        "kg_select_subquery": q_kg_select_subquery,
+        "kg_select_agg": q_kg_select_agg,
+        "kg_select_graph": q_kg_select_graph,
+        "media_pixels": q_media_pixels,
+        "kg_stream_triples": q_kg_stream_triples,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "media_meta": q_media_meta,
+        "emb_near_dup": q_emb_near_dup,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -3057,8 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": q_tpch_rollup,
         "orders_without_lineitems": q_orders_without_lineitems,
         "events_json_props": q_events_json_props,
-        "events_sessions": q_events_sessions,
-        # -- group 4: driver-verified green in rounds 2 AND 3 ------------
+        # -- long-stable, multiply driver-verified ------------------------
         "kg_mentions": q_kg_mentions,
         "kg_doc_stats": q_kg_doc_stats,
         "kg_best_workflow": q_kg_best_workflow,
@@ -3075,9 +3088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_table_headers": q_kg_table_headers,
         "kg_sideoutputs": q_kg_sideoutputs,
         "kg_withset": q_kg_withset,
-        "kg_tagdim": q_kg_tagdim,
-        "kg_match_list": q_kg_match_list,
-        "kg_exec_echo_log": q_kg_exec_echo_log,
         "entity_link": q_entity_link,
         "url_canonical": q_url_canonical,
         "dedup_exact": q_dedup_exact,
@@ -3086,19 +3096,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_verbatim": q_dedup_verbatim,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "corpus_filter": q_corpus_filter,
-        "corpus_report": q_corpus_report,
-        "text_chunks": q_text_chunks,
-        "corpus_split": q_corpus_split,
-        "corpus_sample": q_corpus_sample,
-        "text_vocab": q_text_vocab,
     }
 
 
