@@ -109,7 +109,6 @@ _AES_SBOX = bytes.fromhex(
     "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
     "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
 )
-_AES_INV_SBOX = bytes(256)
 _AES_INV_SBOX = bytearray(256)
 for _i, _v in enumerate(_AES_SBOX):
     _AES_INV_SBOX[_v] = _i
