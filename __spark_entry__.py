@@ -1006,9 +1006,10 @@ def q_pdf_table_cells(spark, sf_dir):
     packed as PDF 1.5 — /ObjStm container + /Type /XRef stream with PNG
     Up-predicted entries, NO raw obj markers for the dicts — and
     doc_id%3==1 Standard-handler encrypted with empty user password:
-    %6==1 RC4-128 R3, %6==4 /AESV2 R4 (AES-128-CBC stdlib decrypt,
-    round-5 rotation), per-object stream keys), flows
-    through sniff → stdlib text-layer parse → 7-stage geometric
+    %6==1 RC4-128 R3, %6==4 /AESV2 R4 (AES-128-CBC), except %24==10
+    which is /V 5 /R 6 /AESV3 — AES-256 with the Algorithm 2.B
+    hardened hash, file key unwrapped from /UE (round-5 rotation)),
+    flows through sniff → stdlib text-layer parse → 7-stage geometric
     recognizer → XHTML; the oracle string-builds the expected render."""
     import pandas as pd
     from pyspark.sql.types import (
@@ -1047,10 +1048,18 @@ def q_pdf_table_cells(spark, sf_dir):
                     compress=bool(int(i) % 2),
                     objstm=int(i) % 3 == 0,
                     # Standard-handler encryption on the classic-layout
-                    # remainder (empty user password): alternate RC4-128
-                    # and AES-128 /AESV2 by parity of (doc_id-1)/3
+                    # remainder (empty user password): RC4-128,
+                    # AES-128 /AESV2, and an AES-256 /AESV3 R6 slice
+                    # (kept sparse — the hardened hash costs ~1.5 s of
+                    # pure-Python AES per document)
                     encrypt=(
-                        ("aesv2" if int(i) % 6 == 4 else "rc4")
+                        (
+                            "aes256"
+                            if int(i) % 24 == 10
+                            else "aesv2"
+                            if int(i) % 6 == 4
+                            else "rc4"
+                        )
                         if int(i) % 3 == 1
                         else False
                     ),
@@ -1367,6 +1376,24 @@ def q_corpus_safety(spark, sf_dir):
         .join(verdict.select("id", "n_words", "keep", "reasons"), "id")
         .select("id", "text", "n_pii", "n_words", "keep", "reasons")
     )
+
+
+def q_corpus_span_dedup(spark, sf_dir):
+    """C4-style global three-sentence span dedup under the gate
+    (Raffel et al. 2020 §2.2): docs with doc_id%4==1 get an identical
+    three-sentence spam tail appended; the rebuilt corpus must keep
+    the tail ONLY in its lexicographically first occurrence (doc 1)
+    and drop those sentences everywhere else — plus whatever natural
+    duplicate spans the corpus contains, which the oracle replays with
+    the identical split/hash/first-occurrence rule."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.dedup import span_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spam = ". Buy cheap pills now. Call us today. Best offer ever"
+    text2 = F.when(
+        F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(spam))
+    ).otherwise(F.col("text"))
+    return span_dedup(docs.select("doc_id", text2.alias("text")))
 
 
 def q_corpus_shards(spark, sf_dir):
@@ -2987,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 1: new this round (r5) --------------------------------
         "media_frames_mjpeg": q_media_frames_mjpeg,  # real MJPEG-AVI decode
         "media_webp": q_media_webp,                  # VP8L lossless decode
+        "corpus_span_dedup": q_corpus_span_dedup,    # C4 3-sentence dedup
         # -- group 2: never in any CORRECTNESS_r*.json yet ---------------
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
@@ -3038,9 +3066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessions": q_events_sessions,
         "kg_tagdim": q_kg_tagdim,
-        "kg_match_list": q_kg_match_list,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
         "dedup_clusters": q_dedup_clusters,
         "dedup_verbatim": q_dedup_verbatim,
@@ -4180,6 +4208,49 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
 FROM dh a JOIN dh b
   ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        # C4 span dedup: identical split ('. ' literal), identical span
+        # hash (md5 over the joined 3-sentence window), identical
+        # first-occurrence rule ((id, s) lexicographic == rn 1)
+        "corpus_span_dedup": """
+WITH d AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 4 = 1
+              THEN text ||
+                   '. Buy cheap pills now. Call us today. Best offer ever'
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT id, string_split(coalesce(text, ''), '. ') AS sents FROM d
+), spans AS (
+  SELECT id, CAST(s AS INTEGER) AS s,
+         md5(array_to_string(sents[s+1:s+3], '. ')) AS h
+  FROM base, LATERAL unnest(generate_series(0, len(sents) - 3)) t(s)
+), ranked AS (
+  SELECT id, s, row_number() OVER (PARTITION BY h ORDER BY id, s) AS rn
+  FROM spans
+), removed AS (
+  SELECT DISTINCT id, CAST(j AS INTEGER) AS j
+  FROM ranked, LATERAL unnest(generate_series(s, s + 2)) t(j)
+  WHERE rn > 1
+), sent_rows AS (
+  SELECT id, CAST(j - 1 AS INTEGER) AS j, sents[CAST(j AS INTEGER)] AS sent
+  FROM base, LATERAL unnest(generate_series(1, len(sents))) t(j)
+), kept AS (
+  SELECT sr.id, sr.j, sr.sent FROM sent_rows sr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removed r WHERE r.id = sr.id AND r.j = sr.j
+  )
+), rebuilt AS (
+  SELECT id, string_agg(sent, '. ' ORDER BY j) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT b.id,
+       coalesce(r.text, '') AS text,
+       CAST(len(b.sents) AS INTEGER) AS n_sentences,
+       CAST(len(b.sents) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+FROM base b LEFT JOIN rebuilt r USING (id)
 """,
         "media_webp": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, feature,

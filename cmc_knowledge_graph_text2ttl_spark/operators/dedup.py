@@ -601,3 +601,98 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_sentences: int = 3,
+) -> DataFrame:
+    """(id, text, n_sentences, n_removed) — C4-style GLOBAL span
+    deduplication (Raffel et al. 2020 §2.2: "we discarded all but one
+    of any three-sentence span occurring more than once in the data
+    set"). The canonical occurrence of a span is the lexicographically
+    smallest (id, span_start) — a seed-free, partition-independent
+    rule — and every sentence covered by a duplicated span elsewhere
+    is dropped from the rebuilt text.
+
+    Sentence splitting is the deliberately simple cross-engine rule
+    ``split(text, '. ')`` (literal period-space): split + rejoin is an
+    exact identity on untouched documents, and DuckDB's string_split
+    replays it byte-for-byte — a smarter segmenter (abbreviations,
+    decimal points) would diverge between engines and is a tuning
+    knob, not a semantics change.
+
+    Scale shape (100 TB): sentence explode is linear; the span table
+    feeds ONE map-side-combinable min-struct groupBy on the span hash
+    (no buffers — min, not collect); losers join back on the hash and
+    explode to at most ``span_sentences`` removal rows each; rebuild
+    is one per-doc aggregation bounded by document length. Two
+    shuffles end-to-end plus the loser join. No Python anywhere.
+    """
+    if span_sentences < 1:
+        raise ValueError("span_sentences must be >= 1")
+    k = span_sentences
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\. ").alias("sents"),
+    )
+    n = F.size(F.col("sents"))
+    spans = base.select(
+        "id",
+        "sents",
+        F.explode(
+            F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("s"),
+    ).select(
+        "id",
+        "s",
+        F.md5(
+            F.concat_ws(". ", F.slice(F.col("sents"), F.col("s") + 1, k))
+        ).alias("h"),
+    )
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct("id", "s")).alias("keep")
+    )
+    losers = (
+        spans.join(keepers, "h")
+        .filter(
+            ~(
+                (F.col("id") == F.col("keep.id"))
+                & (F.col("s") == F.col("keep.s"))
+            )
+        )
+        .select("id", "s")
+    )
+    removed = losers.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("j")
+    ).distinct()
+    sent_rows = base.select(
+        "id", F.posexplode(F.col("sents")).alias("j", "sent")
+    )
+    kept = sent_rows.join(removed, ["id", "j"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "sent"))),
+                lambda x: x["sent"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    counts = base.select("id", n.alias("n_sentences"))
+    return (
+        counts.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.col("n_sentences").cast("int").alias("n_sentences"),
+            (F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

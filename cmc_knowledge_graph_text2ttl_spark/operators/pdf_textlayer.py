@@ -130,41 +130,97 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _aes_expand_key(key: bytes) -> List[bytes]:
-    """128-bit key → 11 round keys of 16 bytes."""
-    w = [key[i : i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """128- or 256-bit key → 11 resp. 15 round keys of 16 bytes
+    (FIPS-197 key expansion; Nk=8 adds the extra SubWord at i%Nk==4)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    rounds = 10 if nk == 4 else 14
+    w = [key[i : i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (rounds + 1)):
         t = w[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(
-                _AES_SBOX[t[(j + 1) % 4]] ^ (_AES_RCON[i // 4 - 1] if j == 0 else 0)
+                _AES_SBOX[t[(j + 1) % 4]]
+                ^ (_AES_RCON[i // nk - 1] if j == 0 else 0)
                 for j in range(4)
             )
-        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
-    return [b"".join(w[r * 4 : r * 4 + 4]) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[r * 4 : r * 4 + 4]) for r in range(rounds + 1)]
+
+
+# T-tables (SubBytes+ShiftRows+MixColumns fused per input byte): the
+# R6 hardened hash runs ~8700 block encryptions per call, so the naive
+# per-byte round (~350 µs/block) is replaced by four 256-entry word
+# tables (~10 µs/block). Decryption keeps the straightforward rounds —
+# stream payloads are small and decrypt-side cost is negligible.
+_T0 = []
+for _x in range(256):
+    _s = _AES_SBOX[_x]
+    _T0.append(
+        (_gmul(_s, 2) << 24) | (_s << 16) | (_s << 8) | _gmul(_s, 3)
+    )
+_T1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _T0]
+_T2 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _T1]
+_T3 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _T2]
 
 
 def _aes_encrypt_block(rk: List[bytes], block: bytes) -> bytes:
-    s = bytes(a ^ b for a, b in zip(block, rk[0]))
-    for rnd in range(1, 11):
-        s = bytes(_AES_SBOX[b] for b in s)
-        # ShiftRows on column-major state: out[r + 4c] = in[r + 4((c+r)%4)]
-        s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))
-        if rnd < 10:
-            m = bytearray(16)
-            for c in range(4):
-                col = s[4 * c : 4 * c + 4]
-                m[4 * c + 0] = _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
-                m[4 * c + 1] = col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
-                m[4 * c + 2] = col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
-                m[4 * c + 3] = _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
-            s = bytes(m)
-        s = bytes(a ^ b for a, b in zip(s, rk[rnd]))
-    return s
+    last = len(rk) - 1
+    rkw = [struct.unpack(">4I", k) for k in rk]
+    w0, w1, w2, w3 = struct.unpack(">4I", block)
+    k = rkw[0]
+    w0 ^= k[0]
+    w1 ^= k[1]
+    w2 ^= k[2]
+    w3 ^= k[3]
+    T0, T1, T2, T3 = _T0, _T1, _T2, _T3
+    for rnd in range(1, last):
+        k = rkw[rnd]
+        t0 = (
+            T0[w0 >> 24] ^ T1[(w1 >> 16) & 255] ^ T2[(w2 >> 8) & 255]
+            ^ T3[w3 & 255] ^ k[0]
+        )
+        t1 = (
+            T0[w1 >> 24] ^ T1[(w2 >> 16) & 255] ^ T2[(w3 >> 8) & 255]
+            ^ T3[w0 & 255] ^ k[1]
+        )
+        t2 = (
+            T0[w2 >> 24] ^ T1[(w3 >> 16) & 255] ^ T2[(w0 >> 8) & 255]
+            ^ T3[w1 & 255] ^ k[2]
+        )
+        t3 = (
+            T0[w3 >> 24] ^ T1[(w0 >> 16) & 255] ^ T2[(w1 >> 8) & 255]
+            ^ T3[w2 & 255] ^ k[3]
+        )
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    S = _AES_SBOX
+    k = rkw[last]
+    o0 = (
+        (S[w0 >> 24] << 24) | (S[(w1 >> 16) & 255] << 16)
+        | (S[(w2 >> 8) & 255] << 8) | S[w3 & 255]
+    ) ^ k[0]
+    o1 = (
+        (S[w1 >> 24] << 24) | (S[(w2 >> 16) & 255] << 16)
+        | (S[(w3 >> 8) & 255] << 8) | S[w0 & 255]
+    ) ^ k[1]
+    o2 = (
+        (S[w2 >> 24] << 24) | (S[(w3 >> 16) & 255] << 16)
+        | (S[(w0 >> 8) & 255] << 8) | S[w1 & 255]
+    ) ^ k[2]
+    o3 = (
+        (S[w3 >> 24] << 24) | (S[(w0 >> 16) & 255] << 16)
+        | (S[(w1 >> 8) & 255] << 8) | S[w2 & 255]
+    ) ^ k[3]
+    return struct.pack(">4I", o0, o1, o2, o3)
 
 
 def _aes_decrypt_block(rk: List[bytes], block: bytes) -> bytes:
-    s = bytes(a ^ b for a, b in zip(block, rk[10]))
-    for rnd in range(9, -1, -1):
+    last = len(rk) - 1
+    s = bytes(a ^ b for a, b in zip(block, rk[last]))
+    for rnd in range(last - 1, -1, -1):
         # InvShiftRows: out[r + 4c] = in[r + 4((c-r)%4)]
         s = bytes(s[(i - 4 * (i % 4)) % 16] for i in range(16))
         s = bytes(_AES_INV_SBOX[b] for b in s)
@@ -205,6 +261,70 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         prev = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev)))
         out += prev
     return bytes(out)
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """Unpadded CBC in either direction (data must be whole blocks) —
+    used by the AES-256 handler's /UE//OE key unwrapping (iv = zeros,
+    not stored) and the hardened hash's inner encryption."""
+    if len(data) % 16:
+        raise PdfParseError("CBC payload not a whole number of blocks")
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        if encrypt:
+            prev = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(blk, prev)))
+            out += prev
+        else:
+            out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
+            prev = blk
+    return bytes(out)
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 hardened hash: SHA-256 seed,
+    then ≥64 rounds of (pw+K+udata)×64 through AES-128-CBC keyed from
+    K, re-hashed with SHA-256/384/512 chosen by the ciphertext's first
+    16 bytes mod 3, until round ≥ 64 and the last byte ≤ round-32.
+    (R5 uses a single SHA-256 — callers pick.)"""
+    K = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + K + udata) * 64
+        e = _aes_cbc_raw(K[:16], K[16:32], k1, encrypt=True)
+        mod = sum(e[:16]) % 3
+        K = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return K[:32]
+
+
+def _aes256_file_key(
+    u: bytes, ue: bytes, rev: int, password: bytes = b""
+) -> bytes:
+    """AES-256 Standard handler (R5 deprecated / R6), USER password
+    path: validate against /U (32-byte hash + 8 validation salt +
+    8 key salt), then unwrap the file key from /UE. A hash mismatch is
+    the loud password error — never silent garbage."""
+    if len(u) < 48 or len(ue) < 32:
+        raise PdfParseError("AES-256 /U or /UE too short")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if rev == 6:
+        h = _hash_2b(password, vsalt)
+    else:
+        h = hashlib.sha256(password + vsalt).digest()
+    if h != u[:32]:
+        raise PdfParseError(
+            "password-protected PDF (empty user password rejected)"
+        )
+    inter = (
+        _hash_2b(password, ksalt)
+        if rev == 6
+        else hashlib.sha256(password + ksalt).digest()
+    )
+    return _aes_cbc_raw(inter, b"\x00" * 16, ue[:32], encrypt=False)
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -549,7 +669,8 @@ class _PdfDoc:
             raise PdfParseError("no indirect objects found")
         self._parsed: Dict[int, object] = {}
         self._enc_key: Optional[bytes] = None
-        self._enc_aes = False  # True when the crypt filter is /AESV2
+        self._enc_aes = False  # True for AES crypt filters (V2 or V3)
+        self._enc_aes_direct = False  # AES-256: file key used directly
         self._setup_encryption(data)
         try:
             containers, compressed = self._walk_xref_streams(data)
@@ -573,8 +694,9 @@ class _PdfDoc:
         verified against /U; a mismatch means a real password, which is
         a loud per-row error (like PyMuPDF's needs_pass in the
         reference's stack). R4 /AESV2 (AES-128-CBC, the post-Acrobat-7
-        default) is handled with the stdlib AES above; R5/R6 (AES-256,
-        /V 5) raises."""
+        default) and /V 5 /AESV3 (AES-256, R5 deprecated and R6 with
+        the Algorithm 2.B hardened hash) are both handled with the
+        stdlib AES above."""
         enc = None
         fid = b""
         for m in re.finditer(rb"trailer", data):
@@ -629,8 +751,19 @@ class _PdfDoc:
                 self._enc_aes = True
             elif cfm != ("name", "V2"):
                 raise PdfParseError(
-                    f"unsupported crypt filter {cfm!r} (AES-256 or custom)"
+                    f"unsupported crypt filter {cfm!r} (custom handler)"
                 )
+        elif v == 5:
+            if rev not in (5, 6):
+                raise PdfParseError(f"unsupported AES-256 revision {rev}")
+            u5 = ed.get("U")
+            ue5 = ed.get("UE")
+            if not isinstance(u5, bytes) or not isinstance(ue5, bytes):
+                raise PdfParseError("AES-256 /Encrypt missing /U or /UE")
+            self._enc_key = _aes256_file_key(u5, ue5, rev)
+            self._enc_aes = True
+            self._enc_aes_direct = True
+            return
         elif v not in (1, 2):
             raise PdfParseError(f"unsupported /Encrypt /V {v}")
         o = ed.get("O")
@@ -656,6 +789,9 @@ class _PdfDoc:
         self._enc_key = key
 
     def _object_key(self, num: int, gen: int = 0) -> bytes:
+        if self._enc_aes_direct:
+            # AES-256 (V5): the file key encrypts every stream directly
+            return self._enc_key
         h = hashlib.md5(
             self._enc_key
             + struct.pack("<I", num)[:3]
@@ -1139,8 +1275,10 @@ def make_table_pdf(
     """
     if encrypt and objstm:
         raise ValueError("encrypt fixture supports the classic layout only")
-    if encrypt not in (False, True, "rc4", "aesv2"):
-        raise ValueError(f"encrypt must be bool, 'rc4' or 'aesv2', got {encrypt!r}")
+    if encrypt not in (False, True, "rc4", "aesv2", "aes256"):
+        raise ValueError(
+            f"encrypt must be bool, 'rc4', 'aesv2' or 'aes256', got {encrypt!r}"
+        )
     n_rows = len(cell_texts)
     n_cols = len(cell_texts[0]) if n_rows else 0
     if n_rows < 3 or n_cols < 3:
@@ -1201,7 +1339,57 @@ def make_table_pdf(
         return _assemble_pdf15(objs)
 
     trailer_extra = ""
-    if encrypt:
+    if encrypt == "aes256":
+        # /V 5 /R 6 (ISO 32000-2): 48-byte /U = hash + vsalt + ksalt,
+        # file key unwrapped from /UE; streams AES-256-CBC under the
+        # file key directly (no per-object derivation). All salts and
+        # the key are content-derived so the fixture is deterministic.
+        fid = hashlib.md5(b"kg-fixture-id:" + content).digest()
+        file_key = hashlib.sha256(b"kg-aes256-key:" + content).digest()
+        vsalt = hashlib.md5(b"kg-vsalt:" + content).digest()[:8]
+        ksalt = hashlib.md5(b"kg-ksalt:" + content).digest()[:8]
+        u_val = _hash_2b(b"", vsalt) + vsalt + ksalt
+        ue_val = _aes_cbc_raw(
+            _hash_2b(b"", ksalt), b"\x00" * 16, file_key, encrypt=True
+        )
+        ovs = hashlib.md5(b"kg-ovsalt:" + content).digest()[:8]
+        oks = hashlib.md5(b"kg-oksalt:" + content).digest()[:8]
+        o_val = _hash_2b(b"owner", ovs, u_val) + ovs + oks
+        oe_val = _aes_cbc_raw(
+            _hash_2b(b"owner", oks, u_val), b"\x00" * 16, file_key,
+            encrypt=True,
+        )
+        p = -3904
+        perms_blob = (
+            struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb"
+            + hashlib.md5(content).digest()[:4]
+        )
+        perms = _aes_encrypt_block(_aes_expand_key(file_key), perms_blob)
+        iv = hashlib.md5(b"kg-aes-iv:" + content).digest()[:16]
+        enc_stream = _aes_cbc_encrypt(file_key, iv, stream)
+        objs[3] = (
+            f"<< /Length {len(enc_stream)}{filt} >>\nstream\n".encode()
+            + enc_stream
+            + b"\nendstream"
+        )
+
+        def hx5(b: bytes) -> str:
+            return "<" + b.hex() + ">"
+
+        objs.append(
+            (
+                "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                "/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/P {p} /O {hx5(o_val)} /OE {hx5(oe_val)} "
+                f"/U {hx5(u_val)} /UE {hx5(ue_val)} "
+                f"/Perms {hx5(perms)} >>"
+            ).encode()
+        )
+        trailer_extra = (
+            f" /Encrypt {len(objs)} 0 R /ID [{hx5(fid)} {hx5(fid)}]"
+        )
+    elif encrypt:
         aes = encrypt == "aesv2"
         rev, n = (4, 16) if aes else (3, 16)
         fid = hashlib.md5(b"kg-fixture-id:" + content).digest()

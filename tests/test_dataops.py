@@ -177,6 +177,70 @@ class TestVerbatimOverlap:
         assert len(got) == 1 and got[0].n_shared == 2
 
 
+class TestSpanDedup:
+    """C4-style global three-sentence span dedup (operators/dedup.py)."""
+
+    def _run(self, spark, rows, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.dedup import span_dedup
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r.id: r for r in span_dedup(df, **kw).collect()}
+
+    def test_identity_when_no_duplicate_spans(self, spark):
+        rows = [(1, "Alpha one. Beta two. Gamma three. Delta four"),
+                (2, "Epsilon five. Zeta six. Eta seven")]
+        got = self._run(spark, rows)
+        for i, t in rows:
+            assert got[i].text == t and got[i].n_removed == 0
+
+    def test_duplicate_tail_kept_only_in_first_doc(self, spark):
+        spam = "Buy pills. Call now. Best offer"
+        rows = [(1, "Doc one intro. " + spam),
+                (2, "Doc two other intro here. " + spam),
+                (3, "Unrelated text. With sentences. Here")]
+        got = self._run(spark, rows)
+        assert got[1].text == rows[0][1] and got[1].n_removed == 0
+        assert got[2].text == "Doc two other intro here" and got[2].n_removed == 3
+        assert got[3].text == rows[2][1]
+
+    def test_short_docs_pass_through(self, spark):
+        rows = [(1, "Only two. Sentences here"), (2, "One"), (3, "")]
+        got = self._run(spark, rows)
+        for i, t in rows:
+            assert got[i].text == t and got[i].n_removed == 0
+
+    def test_intra_doc_repeat_removed_once(self, spark):
+        span = "A b. C d. E f"
+        rows = [(1, span + ". Middle filler. " + span)]
+        got = self._run(spark, rows)
+        # the second occurrence's three sentences drop
+        assert got[1].text == span + ". Middle filler"
+        assert got[1].n_removed == 3
+
+    def test_partition_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.dedup import span_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted((r.id, r.text, r.n_removed)
+                   for r in span_dedup(docs).collect())
+        b = sorted((r.id, r.text, r.n_removed)
+                   for r in span_dedup(docs.repartition(13)).collect())
+        assert a == b
+
+    def test_span_sentences_one_is_sentence_dedup(self, spark):
+        rows = [(1, "Same line. Other"), (2, "Same line. Different")]
+        got = self._run(spark, rows, span_sentences=1)
+        assert got[1].text == "Same line. Other"
+        assert got[2].text == "Different" and got[2].n_removed == 1
+
+    def test_bad_span_count_raises(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.dedup import span_dedup
+
+        with pytest.raises(ValueError, match="span_sentences"):
+            span_dedup(spark.createDataFrame([(1, "x")], ["doc_id", "text"]),
+                       span_sentences=0)
+
+
 class TestNearDupClusters:
     # four near-identical docs in two chains + one unique doc; ids chosen
     # so string-min != numeric-min is exercised (string "10" < "9")

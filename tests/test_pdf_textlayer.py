@@ -409,6 +409,57 @@ class TestEncryption:
         with pytest.raises(ValueError, match="AES"):
             pdf_bytes_to_xhtml(blob)
 
+    def test_aes256_r6_renders_same_as_plain(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
+            pdf_bytes_to_xhtml,
+        )
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        plain = pdf_bytes_to_xhtml(make_table_pdf(self.CELLS, title="T"))
+        enc = make_table_pdf(self.CELLS, title="T", encrypt="aes256")
+        assert b"/AESV3" in enc and b"/R 6" in enc and b"/UE" in enc
+        assert pdf_bytes_to_xhtml(enc) == plain
+
+    def test_aes256_wrong_password_is_loud(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_tables import (
+            pdf_bytes_to_xhtml,
+        )
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            make_table_pdf,
+        )
+
+        blob = bytearray(make_table_pdf(self.CELLS, encrypt="aes256"))
+        i = bytes(blob).find(b"/U <")
+        blob[i + 5] = ord("0") if blob[i + 5] != ord("0") else ord("1")
+        with pytest.raises(ValueError, match="password"):
+            pdf_bytes_to_xhtml(bytes(blob))
+
+    def test_aes256_fips197_c3_vector_and_hash2b_shape(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
+            _aes_decrypt_block,
+            _aes_encrypt_block,
+            _aes_expand_key,
+            _hash_2b,
+        )
+
+        key = bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f"
+            "101112131415161718191a1b1c1d1e1f"
+        )
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        rk = _aes_expand_key(key)
+        assert len(rk) == 15
+        ct = _aes_encrypt_block(rk, pt)
+        assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"  # FIPS-197 C.3
+        assert _aes_decrypt_block(rk, ct) == pt
+        # Algorithm 2.B: 32 bytes, deterministic, salt-sensitive
+        a = _hash_2b(b"", b"saltsalt")
+        assert len(a) == 32
+        assert a == _hash_2b(b"", b"saltsalt")
+        assert a != _hash_2b(b"", b"other..!")
+
     def test_aes_fips197_vector(self):
         from cmc_knowledge_graph_text2ttl_spark.operators.pdf_textlayer import (
             _aes_cbc_decrypt,
