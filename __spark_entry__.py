@@ -1607,6 +1607,33 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select("id", _fl(F.col("cosine")).alias("cosine_scaled"))
 
 
+def q_entity_link_embedding(spark, sf_dir):
+    """EMBEDDING-tier entity linking under the gate (the north-star's
+    'dictionary + embedding entity linking' second half): a 50-entry
+    synthetic dictionary (doc_id%10==0, name = the doc's first five
+    words) and every document links to its most cosine-similar entity
+    over the all-integer feature-hash embeddings. Bit-exact: integer
+    dots are exact in doubles regardless of accumulation order, and
+    the oracle spells out the identical dot/(sqrt·sqrt) expression
+    instead of list_cosine_similarity so both engines round the same
+    IEEE ops."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.linking import (
+        embedding_link,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ents = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("entity_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ").alias(
+            "name"
+        ),
+    )
+    out = embedding_link(docs, ents, dim=32)
+    return out.select(
+        "id", "entity_id", _fl(F.col("cosine")).alias("cosine_scaled")
+    )
+
+
 def _messy_html(spark, sf_dir):
     """Real-crawl-shaped HTML built from each document's text: uppercase
     tags, attributes, a DOCTYPE, a comment, script/style DECOYS containing
@@ -3015,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_mjpeg": q_media_frames_mjpeg,  # real MJPEG-AVI decode
         "media_webp": q_media_webp,                  # VP8L lossless decode
         "corpus_span_dedup": q_corpus_span_dedup,    # C4 3-sentence dedup
+        "entity_link_embedding": q_entity_link_embedding,  # embedding tier
         # -- group 2: never in any CORRECTNESS_r*.json yet ---------------
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
@@ -3065,9 +3093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessions": q_events_sessions,
-        "kg_tagdim": q_kg_tagdim,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
         "dedup_clusters": q_dedup_clusters,
@@ -4208,6 +4236,78 @@ SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
 FROM dh a JOIN dh b
   ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 AND a.b3 = b.b3
 WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""",
+        # embedding entity linking: both sides embedded with the
+        # emb_hashed formula; cosine spelled out as
+        # dot / (sqrt(dot_aa) * sqrt(dot_bb)) — integer dots are exact
+        # in doubles, so the IEEE rounding matches Spark bit-for-bit
+        "entity_link_embedding": r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ents AS (
+  SELECT doc_id AS entity_id, array_to_string(ws[1:5], ' ') AS name
+  FROM w WHERE doc_id % 10 = 0
+), dtok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+), dsp AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS INTEGER)
+           AS bucket,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5('s' || token), 1, 8))::BIGINT
+                            % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM dtok GROUP BY id, bucket
+), dids AS (
+  SELECT DISTINCT id FROM dsp
+), dgrid AS (
+  SELECT id, j FROM dids, LATERAL unnest(generate_series(0, 31)) AS t(j)
+), demb AS (
+  SELECT g.id, list(COALESCE(dsp.val, 0) ORDER BY g.j) AS emb
+  FROM dgrid g LEFT JOIN dsp ON dsp.id = g.id AND dsp.bucket = g.j
+  GROUP BY g.id
+), etok AS (
+  SELECT entity_id,
+         unnest(regexp_split_to_array(trim(name), '\s+')) AS token
+  FROM ents WHERE length(trim(name)) > 0
+), esp AS (
+  SELECT entity_id,
+         CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS INTEGER)
+           AS bucket,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5('s' || token), 1, 8))::BIGINT
+                            % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM etok GROUP BY entity_id, bucket
+), eids AS (
+  SELECT DISTINCT entity_id FROM esp
+), egrid AS (
+  SELECT entity_id, j
+  FROM eids, LATERAL unnest(generate_series(0, 31)) AS t(j)
+), eemb AS (
+  SELECT g.entity_id, list(COALESCE(esp.val, 0) ORDER BY g.j) AS emb
+  FROM egrid g
+  LEFT JOIN esp ON esp.entity_id = g.entity_id AND esp.bucket = g.j
+  GROUP BY g.entity_id
+), scored AS (
+  SELECT d.id, e.entity_id,
+         list_dot_product(d.emb::DOUBLE[], e.emb::DOUBLE[])
+           / (sqrt(list_dot_product(d.emb::DOUBLE[], d.emb::DOUBLE[]))
+              * sqrt(list_dot_product(e.emb::DOUBLE[], e.emb::DOUBLE[])))
+           AS cosine
+  FROM demb d, eemb e
+  WHERE list_dot_product(d.emb::DOUBLE[], d.emb::DOUBLE[]) > 0
+    AND list_dot_product(e.emb::DOUBLE[], e.emb::DOUBLE[]) > 0
+), ranked AS (
+  SELECT id, entity_id, cosine,
+         row_number() OVER (
+           PARTITION BY id ORDER BY cosine DESC, entity_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT id, entity_id,
+       CAST(floor(10000 * cosine) AS BIGINT) AS cosine_scaled
+FROM ranked WHERE rn = 1
 """,
         # C4 span dedup: identical split ('. ' literal), identical span
         # hash (md5 over the joined 3-sentence window), identical

@@ -135,3 +135,89 @@ def load_sameas_csv(spark: SparkSession, path: str) -> DataFrame:
         .csv(path)
         .select(F.col("src_iri").alias("src"), F.col("dst_iri").alias("dst"))
     )
+
+
+def embedding_link(
+    docs: DataFrame,
+    entities: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    entity_text_col: str = "name",
+    entity_id_col: str = "entity_id",
+    threshold: Optional[float] = None,
+) -> DataFrame:
+    """(id, entity_id, cosine) — EMBEDDING-tier entity linking: each
+    document links to the entity whose feature-hash embedding
+    (traindata.embed_documents — md5 buckets, ±tf signs, all-integer)
+    is most cosine-similar to the document's. The complement of the
+    dictionary tier (link_exact / link_patterns): surface-form misses
+    still land on the right entity when the surrounding vocabulary
+    overlaps.
+
+    Entity ids must be numeric: the top-1 per document is a map-side
+    MAX over struct(cosine, -entity_id) — the same no-window trick as
+    similarity.assign_cells, so the shuffle carries one row per doc,
+    never the doc×entity cross product (a window partitioned by doc
+    would shuffle all of it). The entity table is a broadcast
+    dictionary by assumption (10^4-10^6 rows); for entity sets beyond
+    broadcast range, route through similarity.ivf_topk instead.
+
+    Determinism: integer-valued embedding dots are EXACT in doubles
+    (every partial sum is an integer < 2^53, so accumulation order
+    cannot matter); ties in the final float cosine break to the
+    smallest entity_id. Zero-norm embeddings (sign-cancelled docs or
+    entities) are excluded — cosine is undefined there.
+    """
+    from .traindata import embed_documents
+
+    de = embed_documents(docs, text_col, id_col, dim)
+    ee = embed_documents(entities, entity_text_col, entity_id_col, dim).select(
+        F.col("id").alias("entity_id"), F.col("embedding").alias("e_emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+
+    cand = (
+        de.filter(norm(F.col("embedding")) > 0)
+        .crossJoin(
+            F.broadcast(ee.filter(norm(F.col("e_emb")) > 0))
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("embedding"), F.col("e_emb"))
+            / (norm(F.col("embedding")) * norm(F.col("e_emb"))),
+        )
+    )
+    best = (
+        cand.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine"),
+                    (-F.col("entity_id")).alias("neg_entity"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "id",
+            (-F.col("best.neg_entity")).alias("entity_id"),
+            F.col("best.cosine").alias("cosine"),
+        )
+    )
+    if threshold is not None:
+        best = best.filter(F.col("cosine") >= threshold)
+    return best

@@ -226,3 +226,64 @@ class TestEndpointExporter:
                                    "obj_lexical string, obj_lang string, obj_datatype string")
         with pytest.raises(ValueError):
             export_to_endpoint(df, "http://x", username="$NO_SUCH_ENV_VAR")
+
+
+class TestEmbeddingLinking:
+    """Embedding-tier entity linking (operators/linking.embedding_link)."""
+
+    def test_links_to_vocabulary_overlap(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators import linking as L
+
+        docs = spark.createDataFrame(
+            [(1, "solar panel energy grid inverter battery storage"),
+             (2, "football match referee goal penalty stadium crowd"),
+             (3, "panel inverter battery solar energy")],
+            ["doc_id", "text"])
+        ents = spark.createDataFrame(
+            [(10, "solar panel inverter energy"),
+             (20, "football referee stadium goal")],
+            ["entity_id", "name"])
+        got = {r.id: (r.entity_id, r.cosine)
+               for r in L.embedding_link(docs, ents, dim=32).collect()}
+        assert got[1][0] == 10 and got[3][0] == 10
+        assert got[2][0] == 20
+        assert all(c > 0.3 for _, c in got.values())
+
+    def test_tie_breaks_to_smallest_entity_id(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators import linking as L
+
+        docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+        # identical entity names -> identical embeddings -> exact tie
+        ents = spark.createDataFrame(
+            [(7, "alpha beta"), (3, "alpha beta")], ["entity_id", "name"])
+        got = L.embedding_link(docs, ents).collect()
+        assert len(got) == 1 and got[0].entity_id == 3
+
+    def test_threshold_filters(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators import linking as L
+
+        docs = spark.createDataFrame(
+            [(1, "completely unrelated words here today")],
+            ["doc_id", "text"])
+        ents = spark.createDataFrame(
+            [(10, "quantum flux capacitor dynamics")], ["entity_id", "name"])
+        all_rows = L.embedding_link(docs, ents).collect()
+        assert len(all_rows) == 1  # top-1 always emitted without threshold
+        kept = L.embedding_link(docs, ents, threshold=0.99).collect()
+        assert kept == []
+
+    def test_broadcast_and_single_row_per_doc_shuffle(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators import linking as L
+
+        docs = spark.createDataFrame(
+            [(i, f"word{i} word{i+1} word{i+2}") for i in range(20)],
+            ["doc_id", "text"])
+        ents = spark.createDataFrame(
+            [(i, f"word{i} thing") for i in range(5)],
+            ["entity_id", "name"])
+        df = L.embedding_link(docs, ents)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # top-1 is an aggregate (map-side combinable), not a window
+        assert "Window" not in plan
+        assert df.count() == 20
