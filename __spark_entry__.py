@@ -1968,6 +1968,29 @@ def q_links_pagerank(spark, sf_dir):
     )
 
 
+def q_links_hits(spark, sf_dir):
+    """Integer-scaled HITS under the gate: same formula-derived edge
+    set as links_pagerank, five hub/authority half-step pairs with
+    integer max-normalization (div by max(1, max div scale)) — the
+    oracle unrolls all ten half-steps as chained aggregations with a
+    scalar-subquery max per step, compared bit-exactly."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("k"),
+    ).select(
+        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
+    )
+    return LK.hits(edges, iterations=5).select(
+        F.col("node").cast("bigint").alias("node"), "hub", "authority"
+    )
+
+
 def q_links_anchors(spark, sf_dir):
     """Anchor-text aggregation under the gate: top-2 anchors per link
     target with link/source counts, deterministic (count desc, anchor)
@@ -3043,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_webp": q_media_webp,                  # VP8L lossless decode
         "corpus_span_dedup": q_corpus_span_dedup,    # C4 3-sentence dedup
         "entity_link_embedding": q_entity_link_embedding,  # embedding tier
+        "links_hits": q_links_hits,                  # hubs/authorities
         # -- group 2: never in any CORRECTNESS_r*.json yet ---------------
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
@@ -3092,9 +3116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": q_text_surprisal,
         "text_pack": q_text_pack,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "events_sessions": q_events_sessions,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "events_sessions": q_events_sessions,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
@@ -3416,6 +3440,44 @@ WITH e AS MATERIALIZED (
     GROUP BY e.dst
   ) s ON s.node = n.node)""")
     parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _hits_sql(iters: int = 5, scale: int = 1_000_000) -> str:
+    """Unrolled integer HITS: one chained CTE pair per half-step (same
+    materialized-CTE discipline as _pagerank_sql); the per-step max is
+    a scalar subquery so each normalization sees its own raw sums."""
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents,
+       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) AS t(k)
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), h0 AS (SELECT node, CAST({scale} AS BIGINT) AS s FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", a{i}raw AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.s) AS raw
+  FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+), a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.raw // greatest(
+           1, (SELECT MAX(raw) FROM a{i}raw) // {scale}), 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN a{i}raw r ON r.node = n.node
+), h{i}raw AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.s) AS raw
+  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+), h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.raw // greatest(
+           1, (SELECT MAX(raw) FROM h{i}raw) // {scale}), 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN h{i}raw r ON r.node = n.node)""")
+    parts.append(
+        f"""
+SELECT h.node, h.s AS hub, a.s AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
+    )
     return "".join(parts)
 
 
@@ -4518,6 +4580,7 @@ SELECT src, 'http://abs.example/p' || CAST(doc_id % 11 AS VARCHAR),
        trim(substr(text, 25, 6)) FROM base
 """,
         "links_pagerank": _pagerank_sql(iters=5),
+        "links_hits": _hits_sql(iters=5),
         "feed_parse": """
 SELECT 'http://f/feed' || CAST(doc_id AS VARCHAR) AS src,
        'rss' AS kind, trim(substr(text, 1, 8)) AS title,

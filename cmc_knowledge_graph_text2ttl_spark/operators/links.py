@@ -198,3 +198,82 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-scaled HITS (Kleinberg 1999) → (node, hub, authority) —
+    the second link-analysis operator beside :func:`pagerank`, for
+    crawl prioritization where hub quality matters (directories, link
+    farms) separately from authority.
+
+    hub₀ = ``scale`` for every node; each iteration runs the two
+    standard half-steps with MAX-normalization in pure integer
+    arithmetic (an L2 norm would need cross-engine sqrt rounding):
+
+        auth(v) = Σ_{u→v} hub(u);  auth ← auth div max(1, max(auth) div scale)
+        hub(u)  = Σ_{u→v} auth(v); hub  ← hub  div max(1, max(hub)  div scale)
+
+    The divide-by-(max div scale) form — rather than multiply-then-
+    divide — keeps every intermediate ≤ max_degree·scale, so int64
+    never overflows for degrees up to ~9·10¹². Nodes without in-links
+    have authority 0, without out-links hub 0; bit-exact across
+    engines and partitionings.
+
+    Scale shape: per half-step ONE node-keyed join + ONE map-side-
+    combinable sum + one scalar max (broadcast crossJoin) + the left
+    join back onto the checkpointed node set; ``localCheckpoint`` per
+    iteration truncates lineage exactly like pagerank and the CC loop.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e.localCheckpoint(eager=True)
+
+    def half_step(scores: DataFrame, key: str, other: str) -> DataFrame:
+        """Sum `scores` over edges keyed on `key`, grouped by `other`,
+        then max-normalize; returns (node, s) covering ALL nodes."""
+        raw = (
+            e.join(scores, e[key] == scores.node)
+            .select(F.col(other).alias("node"), F.col("s"))
+            .groupBy("node")
+            .agg(F.sum("s").alias("raw"))
+        )
+        denom = raw.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(f"max(raw) div {scale}"),
+            ).alias("d")
+        )
+        return (
+            nodes.join(
+                raw.crossJoin(F.broadcast(denom)).select(
+                    "node", F.expr("raw div d").alias("s")
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("s", F.lit(0)).cast("bigint").alias("s"))
+        )
+
+    hubs = nodes.withColumn("s", F.lit(scale).cast("bigint"))
+    auth = None
+    for _ in range(iterations):
+        auth = half_step(hubs, "src", "dst").localCheckpoint(eager=True)
+        hubs = half_step(auth, "dst", "src").localCheckpoint(eager=True)
+    return (
+        hubs.withColumnRenamed("s", "hub")
+        .join(auth.withColumnRenamed("s", "authority"), "node")
+        .select("node", "hub", "authority")
+    )

@@ -183,3 +183,69 @@ class TestRelativeResolution:
         assert self._dsts(spark, html, resolve_relative=False) == [
             "http://abs.example/p"
         ]
+
+
+class TestHits:
+    """Integer-scaled HITS (operators/links.hits)."""
+
+    def _model(self, edges, iters=5, scale=1_000_000):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        h = {n: scale for n in nodes}
+        a = {n: 0 for n in nodes}
+        for _ in range(iters):
+            raw = {n: 0 for n in nodes}
+            for u, v in edges:
+                raw[v] += h[u]
+            d = max(1, max(raw.values()) // scale) if raw else 1
+            a = {n: raw[n] // d for n in nodes}
+            raw = {n: 0 for n in nodes}
+            for u, v in edges:
+                raw[u] += a[v]
+            d = max(1, max(raw.values()) // scale) if raw else 1
+            h = {n: raw[n] // d for n in nodes}
+        return h, a
+
+    def test_matches_python_model(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import hits
+
+        edges = [(0, 1), (0, 2), (0, 3), (4, 1), (4, 2), (1, 3), (2, 3)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: (r.hub, r.authority) for r in hits(df).collect()}
+        h, a = self._model(edges)
+        assert got == {n: (h[n], a[n]) for n in h}
+
+    def test_hub_and_authority_separate(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import hits
+
+        # 0 is a pure directory (links to everything), 9 a pure
+        # authority (linked by everything else)
+        edges = [(0, v) for v in range(1, 10)] + [
+            (u, 9) for u in range(1, 9)
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r for r in hits(df).collect()}
+        best_hub = max(got.values(), key=lambda r: (r.hub, -r.node)).node
+        best_auth = max(
+            got.values(), key=lambda r: (r.authority, -r.node)
+        ).node
+        assert best_hub == 0 and best_auth == 9
+        assert got[9].hub == 0          # 9 has no out-links
+        assert got[0].authority == 0    # 0 has no in-links
+
+    def test_partition_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import hits
+
+        edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + [
+            (i, (i * 7 + 2) % 40) for i in range(0, 40, 2)
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        one = sorted(map(tuple, hits(df).collect()))
+        many = sorted(map(tuple, hits(df.repartition(11)).collect()))
+        assert one == many
+
+    def test_bad_iterations(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import hits
+
+        with pytest.raises(ValueError, match="iterations"):
+            hits(spark.createDataFrame([(1, 2)], ["src", "dst"]),
+                 iterations=0)
