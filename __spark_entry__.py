@@ -1524,6 +1524,19 @@ def q_corpus_curate(spark, sf_dir):
     )
 
 
+def q_text_subword(spark, sf_dir):
+    """Ranked-merge subword (BPE-apply) token counts under the gate:
+    lowercase-alnum normalize → one symbol per char ('_' separators) →
+    the 20-entry DEFAULT_BPE_MERGES table applied in rank order as
+    literal left-to-right replaces; the oracle chains the identical
+    20 replace() calls, so every count is integer-exact."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+        subword_token_counts,
+    )
+
+    return subword_token_counts(_docs(spark, sf_dir))
+
+
 def q_text_surprisal(spark, sf_dir):
     """Unigram-LM surprisal quality score under the gate — the cheap
     perplexity proxy, all-integer ((T*1e6) div tf, floored mean) so both
@@ -3067,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_dedup": q_corpus_span_dedup,    # C4 3-sentence dedup
         "entity_link_embedding": q_entity_link_embedding,  # embedding tier
         "links_hits": q_links_hits,                  # hubs/authorities
+        "text_subword": q_text_subword,              # BPE-apply counts
         # -- group 2: never in any CORRECTNESS_r*.json yet ---------------
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
@@ -3115,9 +3129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
         "text_pack": q_text_pack,
-        "ann_ivf_topk": q_ann_ivf_topk,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessions": q_events_sessions,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
@@ -3479,6 +3493,45 @@ SELECT h.node, h.s AS hub, a.s AS authority
 FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
     )
     return "".join(parts)
+
+
+def _subword_sql() -> str:
+    """Ranked-merge subword token counts: the 20 literal replaces are
+    chained programmatically so the oracle can never drift from the
+    operator's DEFAULT_BPE_MERGES table."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+        DEFAULT_BPE_MERGES,
+    )
+
+    expr = "spaced"
+    for a, b in DEFAULT_BPE_MERGES:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         translate(trim(regexp_replace(regexp_replace(
+           lower(coalesce(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')), ' ', '_') AS marked
+  FROM documents
+), sp AS (
+  SELECT id, marked,
+         trim(regexp_replace(marked, '(.)', '\\1 ', 'g')) AS spaced
+  FROM norm
+), merged AS (
+  SELECT id, marked, {expr} AS m FROM sp
+), c AS (
+  SELECT id,
+         length(marked) - length(replace(marked, '_', '')) AS n_sep,
+         CASE WHEN length(marked) = 0 THEN 0
+              ELSE len(string_split(m, ' ')) END AS n_symbols,
+         length(marked) AS n_all
+  FROM merged
+)
+SELECT id,
+       CAST(n_symbols - n_sep AS BIGINT) AS n_subword_tokens,
+       CAST((n_all - n_sep) - (n_symbols - n_sep) AS BIGINT) AS n_merged
+FROM c
+"""
 
 
 def _minhash_sql(n_hashes: int, shingle_n: int = 5) -> str:
@@ -4581,6 +4634,7 @@ SELECT src, 'http://abs.example/p' || CAST(doc_id % 11 AS VARCHAR),
 """,
         "links_pagerank": _pagerank_sql(iters=5),
         "links_hits": _hits_sql(iters=5),
+        "text_subword": _subword_sql(),
         "feed_parse": """
 SELECT 'http://f/feed' || CAST(doc_id AS VARCHAR) AS src,
        'rss' AS kind, trim(substr(text, 1, 8)) AS title,

@@ -208,3 +208,64 @@ def fingerprint(
         F.col(id_col).alias("id"),
         F.array_min(shingle_hashes).alias("fingerprint"),
     )
+
+
+# Ranked merge table for the subword tokenizer below: common English
+# bigram merges in priority order. Pairs are alphanumeric-only BY
+# CONTRACT — the word-separator symbol '_' can then never participate
+# in a merge, which is what confines merging to within words.
+DEFAULT_BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("an", "d"), ("o", "n"), ("r", "e"), ("e", "n"), ("a", "t"),
+    ("o", "u"), ("e", "s"), ("o", "r"), ("s", "t"), ("i", "s"),
+    ("i", "t"), ("a", "l"), ("in", "g"), ("t", "o"), ("o", "f"),
+)
+
+
+def subword_token_counts(
+    df: DataFrame,
+    merges=DEFAULT_BPE_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_subword_tokens, n_merged) — token counts under a REAL
+    ranked-merge subword tokenizer (BPE apply): text normalizes to
+    lowercase alphanumerics, every character becomes one symbol, and
+    the merge table applies in rank order, each merge replacing all
+    its current occurrences left-to-right (single pass per rank — the
+    classical BPE apply; unlike GPT-2's re-scanning loop a later merge
+    cannot re-trigger an earlier rank, a deliberate and documented
+    simplification that keeps the operator a pure column expression).
+
+    Why: whitespace and regex token counts (token_counts) mis-size
+    sequence packing for subword-tokenized training runs; this gives
+    the real post-merge count without any Python in the hot path.
+
+    Mechanics: spaces become '_' separator symbols, characters are
+    space-joined, each merge is ONE literal replace (left-to-right
+    non-overlapping — exactly BPE's single-pass pairing), and counts
+    are integer length arithmetic. Zero shuffles, whole-stage codegen,
+    bit-reproducible on any engine with the same replace semantics.
+    """
+    for a, b in merges:
+        joined = a + b
+        if not joined.isalnum():
+            raise ValueError(f"merge pair {(a, b)!r} must be alphanumeric")
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    marked = F.translate(t, " ", "_")
+    spaced = F.trim(F.regexp_replace(marked, "(.)", "$1 "))
+    for a, b in merges:
+        spaced = F.replace(spaced, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    n_sep = F.length(marked) - F.length(F.translate(marked, "_", ""))
+    n_symbols = F.when(
+        F.length(marked) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(spaced, " ")))
+    n_chars = F.length(marked) - n_sep  # initial non-separator symbols
+    n_tokens = n_symbols - n_sep
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.cast("bigint").alias("n_subword_tokens"),
+        (n_chars - n_tokens).cast("bigint").alias("n_merged"),
+    )

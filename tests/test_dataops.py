@@ -1883,3 +1883,64 @@ class TestAudioProvenance:
         assert mm.ogg_info(b"nope") == {}
         for cut in range(0, len(v), 3):
             assert isinstance(mm.ogg_info(v[:cut]), dict)
+
+
+class TestSubwordTokens:
+    """Ranked-merge BPE-apply token counts (operators/textstats.py)."""
+
+    def _counts(self, spark, texts, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+            subword_token_counts,
+        )
+
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        return {r.id: (r.n_subword_tokens, r.n_merged)
+                for r in subword_token_counts(df, **kw).collect()}
+
+    def test_hand_computed(self, spark):
+        got = self._counts(spark, [
+            "the",        # t h e -> th e -> the : 1 token, 2 merges
+            "and in",     # -> and / in : 2 tokens, 3 merges
+            "ing",        # i n g -> in g -> ing : 1 token, 2 merges
+            "xyz",        # no merges apply : 3 symbols
+            "",           # empty
+        ])
+        assert got[0] == (1, 2)
+        assert got[1] == (2, 3)
+        assert got[2] == (1, 2)
+        assert got[3] == (3, 0)
+        assert got[4] == (0, 0)
+
+    def test_punctuation_and_case_normalize(self, spark):
+        # "The, AND!" -> "the and" -> the (2 merges) / and (2 merges)
+        got = self._counts(spark, ["The, AND!"])
+        assert got[0] == (2, 4)
+
+    def test_leftmost_single_pass_pairing(self, spark):
+        # "ttt h": merge (t,h) pairs leftmost non-overlapping ONCE per
+        # rank: t t t h -> t t th (one merge)
+        got = self._counts(spark, ["ttth"])
+        assert got[0] == (3, 1)
+
+    def test_custom_merge_table_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+            subword_token_counts,
+        )
+
+        got = self._counts(spark, ["abab"], merges=(("a", "b"), ("ab", "ab")))
+        assert got[0] == (1, 3)  # a b a b -> ab ab -> abab
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="alphanumeric"):
+            subword_token_counts(df, merges=(("a", "_"),))
+
+    def test_zero_shuffle_plan(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+            subword_token_counts,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = subword_token_counts(docs)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan
