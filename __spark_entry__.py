@@ -1803,11 +1803,16 @@ def _synth_media(spark, sf_dir, solid: bool):
 
 
 def _synth_audio(spark, sf_dir):
-    """Deterministic per-doc 16-bit PCM WAVs: doc d gets 200 + (d%7)*40
-    samples of v(i) = ((d*31 + i*17) mod 2003) - 1001 at 8 kHz."""
+    """Deterministic per-doc 16-bit audio: doc d gets 200 + (d%7)*40
+    samples of v(i) = ((d*31 + i*17) mod 2003) - 1001 at 8 kHz —
+    PCM WAV, except doc_id%3==2 which carries the SAME samples as a
+    FLAC with FIXED order-1 subframes (Rice-coded residuals): the
+    features must be container-independent, so the oracle's waveform
+    replay needs no change."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+    from cmc_knowledge_graph_text2ttl_spark.operators.flac import encode_flac
 
     docs = _docs(spark, sf_dir).select("doc_id")
 
@@ -1819,7 +1824,13 @@ def _synth_audio(spark, sf_dir):
                 n = 200 + (did % 7) * 40
                 samples = [((did * 31 + i * 17) % 2003) - 1001 for i in range(n)]
                 ids.append(str(did))
-                blobs.append(MM.encode_wav(samples, 8000, 1))
+                if did % 3 == 2:
+                    blobs.append(
+                        encode_flac(samples, 8000, channels=1,
+                                    block_size=160, subframe="fixed1")
+                    )
+                else:
+                    blobs.append(MM.encode_wav(samples, 8000, 1))
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 
     return docs.mapInPandas(gen, schema="media_id string, blob binary")
@@ -2713,14 +2724,19 @@ def q_media_near_dup(spark, sf_dir):
 
 
 def _synth_fp_audio(spark, sf_dir):
-    """Per-doc WAVs where PAIRS (2k, 2k+1) share the sample formula
+    """Per-doc audio where PAIRS (2k, 2k+1) share the sample formula
     v(i) = ((s*31 + i*17) % 2003) - 1001 (s = even-floored doc_id,
-    n = 200 + (s%7)*40) but 2k is MONO and 2k+1 STEREO with the signal
-    duplicated on both channels — the mono mix is identical, so the
-    fingerprint must see through the channel layout."""
+    n = 200 + (s%7)*40) but 2k is MONO WAV and 2k+1 rotates container
+    AND layout: doc_id%6==1 stereo WAV (signal duplicated — the mono
+    mix is identical), %6==3 stereo FLAC (verbatim subframes),
+    %6==5 mono FLAC with FIXED order-2 subframes (real Rice-coded
+    residual decode in the gate) — the fingerprint must see through
+    both the channel layout and the lossless re-encode, so the oracle
+    needs no change (samples are bit-identical by construction)."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+    from cmc_knowledge_graph_text2ttl_spark.operators.flac import encode_flac
 
     docs = _docs(spark, sf_dir).select("doc_id")
 
@@ -2734,6 +2750,13 @@ def _synth_fp_audio(spark, sf_dir):
                 v = [((sd * 31 + i * 17) % 2003) - 1001 for i in range(n)]
                 if did % 2 == 0:
                     blob = MM.encode_wav(v, 8000, 1)
+                elif did % 6 == 3:
+                    inter = [x for s2 in v for x in (s2, s2)]
+                    blob = encode_flac(inter, 44100, channels=2,
+                                       block_size=128, subframe="verbatim")
+                elif did % 6 == 5:
+                    blob = encode_flac(v, 44100, channels=1,
+                                       block_size=128, subframe="fixed2")
                 else:
                     inter = [x for s2 in v for x in (s2, s2)]
                     blob = MM.encode_wav(inter, 8000, 2)

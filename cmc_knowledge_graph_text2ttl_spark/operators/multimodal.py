@@ -1429,6 +1429,32 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, List[int]]:
         raise ValueError(f"corrupt WAV stream: {type(ex).__name__}: {ex}") from ex
 
 
+def decode_audio(data: bytes) -> Tuple[int, int, int, List[int]]:
+    """bytes → (channels, sample_rate, n_frames, interleaved samples):
+    REAL decode for PCM WAV and FLAC (operators/flac.py — constant/
+    verbatim/fixed/LPC subframes, Rice residuals, stereo
+    decorrelation, CRC-verified). One dispatcher so every audio
+    consumer (features, fingerprints, near-dup) covers both containers
+    with no caller changes. Other formats raise NotImplementedError
+    (per-row isolated everywhere)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        try:
+            return decode_flac(data)
+        except (struct.error, IndexError) as ex:
+            raise ValueError(
+                f"corrupt FLAC stream: {type(ex).__name__}: {ex}"
+            ) from ex
+    mtype, fmt, _, _ = sniff_media(data)
+    raise NotImplementedError(
+        f"no pure-Python audio decoder for {mtype}/{fmt}; WAV and FLAC "
+        "are supported"
+    )
+
+
 def _decode_wav_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
     """Real pure-Python WAV decode: (channels, sample_rate, n_frames,
     samples) — stdlib only, PCM 8/16-bit (RIFF/WAVE fmt+data chunk walk;
@@ -2078,13 +2104,13 @@ AUDIO_FEATURE_SCHEMA = StructType(
 def audio_features(
     df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
 ) -> DataFrame:
-    """Audio decode + feature stage: per-row WAV decode (REAL, pure
-    stdlib) → integer acoustics over channel 0 — duration_ms
-    (n*1000 div rate), mean absolute amplitude (floored), peak, and
-    zero crossings (sign products < 0). All-integer so every value is
-    bit-reproducible on any engine; decode failures land in the
-    ``error`` column instead of poisoning the batch (same contract as
-    the image path)."""
+    """Audio decode + feature stage: per-row WAV or FLAC decode (REAL,
+    pure stdlib — :func:`decode_audio`) → integer acoustics over
+    channel 0 — duration_ms (n*1000 div rate), mean absolute amplitude
+    (floored), peak, and zero crossings (sign products < 0).
+    All-integer so every value is bit-reproducible on any engine;
+    decode failures land in the ``error`` column instead of poisoning
+    the batch (same contract as the image path)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2092,7 +2118,7 @@ def audio_features(
             for mid, raw in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(raw) if raw is not None else b""
                 try:
-                    ch, rate, n_frames, samples = decode_wav(data)
+                    ch, rate, n_frames, samples = decode_audio(data)
                     mono = samples[::ch]  # channel 0
                     n = len(mono)
                     sum_abs = sum(abs(s) for s in mono)

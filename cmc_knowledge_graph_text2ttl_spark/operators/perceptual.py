@@ -151,15 +151,17 @@ AUDIO_DHASH_SCHEMA = StructType(
 def audio_fingerprint(
     df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
 ) -> DataFrame:
-    """(media_id, b0, b1) per decodable WAV row (undecodable skipped)."""
-    from .multimodal import decode_wav
+    """(media_id, b0, b1) per decodable WAV or FLAC row (undecodable
+    skipped) — a FLAC re-encode of a WAV lands on the identical
+    fingerprint because the decoded samples are bit-identical."""
+    from .multimodal import decode_audio
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    ch, _rate, _nf, samples = decode_wav(bytes(raw))
+                    ch, _rate, _nf, samples = decode_audio(bytes(raw))
                 except (ValueError, NotImplementedError):
                     continue
                 rows.append((str(mid),) + audio_dhash_bands(ch, samples))
