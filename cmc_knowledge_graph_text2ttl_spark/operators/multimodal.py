@@ -1455,18 +1455,44 @@ def decode_audio(data: bytes) -> Tuple[int, int, int, List[int]]:
     )
 
 
+def _mulaw_expand(b: int) -> int:
+    """G.711 µ-law byte → 16-bit linear sample (standard formula)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    s = ((mantissa << 3) | 0x84) << exponent
+    s -= 0x84
+    return -s if sign else s
+
+
+def _alaw_expand(b: int) -> int:
+    """G.711 A-law byte → 16-bit linear sample (standard formula)."""
+    b ^= 0x55
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    if exponent == 0:
+        s = (mantissa << 4) | 0x08
+    else:
+        s = ((mantissa << 4) | 0x108) << (exponent - 1)
+    return -s if sign else s
+
+
 def _decode_wav_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
     """Real pure-Python WAV decode: (channels, sample_rate, n_frames,
-    samples) — stdlib only, PCM 8/16-bit (RIFF/WAVE fmt+data chunk walk;
-    unknown chunks are skipped by their declared size, as the spec
-    requires). 16-bit samples are signed little-endian; 8-bit are
-    unsigned and recentred to signed (-128..127). ``samples`` is the
-    interleaved stream as Python ints — exact, no float path.
+    samples) — stdlib only, RIFF/WAVE fmt+data chunk walk with unknown
+    chunks skipped by declared size, as the spec requires. Formats:
+    PCM 8 (unsigned, recentred) / 16 / 24 / 32-bit (signed LE), and
+    G.711 µ-law (format 7) and A-law (format 6) telephony bytes
+    expanded with the standard closed-form formulas. WAVE_FORMAT_
+    EXTENSIBLE (0xFFFE) resolves through its SubFormat GUID. ``samples``
+    is the interleaved stream as Python ints — exact, no float path.
     """
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
-    channels = rate = bits = None
+    channels = rate = bits = audio_format = None
     frames: Optional[bytes] = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -1478,9 +1504,14 @@ def _decode_wav_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
             audio_format, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_format != 1:
+            if audio_format == 0xFFFE and len(body) >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first
+                # two bytes of the SubFormat GUID
+                (audio_format,) = struct.unpack("<H", body[24:26])
+            if audio_format not in (1, 6, 7):
                 raise NotImplementedError(
-                    f"WAV audio format {audio_format} unsupported (PCM only)"
+                    f"WAV audio format {audio_format} unsupported "
+                    "(PCM, A-law, mu-law)"
                 )
         elif tag == b"data":
             frames = body
@@ -1489,13 +1520,28 @@ def _decode_wav_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
         raise ValueError("WAV missing fmt or data chunk")
     if channels < 1 or (rate is not None and rate < 1):
         raise ValueError(f"WAV fmt declares channels={channels} rate={rate}")
-    if bits == 16:
+    if audio_format == 7:
+        samples = [_mulaw_expand(b) for b in frames]
+    elif audio_format == 6:
+        samples = [_alaw_expand(b) for b in frames]
+    elif bits == 16:
         n = len(frames) // 2
         samples = list(struct.unpack(f"<{n}h", frames[: n * 2]))
     elif bits == 8:
         samples = [b - 128 for b in frames]
+    elif bits in (24, 32):
+        w = bits // 8
+        n = len(frames) // w
+        half = 1 << (bits - 1)
+        full = 1 << bits
+        samples = []
+        for i in range(n):
+            v = int.from_bytes(frames[i * w : (i + 1) * w], "little")
+            samples.append(v - full if v >= half else v)
     else:
-        raise NotImplementedError(f"WAV bit depth {bits} unsupported (8/16)")
+        raise NotImplementedError(
+            f"WAV bit depth {bits} unsupported (8/16/24/32)"
+        )
     return (channels, rate, len(samples) // channels, samples)
 
 

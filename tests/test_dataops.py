@@ -1944,3 +1944,86 @@ class TestSubwordTokens:
         plan = subword_token_counts(docs)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestWavFormats:
+    """Extended WAV coverage: 24/32-bit PCM, G.711 mu-law/A-law,
+    WAVE_FORMAT_EXTENSIBLE (operators/multimodal.py)."""
+
+    @staticmethod
+    def _wav(fmt_code, channels, rate, bits, payload, extensible=False):
+        import struct as st
+
+        if extensible:
+            fmt = st.pack("<HHIIHH", 0xFFFE, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+            fmt += st.pack("<HHI", 22, bits, 1)  # cbSize, valid bits, mask
+            fmt += (st.pack("<H", fmt_code) + b"\x00\x00"
+                    + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71")
+        else:
+            fmt = st.pack("<HHIIHH", fmt_code, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+        chunks = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + st.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunks += b"\x00"
+        return b"RIFF" + st.pack("<I", len(chunks)) + chunks
+
+    def test_g711_known_endpoint_vectors(self):
+        # G.711 table endpoints: mu-law 0xFF->0, 0x00->-32124,
+        # 0x80->+32124; A-law 0x55->8, 0xD5->-8? (0xD5^0x55=0x80:
+        # sign only, exp 0 mant 0 -> -8), 0x2A->-32256? no: 0x2A^0x55=
+        # 0x7F: exp 7 mant 15 positive -> +32256... sign bit SET means
+        # negative in our convention: 0x7F has no sign bit -> +32256.
+        assert mm._mulaw_expand(0xFF) == 0
+        assert mm._mulaw_expand(0x00) == -32124
+        assert mm._mulaw_expand(0x80) == 32124
+        assert mm._alaw_expand(0x55) == 8
+        assert mm._alaw_expand(0xD5) == -8
+        assert mm._alaw_expand(0x2A) == 32256
+        assert mm._alaw_expand(0xAA) == -32256
+
+    def test_mulaw_wav_decodes(self):
+        payload = bytes([0xFF, 0x00, 0x80, 0x7F])
+        ch, rate, nf, s = mm.decode_wav(self._wav(7, 1, 8000, 8, payload))
+        assert (ch, rate, nf) == (1, 8000, 4)
+        assert s == [0, -32124, 32124, 0]
+
+    def test_alaw_wav_decodes(self):
+        payload = bytes([0x55, 0xD5, 0x2A, 0xAA])
+        s = mm.decode_wav(self._wav(6, 1, 8000, 8, payload))[3]
+        assert s == [8, -8, 32256, -32256]
+
+    def test_24_and_32_bit_pcm(self):
+        import struct as st
+
+        vals24 = [5_000_000, -5_000_000, 0, 8_388_607, -8_388_608]
+        p24 = b"".join(
+            (v & 0xFFFFFF).to_bytes(3, "little") for v in vals24)
+        assert mm.decode_wav(self._wav(1, 1, 44100, 24, p24))[3] == vals24
+        vals32 = [2_000_000_000, -2_000_000_000, 123456]
+        p32 = st.pack("<3i", *vals32)
+        assert mm.decode_wav(self._wav(1, 1, 44100, 32, p32))[3] == vals32
+
+    def test_extensible_guid_resolves(self):
+        import struct as st
+
+        payload = st.pack("<4h", 100, -100, 2000, -2000)
+        blob = self._wav(1, 2, 48000, 16, payload, extensible=True)
+        ch, rate, nf, s = mm.decode_wav(blob)
+        assert (ch, rate, nf) == (2, 48000, 2)
+        assert s == [100, -100, 2000, -2000]
+        # extensible wrapping an unsupported codec still raises loudly
+        blob = self._wav(2, 1, 8000, 4, b"\x00\x00", extensible=True)
+        with pytest.raises(NotImplementedError, match="format 2"):
+            mm.decode_wav(blob)
+
+    def test_audio_features_on_mulaw(self, spark):
+        payload = bytes([0x00, 0x80] * 50)  # alternating +-32124
+        blob = self._wav(7, 1, 8000, 8, payload)
+        df = spark.createDataFrame(
+            [("u", bytearray(blob))], "media_id string, blob binary")
+        r = mm.audio_features(df).collect()[0]
+        assert r.peak_abs == 32124 and r.zero_crossings == 99
