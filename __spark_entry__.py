@@ -1787,7 +1787,16 @@ def _synth_media(spark, sf_dir, solid: bool):
                         elif sub == 1:
                             blob = MM.encode_bmp(w, h, px, 3)
                         else:
-                            blob = MM.encode_tiff(w, h, px, 3)
+                            # TIFF rotates its compression matrix too:
+                            # none / LZW+predictor / Deflate / PackBits
+                            # with IDENTICAL pixels (round-5)
+                            tc = (did // 9) % 4
+                            blob = MM.encode_tiff(
+                                w, h, px, 3,
+                                compression=("none", "lzw", "deflate",
+                                             "packbits")[tc],
+                                predictor=tc == 1,
+                            )
                     elif kind == 1:
                         if (did // 3) % 2:
                             blob = MM.encode_webp_header(w, h)

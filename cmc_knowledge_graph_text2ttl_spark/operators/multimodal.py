@@ -711,10 +711,147 @@ def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
         raise ValueError(f"corrupt BMP stream: {type(ex).__name__}: {ex}") from ex
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (Compression=5): MSB-first code packing,
+    ClearCode 256 / EOI 257, and the spec's EARLY CHANGE — the code
+    width grows when the next free code is (1 << width) - 1, one code
+    earlier than GIF's variant."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = n_acc = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        n_acc += 8
+        while n_acc >= width:
+            code = (acc >> (n_acc - width)) & ((1 << width) - 1)
+            n_acc -= width
+            if code == 256:  # Clear
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOI
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("TIFF LZW first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF LZW code out of range")
+            out += entry
+            prev = entry
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by one entry, so it widens at 510/1022/2046
+            # (the TIFF6 pseudo-code's well-known constants) — one less
+            # than the encoder's 511/1023/2047 switch points.
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Fixture counterpart of :func:`_tiff_lzw_decode` (same early-
+    change rule, Clear emitted once up front, EOI at the end)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: List[Tuple[int, int]] = [(256, 9)]
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        bits.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # reset before the 12-bit table fills
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        bits.append((table[cur], width))
+    bits.append((257, width))
+    out = bytearray()
+    acc = n_acc = 0
+    for code, w in bits:
+        acc = (acc << w) | code
+        n_acc += w
+        while n_acc >= 8:
+            out.append((acc >> (n_acc - 8)) & 0xFF)
+            n_acc -= 8
+    if n_acc:
+        out.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF Compression=32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple PackBits encoder: runs ≥3 as replicate, rest literal."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i
+            lit = bytearray()
+            while j < n and len(lit) < 128:
+                run = 1
+                while j + run < n and run < 3 and data[j + run] == data[j]:
+                    run += 1
+                if run >= 3:
+                    break
+                take = min(run, 128 - len(lit))  # never exceed a header
+                lit += data[j : j + take]
+                j += take
+            out += bytes([len(lit) - 1]) + lit
+            i = j
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
-    """Baseline uncompressed TIFF (Compression=1, chunky planar, 8-bit
-    gray or RGB(A), strip layout) → (w, h, channels, pixels). Both byte
-    orders; multi-strip images concatenate in strip order."""
+    """TIFF (chunky planar, 8-bit gray or RGB(A), strip layout) →
+    (w, h, channels, pixels). Both byte orders; multi-strip images
+    concatenate in strip order. Compression: none (1), LZW (5, with
+    early change), Adobe/zlib Deflate (8), PackBits (32773); the
+    horizontal-differencing Predictor (tag 317 = 2) is undone per row
+    and channel after decompression."""
     try:
         end = "<" if data[:2] == b"II" else ">"
         (ifd_off,) = struct.unpack(end + "I", data[4:8])
@@ -746,8 +883,11 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
         if not w or not h:
             raise ValueError("TIFF missing ImageWidth/ImageLength")
         comp = tags.get(259, [1])[0]
-        if comp != 1:
-            raise ValueError(f"TIFF compression {comp} unsupported (none only)")
+        if comp not in (1, 5, 8, 32773):
+            raise ValueError(
+                f"TIFF compression {comp} unsupported "
+                "(none/LZW/Deflate/PackBits)"
+            )
         bits = tags.get(258, [8])
         if any(b != 8 for b in bits):
             raise ValueError(f"TIFF bits-per-sample {bits} unsupported")
@@ -762,15 +902,35 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
             raise ValueError("TIFF missing StripOffsets")
         if not counts:
             counts = [w * h * spp // len(offsets)] * len(offsets)
+        rows_per_strip = tags.get(278, [h])[0]
         out = bytearray()
         for off, cnt in zip(offsets, counts):
             chunk = data[off : off + cnt]
             if len(chunk) < cnt:
                 raise ValueError("TIFF strip truncated")
+            if comp == 5:
+                chunk = _tiff_lzw_decode(chunk)
+            elif comp == 8:
+                try:
+                    chunk = zlib.decompress(chunk)
+                except zlib.error as ex:
+                    raise ValueError(f"TIFF deflate strip corrupt: {ex}") from ex
+            elif comp == 32773:
+                chunk = _packbits_decode(chunk)
             out += chunk
         if len(out) < w * h * spp:
             raise ValueError("TIFF pixel data incomplete")
-        return (w, h, spp, bytes(out[: w * h * spp]))
+        out = out[: w * h * spp]
+        if tags.get(317, [1])[0] == 2:  # horizontal differencing
+            stride = w * spp
+            for y in range(h):
+                base = y * stride
+                for x in range(spp, stride):
+                    out[base + x] = (out[base + x] + out[base + x - spp]) & 0xFF
+        elif tags.get(317, [1])[0] not in (1,):
+            raise ValueError(f"TIFF predictor {tags[317][0]} unsupported")
+        _ = rows_per_strip  # layout metadata; strips concatenate in order
+        return (w, h, spp, bytes(out))
     except (struct.error, IndexError) as ex:
         raise ValueError(f"corrupt TIFF stream: {type(ex).__name__}: {ex}") from ex
 
@@ -814,12 +974,40 @@ def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
 
 
 def encode_tiff(
-    width: int, height: int, pixels: bytes, channels: int = 3, big_endian: bool = False
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    big_endian: bool = False,
+    compression: str = "none",
+    predictor: bool = False,
 ) -> bytes:
-    """Deterministic baseline TIFF fixture encoder (one strip)."""
+    """Deterministic TIFF fixture encoder (one strip). ``compression``
+    ∈ {'none', 'lzw', 'deflate', 'packbits'}; ``predictor=True``
+    applies horizontal differencing (tag 317 = 2) before compression —
+    the standard pairing real encoders use with LZW/Deflate."""
     end = ">" if big_endian else "<"
     magic = b"MM\x00*" if big_endian else b"II*\x00"
     pix = bytes(pixels)
+    if predictor:
+        diff = bytearray(pix)
+        stride = width * channels
+        for y in range(height):
+            base = y * stride
+            for x in range(stride - 1, channels - 1, -1):
+                diff[base + x] = (
+                    diff[base + x] - diff[base + x - channels]
+                ) & 0xFF
+        pix = bytes(diff)
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[
+        compression
+    ]
+    if compression == "lzw":
+        pix = _tiff_lzw_encode(pix)
+    elif compression == "deflate":
+        pix = zlib.compress(pix, 6)
+    elif compression == "packbits":
+        pix = _packbits_encode(pix)
     ifd_off = 8 + len(pix)
 
     def entry(tag: int, ftype: int, count: int, value: int) -> bytes:
@@ -831,13 +1019,15 @@ def encode_tiff(
     entries = [
         entry(256, 4, 1, width),
         entry(257, 4, 1, height),
-        entry(259, 3, 1, 1),  # no compression
+        entry(259, 3, 1, comp_code),
         entry(262, 3, 1, 2 if channels >= 3 else 1),  # photometric
         entry(273, 4, 1, 8),  # strip offset: right after header
         entry(277, 3, 1, channels),
         entry(279, 4, 1, len(pix)),
         entry(284, 3, 1, 1),  # chunky
     ]
+    if predictor:
+        entries.append(entry(317, 3, 1, 2))
     if channels >= 3:
         # BitsPerSample [8,8,8(,8)] — stored out-of-line
         bps_off = ifd_off + 2 + 12 * (len(entries) + 1) + 4

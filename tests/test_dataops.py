@@ -2027,3 +2027,57 @@ class TestWavFormats:
             [("u", bytearray(blob))], "media_id string, blob binary")
         r = mm.audio_features(df).collect()[0]
         assert r.peak_abs == 32124 and r.zero_crossings == 99
+
+
+class TestTiffCompression:
+    """TIFF LZW (early change) / Deflate / PackBits / Predictor 2."""
+
+    def test_full_matrix_roundtrip(self):
+        import random
+
+        random.seed(9)
+        px_rand = bytes(random.randrange(256) for _ in range(12 * 7 * 3))
+        px_smooth = bytes((x * 3 + y * 5 + c) % 256
+                          for y in range(7) for x in range(12)
+                          for c in range(3))
+        for px in (px_rand, px_smooth):
+            for comp in ("none", "lzw", "deflate", "packbits"):
+                for pred in (False, True):
+                    blob = mm.encode_tiff(12, 7, px, 3, compression=comp,
+                                          predictor=pred)
+                    assert mm.decode_tiff(blob)[3] == px, (comp, pred)
+
+    def test_lzw_early_change_width_growth(self):
+        # >253 distinct dictionary entries forces the 9->10 bit switch
+        import random
+
+        random.seed(10)
+        px = bytes(random.randrange(256) for _ in range(60 * 60 * 3))
+        blob = mm.encode_tiff(60, 60, px, 3, compression="lzw")
+        assert mm.decode_tiff(blob)[3] == px
+
+    def test_predictor_lzw_actually_compresses(self):
+        smooth = bytes((x + y) % 256 for y in range(50) for x in range(50)
+                       for _ in range(3))
+        plain = mm.encode_tiff(50, 50, smooth, 3)
+        lzw = mm.encode_tiff(50, 50, smooth, 3, compression="lzw",
+                             predictor=True)
+        assert len(lzw) < len(plain) // 4
+        assert mm.decode_tiff(lzw)[3] == smooth
+
+    def test_packbits_long_literals_and_runs(self):
+        # >128-byte literal stretch (the 0x80 no-op header trap) and
+        # long replicate runs
+        px = bytes(range(200)) + b"\x55" * 200 + bytes(
+            reversed(range(256 - 200 + 12 * 2 * 3 - 400)))
+        need = 12 * 2 * 3
+        px = (px * 3)[:need]
+        blob = mm.encode_tiff(12, 2, px, 3, compression="packbits")
+        assert mm.decode_tiff(blob)[3] == px
+
+    def test_unknown_compression_raises(self):
+        blob = bytearray(mm.encode_tiff(4, 4, bytes(48), 3))
+        i = bytes(blob).find((259).to_bytes(2, "little"))
+        blob[i + 8] = 99  # compression tag value
+        with pytest.raises(ValueError, match="compression 99"):
+            mm.decode_tiff(bytes(blob))

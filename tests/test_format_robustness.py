@@ -67,8 +67,12 @@ def test_extract_one_never_escapes(name, builder):
             "cmc_knowledge_graph_text2ttl_spark.operators.vp8l",
             fromlist=["v"]).encode_webp_lossless(
                 9, 5, bytes((i * 13) % 256 for i in range(9 * 5 * 3)), 3)),
+        ("tiff_lzw_pred", lambda: mm.encode_tiff(
+            9, 5, bytes((i * 7) % 256 for i in range(9 * 5 * 3)), 3,
+            compression="lzw", predictor=True)),
     ],
-    ids=["png_adam7", "png_pal4", "bmp", "tiff", "webp_vp8l"],
+    ids=["png_adam7", "png_pal4", "bmp", "tiff", "webp_vp8l",
+         "tiff_lzw_pred"],
 )
 def test_image_decoders_raise_cleanly(name, builder):
     blob = builder()
