@@ -2665,8 +2665,9 @@ def _synth_dhash_media(spark, sf_dir):
     (color type 4, gray = integer mean of the RGB formula, alpha a
     varying junk channel the hash must ignore). docs with
     doc_id % 10 == 3 re-encode the same RGB pixels as LOSSLESS WEBP
-    (VP8L) — near-dup must see through the PNG/BMP↔WebP re-encode;
-    the oracle needs no change because the pixels are identical."""
+    (VP8L) and % 10 == 9 as an ICO-wrapped DIB (favicon path) —
+    near-dup must see through every container re-encode; the oracle
+    needs no change because the pixels are identical."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
@@ -2700,6 +2701,8 @@ def _synth_dhash_media(spark, sf_dir):
                     )
 
                     blob = encode_webp_lossless(w, h, px, 3)
+                elif did % 10 == 9:
+                    blob = MM.encode_ico([(w, h, px, 3)])
                 else:
                     enc = MM.encode_png if did % 2 == 0 else MM.encode_bmp
                     blob = enc(w, h, px, 3)

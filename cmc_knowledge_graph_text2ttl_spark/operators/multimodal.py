@@ -646,10 +646,12 @@ def decode_image(data: bytes):
         from .vp8l import decode_webp
 
         return decode_webp(data)
+    if data[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(data)
     mtype, fmt, _, _ = sniff_media(data)
     raise NotImplementedError(
         f"no pure-Python decoder for {mtype}/{fmt}; PNG, GIF, BMP, "
-        "uncompressed TIFF, lossless WebP and JPEG are supported — "
+        "TIFF, lossless WebP, ICO and JPEG are supported — "
         "inject decoder= for other codecs"
     )
 
@@ -933,6 +935,98 @@ def decode_tiff(data: bytes) -> Tuple[int, int, int, bytes]:
         return (w, h, spp, bytes(out))
     except (struct.error, IndexError) as ex:
         raise ValueError(f"corrupt TIFF stream: {type(ex).__name__}: {ex}") from ex
+
+
+def decode_ico(data: bytes) -> Tuple[int, int, int, bytes]:
+    """ICO (favicon) decode → (w, h, channels, pixels): picks the
+    LARGEST directory entry (ties: first) and decodes its payload —
+    embedded PNG via :func:`decode_png`, or a DIB (BITMAPINFOHEADER
+    with doubled height for the XOR+AND masks) re-framed as a BMP for
+    :func:`decode_bmp`; the AND mask is ignored (32-bit entries carry
+    real alpha, and favicon dedup keys on the color planes).
+
+    Favicons are among the most-duplicated assets on the web — this
+    feeds them into the perceptual dHash path instead of leaving them
+    sha256-exact-only."""
+    try:
+        if data[:4] != b"\x00\x00\x01\x00":
+            raise ValueError("not an ICO")
+        (n,) = struct.unpack("<H", data[4:6])
+        if n < 1:
+            raise ValueError("ICO has no images")
+        best = None
+        for k in range(n):
+            e = data[6 + 16 * k : 22 + 16 * k]
+            if len(e) < 16:
+                raise ValueError("ICO directory truncated")
+            bw = e[0] or 256
+            bh = e[1] or 256
+            size, off = struct.unpack("<II", e[8:16])
+            if best is None or bw * bh > best[0]:
+                best = (bw * bh, size, off)
+        _, size, off = best
+        payload = data[off : off + size]
+        if len(payload) < size:
+            raise ValueError("ICO image payload truncated")
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(payload)
+        if len(payload) < 40:
+            raise ValueError("ICO DIB header truncated")
+        (hdr_size,) = struct.unpack("<I", payload[0:4])
+        if hdr_size < 40:
+            raise ValueError(f"ICO DIB header size {hdr_size} unsupported")
+        w, h2 = struct.unpack("<ii", payload[4:12])
+        bpp = struct.unpack("<H", payload[14:16])[0]
+        patched = bytearray(payload)
+        # the DIB height covers XOR+AND planes — halve it
+        struct.pack_into("<i", patched, 8, h2 // 2)
+        if bpp <= 8:
+            (clr_used,) = struct.unpack("<I", payload[32:36])
+            if clr_used == 0:
+                # ICO convention: 0 means the full 2^bpp palette
+                struct.pack_into("<I", patched, 32, 1 << bpp)
+            pal_bytes = 4 * ((clr_used or (1 << bpp)))
+        else:
+            pal_bytes = 0
+        pix_off = 14 + hdr_size + pal_bytes
+        blob = (
+            b"BM"
+            + struct.pack("<I", 14 + len(patched))
+            + b"\x00\x00\x00\x00"
+            + struct.pack("<I", pix_off)
+            + bytes(patched)
+        )
+        return decode_bmp(blob)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt ICO stream: {type(ex).__name__}: {ex}") from ex
+
+
+def encode_ico(
+    images: Sequence[Tuple[int, int, bytes, int]], as_png: bool = False
+) -> bytes:
+    """Deterministic ICO fixture from [(w, h, pixels, channels)]:
+    entries as embedded PNG (``as_png=True``) or classic DIBs (the
+    encode_bmp body with doubled header height plus an all-zero AND
+    mask) — the fixture counterpart of :func:`decode_ico`."""
+    payloads = []
+    for w, h, px, ch in images:
+        if as_png:
+            payloads.append(encode_png(w, h, px, ch))
+        else:
+            bmp = encode_bmp(w, h, px, ch)
+            dib = bytearray(bmp[14:])
+            struct.pack_into("<i", dib, 8, h * 2)
+            mask_stride = ((w + 31) // 32) * 4
+            payloads.append(bytes(dib) + b"\x00" * (mask_stride * h))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    off = 6 + 16 * len(images)
+    for (w, h, _px, ch), body in zip(images, payloads):
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += struct.pack("<HHII", 1, ch * 8, len(body), off)
+        off += len(body)
+    for body in payloads:
+        out += body
+    return bytes(out)
 
 
 def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:

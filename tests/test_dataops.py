@@ -2081,3 +2081,46 @@ class TestTiffCompression:
         blob[i + 8] = 99  # compression tag value
         with pytest.raises(ValueError, match="compression 99"):
             mm.decode_tiff(bytes(blob))
+
+
+class TestIcoDecode:
+    """ICO (favicon) decode (operators/multimodal.py)."""
+
+    def test_dib_entries_largest_wins(self):
+        px24 = bytes((i * 7) % 256 for i in range(16 * 16 * 3))
+        px32 = bytes((i * 11) % 256 for i in range(8 * 8 * 4))
+        ico = mm.encode_ico([(8, 8, px32, 4), (16, 16, px24, 3)])
+        w, h, ch, px = mm.decode_ico(ico)
+        assert (w, h, ch, px) == (16, 16, 3, px24)
+
+    def test_png_entry_and_256_dimension_zero_byte(self):
+        pxs = bytes((i * 5) % 256 for i in range(12 * 9 * 3))
+        assert mm.decode_ico(
+            mm.encode_ico([(12, 9, pxs, 3)], as_png=True))[:2] == (12, 9)
+        big = bytes((i * 3) % 256 for i in range(256 * 256 * 3))
+        assert mm.decode_ico(
+            mm.encode_ico([(256, 256, big, 3)]))[:2] == (256, 256)
+
+    def test_dhash_parity_with_bmp(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.perceptual import (
+            dhash_bands,
+        )
+
+        px = bytes((i * 17 + (i % 7) * 41) % 256 for i in range(16 * 11 * 3))
+        a = dhash_bands(*mm.decode_bmp(mm.encode_bmp(16, 11, px, 3)))
+        b = dhash_bands(*mm.decode_image(mm.encode_ico([(16, 11, px, 3)])))
+        assert a == b
+
+    def test_malformed_raises_valueerror(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mm.decode_ico(b"\x00\x00\x01\x00\x01\x00" + b"\x01" * 10)
+        with _pytest.raises(ValueError):
+            mm.decode_ico(b"not an ico")
+        good = mm.encode_ico([(8, 8, bytes(192), 3)])
+        for cut in range(0, len(good), 13):
+            try:
+                mm.decode_ico(good[:cut])
+            except ValueError:
+                pass
