@@ -1138,10 +1138,12 @@ class TestBmpTiffWebp:
                 assert mm.decode_tiff(t) == (w, h, ch, px), (ch, be)
                 assert mm.sniff_media(t) == ("image", "tiff", w, h)
 
-    def test_tiff_lzw_rejected(self):
+    def test_tiff_unknown_compression_rejected(self):
+        # CCITT Group 4 (tag value 4) stays unsupported; LZW/Deflate/PackBits
+        # are decoded for real now (see TestTiffCompression roundtrips).
         t = bytearray(mm.encode_tiff(4, 4, bytes(48), 3))
         i = bytes(t).find(struct.pack("<HH", 259, 3))
-        struct.pack_into("<H", t, i + 8, 5)  # Compression = LZW
+        struct.pack_into("<H", t, i + 8, 4)  # Compression = CCITT G4
         with pytest.raises(ValueError, match="compression"):
             mm.decode_tiff(bytes(t))
 
