@@ -1544,6 +1544,61 @@ def q_text_surprisal(spark, sf_dir):
     return TD.unigram_surprisal(_docs(spark, sf_dir))
 
 
+_BM25_TERMS = ["join", "filter", "window", "customer"]
+
+
+def q_corpus_bm25(spark, sf_dir):
+    """Integer-BM25 top-50 under the gate: rational Robertson-odds idf
+    and a floor-div tf/length-norm component (k1=1.2, b=0.75 as integer
+    ratios) — every division placed identically in the oracle, so the
+    scores and the deterministic (score desc, id asc) cut agree
+    bit-exactly. The explode keeps ONLY the query terms before any
+    shuffle."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=50)
+
+
+def q_corpus_quality_clf(spark, sf_dir):
+    """Weak-label quality classifier under the gate (GPT-3/CCNet
+    recipe, closed-form): label = (lang = 'en') on the doc_id%10<8
+    train split, per-token Laplace P(pos|token) document-frequency
+    weights (binarized NB — keyword stuffing cannot inflate a token's
+    own weight), then every doc scored by the floor-mean weight of its
+    DISTINCT tokens with scale/2 as the unseen-token prior."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.selection import (
+        classifier_scores,
+        token_label_weights,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    train = docs.where(F.col("doc_id") % 10 < 8)
+    weights = token_label_weights(train, "label")
+    return classifier_scores(docs, weights, broadcast_weights=True)
+
+
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR importance selection under the gate (Xie et al. 2023):
+    unigram+bigram grams hashed into 256 md5 buckets, add-one-smoothed
+    p_target/p_raw bucket ratios as single-floor rationals (scale 1e6),
+    per-doc tf-weighted floor-mean, deterministic top-100 slice.
+    Target distribution = the lang='en', doc_id%7=0 seed; raw = the
+    whole corpus."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.selection import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    imp = dsir_importance(docs, target, n_buckets=256)
+    return dsir_select(imp, 100)
+
+
 def q_skew_collect(spark, sf_dir):
     """Salted two-phase collect under the gate: per-language doc-id
     arrays built with bounded phase-1 buffers (md5 salt), merged and
@@ -3110,6 +3165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "corpus_bm25": q_corpus_bm25,                # integer BM25 top-k
+        "corpus_quality_clf": q_corpus_quality_clf,  # weak-label NB scorer
+        "corpus_dsir": q_corpus_dsir,                # DSIR importance slice
         "media_frames_mjpeg": q_media_frames_mjpeg,  # real MJPEG-AVI decode
         "media_webp": q_media_webp,                  # VP8L lossless decode
         "corpus_span_dedup": q_corpus_span_dedup,    # C4 3-sentence dedup
@@ -3161,11 +3219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_og": q_page_og,
         "media_resize": q_media_resize,
         "corpus_curate": q_corpus_curate,
+        # ---- 50-entry driver window ends here --------------------------
+        # one driver row, rotate through the window next round:
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
         "text_pack": q_text_pack,
-        # ---- 50-entry driver window ends here --------------------------
-        # one driver row, rotate through the window next round:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessions": q_events_sessions,
         "kg_tagdim": q_kg_tagdim,
@@ -3528,6 +3586,16 @@ SELECT h.node, h.s AS hub, a.s AS authority
 FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
     )
     return "".join(parts)
+
+
+def _bm25_sql() -> str:
+    """Integer-BM25 oracle generated by the operator module itself so
+    the SQL expression shape can never drift from the Spark plan."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.retrieval import (
+        bm25_oracle_sql,
+    )
+
+    return bm25_oracle_sql(_BM25_TERMS, k=50)
 
 
 def _subword_sql() -> str:
@@ -4670,6 +4738,84 @@ SELECT src, 'http://abs.example/p' || CAST(doc_id % 11 AS VARCHAR),
         "links_pagerank": _pagerank_sql(iters=5),
         "links_hits": _hits_sql(iters=5),
         "text_subword": _subword_sql(),
+        "corpus_bm25": _bm25_sql(),
+        # weak-label quality classifier: binarized-NB document-frequency
+        # weights from the doc_id%10<8 train split, floor-mean scoring
+        # with the scale/2 unseen prior — mirrors selection.py exactly
+        "corpus_quality_clf": r"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), train_tok AS (
+  SELECT id, token, MAX(label) AS label
+  FROM (SELECT id, label, unnest(toks) AS token FROM docs WHERE id % 10 < 8)
+  GROUP BY id, token
+), wt AS (
+  SELECT token,
+         CAST(SUM(label) AS BIGINT) AS df_pos,
+         CAST(SUM(1 - label) AS BIGINT) AS df_neg
+  FROM train_tok GROUP BY token
+), dim AS (
+  SELECT token,
+         CAST(((df_pos + 1) * 1000000) // (df_pos + df_neg + 2) AS BIGINT)
+           AS weight
+  FROM wt
+), all_tok AS (
+  SELECT DISTINCT id, token
+  FROM (SELECT id, unnest(toks) AS token FROM docs)
+)
+SELECT id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(weight) AS BIGINT) AS n_matched,
+       CAST(SUM(COALESCE(weight, 1000000 // 2)) // COUNT(*) AS BIGINT)
+         AS score
+FROM all_tok LEFT JOIN dim USING (token)
+GROUP BY id
+""",
+        # DSIR importance selection: unigram+bigram md5 buckets (256),
+        # add-one-smoothed p_tgt/p_raw single-floor rationals, tf-weighted
+        # floor-mean, deterministic top-100 — mirrors selection.py exactly
+        "corpus_dsir": r"""
+WITH docs AS (
+  SELECT doc_id AS id, lang,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT id, unnest(
+    toks || list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])
+  ) AS gram FROM docs
+), raw_tf AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM grams GROUP BY id, bucket
+), tgt AS (
+  SELECT id FROM docs WHERE lang = 'en' AND id % 7 = 0
+), raw_b AS (
+  SELECT bucket, CAST(SUM(tf) AS BIGINT) AS raw_b FROM raw_tf GROUP BY bucket
+), tgt_b AS (
+  SELECT bucket, CAST(SUM(tf) AS BIGINT) AS tgt_b
+  FROM raw_tf JOIN tgt USING (id) GROUP BY bucket
+), tot AS (
+  SELECT (SELECT SUM(raw_b) FROM raw_b) AS r,
+         (SELECT COALESCE(SUM(tgt_b), 0) FROM tgt_b) AS t
+), dim AS (
+  SELECT b.bucket,
+         CAST(((COALESCE(g.tgt_b, 0) + 1) * (tot.r + 256) * 1000000) //
+              ((b.raw_b + 1) * (tot.t + 256)) AS BIGINT) AS ratio
+  FROM raw_b b LEFT JOIN tgt_b g USING (bucket), tot
+)
+SELECT id,
+       CAST(SUM(tf) AS BIGINT) AS n_grams,
+       CAST(SUM(tf * ratio) // SUM(tf) AS BIGINT) AS importance
+FROM raw_tf JOIN dim USING (bucket)
+GROUP BY id
+ORDER BY importance DESC, id ASC LIMIT 100
+""",
         "feed_parse": """
 SELECT 'http://f/feed' || CAST(doc_id AS VARCHAR) AS src,
        'rss' AS kind, trim(substr(text, 1, 8)) AS title,
