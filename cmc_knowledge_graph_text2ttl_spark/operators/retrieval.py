@@ -76,11 +76,17 @@ def bm25_topk(
 
     # explode → keep query terms only: the shuffle after this carries at
     # most |terms| rows per document, not the document's vocabulary.
+    # persist: both the doc-frequency aggregate and the scoring join
+    # consume this — without it the corpus is scanned and exploded twice
+    # (the dominant cost at scale; same rationale as the minhash shingle
+    # persist in dedup.py). The persisted set is tiny: ≤ |terms| rows
+    # per matching document.
     per_doc = (
         docs.select("id", F.explode("toks").alias("token"))
         .where(F.col("token").isin(terms))
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
     )
     dfreq = per_doc.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df_t")

@@ -184,7 +184,12 @@ def dsir_importance(
     should pass a smaller scale or more buckets (the assertion inside
     the ratio expression fails loudly rather than wrapping).
     """
-    raw_tf = hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
+    # persist: raw_tf feeds both the bucket totals and the final scoring
+    # join — without it the raw corpus is tokenized and hashed twice
+    # (the dominant cost; ≤ n_buckets rows per doc after the combine).
+    raw_tf = hashed_ngram_counts(
+        raw, text_col, id_col, n_buckets, bigrams
+    ).persist()
     tgt_tf = hashed_ngram_counts(target, text_col, id_col, n_buckets, bigrams)
     raw_b = raw_tf.groupBy("bucket").agg(
         F.sum("tf").cast("bigint").alias("raw_b")
