@@ -68,7 +68,13 @@ def bm25_topk(
     docs = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"), words.alias("toks")
     )
-    lengths = docs.select("id", F.size("toks").cast("bigint").alias("dl"))
+    # persist: lengths feeds the corpus stats aggregate AND the scoring
+    # join — without it the corpus is scanned and tokenized a second
+    # (and third) time just to recompute per-doc lengths. Two int64
+    # columns per doc, far smaller than the text it replaces.
+    lengths = docs.select(
+        "id", F.size("toks").cast("bigint").alias("dl")
+    ).persist()
     stats = lengths.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dl").cast("bigint").alias("t"),
