@@ -2966,7 +2966,11 @@ def q_media_webp(spark, sf_dir):
     RGB (doc even) or RGBA (doc odd) images through the full prefix-
     code path (canonical trees, code-length codes) of operators/vp8l;
     exact per-channel means must equal the colors, channels always 4
-    (VP8L is ARGB), alpha 255 for RGB input."""
+    (VP8L is ARGB), alpha 255 for RGB input.  (did // 2) % 4 rotates
+    the stream through the decoder's transform paths — plain,
+    PREDICTOR (mode did % 14), SUBTRACT_GREEN, cross-COLOR — without
+    changing the decoded pixels, so the oracle's analytic solid-color
+    expectations gate all four inverse transforms."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
@@ -2983,12 +2987,18 @@ def q_media_webp(spark, sf_dir):
                 did = int(did)
                 w, h = 5 + did % 9, 4 + did % 5
                 rgb = ((did * 7) % 256, (did * 13) % 256, (did * 29) % 256)
+                tf = [
+                    (),
+                    (("predictor", did % 14),),
+                    ("subtract_green",),
+                    (("color", ((did % 256) - 128, 7, -9)),),
+                ][(did // 2) % 4]
                 if did % 2 == 0:
                     px = bytes(rgb) * (w * h)
-                    blob = encode_webp_lossless(w, h, px, 3)
+                    blob = encode_webp_lossless(w, h, px, 3, transforms=tf)
                 else:
                     px = (bytes(rgb) + bytes([(did * 11) % 256])) * (w * h)
-                    blob = encode_webp_lossless(w, h, px, 4)
+                    blob = encode_webp_lossless(w, h, px, 4, transforms=tf)
                 ids.append(str(did))
                 blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "blob": blobs})

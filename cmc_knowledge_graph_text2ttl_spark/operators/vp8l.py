@@ -8,27 +8,36 @@ plain). Until now the perceptual pipeline sniffed WebP dims but never
 decoded pixels, so dHash silently skipped them (sha256 exact-dup was
 the only coverage).
 
-Scope (deliberate, mirrors the 16-bit-JPEG/AES-256 honesty rule):
+Scope: the decoder now covers the FULL still-image VP8L feature set —
+the complete prefix-code machinery (simple codes, code-length codes
+with 16/17/18 repeats, optional max-symbol cap, canonical
+assignment), color cache, LZ77 copies with both PLAIN (> 120) and
+NEIGHBORHOOD-MAPPED (1-120) distance codes, meta prefix codes
+(entropy image / per-block tree groups), and all four transforms:
+PREDICTOR (14 modes + border rules), COLOR (cross-color cte),
+SUBTRACT_GREEN, and COLOR_INDEXING (palette) incl. sub-byte pixel
+bundling. Lossy VP8 remains out of scope (DCT codec) and raises
+NotImplementedError, per-row isolated by every caller.
 
-* IMPLEMENTED: the complete prefix-code machinery (simple codes,
-  code-length codes with 16/17/18 repeats, optional max-symbol cap,
-  canonical assignment), color cache, LZ77 copies with PLAIN distance
-  codes (> 120), the SUBTRACT_GREEN transform, and COLOR_INDEXING
-  (palette) incl. sub-byte pixel bundling — together these cover
-  palettized and plain-literal streams, the typical thumbnail case.
-* RAISES NotImplementedError (per-row isolated by every caller):
-  the PREDICTOR and COLOR transforms and the 120-entry neighborhood
-  distance mapping. Their exact spec tables (14 predictor edge rules,
-  cte channel layout, the (dx,dy) order) cannot be reproduced from
-  memory safely — ONE wrong entry corrupts pixels silently, which is
-  strictly worse than a loud skip. Wiring them in later is mechanical
-  once the RFC 9649 tables are at hand.
+The 120-entry distance map is generated from its closed-form rule
+(offsets (x, y) with y in [0,7], x in [-7,8], excluding the y==0,
+x<=0 half-row; sorted by x²+y², ties broken by larger y first, then
+positive x before negative). The explicit spec table is hard-coded in
+tests/test_vp8l.py and compared entry-by-entry against the generated
+one, and the decoded geometry is exercised by hand-built streams
+(row-copy via code 1, the dist<1 clamp via code 80). The predictor
+`Select` uses the RFC 9649 amended strict comparison (pLeft < pTop
+→ left), and `ClampAddSubtractHalf` replicates C's truncate-
+toward-zero division — both match libwebp's decoder.
 
-The encoder (``encode_vp8l``) writes no transforms and no cache:
-header → transform-absent bit → 5 canonical prefix code trees →
-per-pixel literals — byte-valid per the spec, and round-trips through
-the decoder bit-exactly (property-tested). Both sides share ONE
-canonical-code constructor, so they cannot drift.
+The encoder (``encode_vp8l``) writes canonical prefix-coded literal
+streams and can optionally emit SUBTRACT_GREEN / single-block
+PREDICTOR / single-block COLOR transforms (fixture knobs, forward
+transforms computed here) — byte-valid per the spec, and round-trips
+through the decoder bit-exactly (property-tested). Both sides share
+ONE canonical-code constructor and ONE predictor kernel, so the
+bit-level wiring cannot drift; the kernels themselves are covered by
+known-answer tests with hand-computed pixels.
 
 Bit order: fixed-width fields are LSB-first; prefix codes descend the
 tree one bit at a time (code MSB first), exactly the DEFLATE packing
@@ -45,6 +54,135 @@ __all__ = ["decode_vp8l", "encode_vp8l", "decode_webp", "encode_webp_lossless"]
 # order in which code-length-code lengths are stored (spec constant)
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 _CACHE_MULT = 0x1E35A7BD
+
+
+def _make_dist_map() -> Tuple[Tuple[int, int], ...]:
+    """The 120-entry neighborhood distance map, generated from its
+    closed-form rule; the literal spec table is asserted against this
+    in tests/test_vp8l.py."""
+    cands = [
+        (x, y)
+        for y in range(8)
+        for x in range(-7, 9)
+        if not (y == 0 and x <= 0)
+    ]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return tuple(cands)
+
+
+_DIST_MAP = _make_dist_map()
+
+
+def _i8(v: int) -> int:
+    """Byte reinterpreted as signed int8 (the cte delta convention)."""
+    return v - 256 if v >= 128 else v
+
+
+def _avg2(a: int, b: int) -> int:
+    """Per-channel (a+b)>>1 on packed ARGB (no cross-channel carry)."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _select(L: int, T: int, TL: int) -> int:
+    """Predictor 11: per the amended spec, left wins strictly."""
+    p_left = 0
+    p_top = 0
+    for sh in (24, 16, 8, 0):
+        tl = (TL >> sh) & 0xFF
+        p_left += abs(((T >> sh) & 0xFF) - tl)
+        p_top += abs(((L >> sh) & 0xFF) - tl)
+    return L if p_left < p_top else T
+
+
+def _clamp_add_sub_full(L: int, T: int, TL: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+        out |= (0 if c < 0 else 255 if c > 255 else c) << sh
+    return out
+
+
+def _clamp_add_sub_half(L: int, T: int, TL: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (((L >> sh) & 0xFF) + ((T >> sh) & 0xFF)) >> 1
+        d = a - ((TL >> sh) & 0xFF)
+        # C truncates toward zero; Python // floors — match C.
+        c = a + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= (0 if c < 0 else 255 if c > 255 else c) << sh
+    return out
+
+
+# (L, T, TL, TR) -> packed ARGB prediction.  16 entries: the mode
+# byte is masked to 4 bits and 14/15 alias 0/1, mirroring libwebp's
+# predictor table so garbage mode bytes cannot index out of range.
+_PREDICTORS = (
+    lambda L, T, TL, TR: 0xFF000000,
+    lambda L, T, TL, TR: L,
+    lambda L, T, TL, TR: T,
+    lambda L, T, TL, TR: TR,
+    lambda L, T, TL, TR: TL,
+    lambda L, T, TL, TR: _avg2(_avg2(L, TR), T),
+    lambda L, T, TL, TR: _avg2(L, TL),
+    lambda L, T, TL, TR: _avg2(L, T),
+    lambda L, T, TL, TR: _avg2(TL, T),
+    lambda L, T, TL, TR: _avg2(T, TR),
+    lambda L, T, TL, TR: _avg2(_avg2(L, TL), _avg2(T, TR)),
+    lambda L, T, TL, TR: _select(L, T, TL),
+    lambda L, T, TL, TR: _clamp_add_sub_full(L, T, TL),
+    lambda L, T, TL, TR: _clamp_add_sub_half(L, T, TL),
+    lambda L, T, TL, TR: 0xFF000000,
+    lambda L, T, TL, TR: L,
+)
+
+
+def _predict(
+    px: Sequence[int], w: int, x: int, y: int, size_bits: int,
+    sub: Sequence[int], block_w: int,
+) -> int:
+    """Prediction for pixel (x, y) given already-final pixels `px`
+    (row-major).  Border rules override the block mode: (0,0) is
+    opaque black, the top row is L, the left column is T; TR on the
+    rightmost column is the leftmost pixel of the CURRENT row (the
+    scanline-contiguity rule).  Shared by the decoder's inverse pass
+    and the fixture encoder's forward pass."""
+    i = y * w + x
+    if y == 0:
+        return 0xFF000000 if x == 0 else px[i - 1]
+    if x == 0:
+        return px[i - w]
+    mode = (sub[(y >> size_bits) * block_w + (x >> size_bits)] >> 8) & 0xF
+    L = px[i - 1]
+    T = px[i - w]
+    TL = px[i - w - 1]
+    TR = px[i - w + 1] if x + 1 < w else px[y * w]
+    return _PREDICTORS[mode](L, T, TL, TR)
+
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel (a+b) mod 256 on packed ARGB."""
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8
+        | (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+    )
+
+
+def _sub_px(a: int, b: int) -> int:
+    """Per-channel (a-b) mod 256 on packed ARGB (forward residual)."""
+    return (
+        (((a >> 24) - (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8
+        | (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+    )
+
+
+def _color_deltas(cte: int) -> Tuple[int, int, int]:
+    """cte pixel -> (green_to_red, green_to_blue, red_to_blue) as
+    signed int8: blue channel, green channel, red channel."""
+    return (_i8(cte & 0xFF), _i8((cte >> 8) & 0xFF), _i8((cte >> 16) & 0xFF))
 
 
 class _BitReader:
@@ -217,20 +355,42 @@ def _decode_entropy_image(
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"VP8L color-cache bits {cache_bits} out of range")
+    meta_map: Optional[List[int]] = None
+    meta_bits = 0
+    meta_w = 0
+    n_groups = 1
     if is_main and br.bit():
-        raise NotImplementedError(
-            "VP8L meta prefix codes (entropy image) not supported"
-        )
+        meta_bits = br.read(3) + 2
+        meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_px = _decode_entropy_image(br, meta_w, meta_h, is_main=False)
+        # group index lives in (red << 8) | green of each meta pixel
+        meta_map = [(p >> 8) & 0xFFFF for p in meta_px]
+        n_groups = max(meta_map) + 1
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green_tree = _read_tree(br, 256 + 24 + cache_size)
-    red_tree = _read_tree(br, 256)
-    blue_tree = _read_tree(br, 256)
-    alpha_tree = _read_tree(br, 256)
-    dist_tree = _read_tree(br, 40)
+    groups = [
+        (
+            _read_tree(br, 256 + 24 + cache_size),
+            _read_tree(br, 256),
+            _read_tree(br, 256),
+            _read_tree(br, 256),
+            _read_tree(br, 40),
+        )
+        for _ in range(n_groups)
+    ]
     cache = [0] * cache_size
     n = w * h
     px: List[int] = []
     while len(px) < n:
+        if meta_map is None:
+            green_tree, red_tree, blue_tree, alpha_tree, dist_tree = groups[0]
+        else:
+            i = len(px)
+            green_tree, red_tree, blue_tree, alpha_tree, dist_tree = groups[
+                meta_map[
+                    ((i // w) >> meta_bits) * meta_w + ((i % w) >> meta_bits)
+                ]
+            ]
         g = green_tree.decode(br)
         if g < 256:
             r = red_tree.decode(br)
@@ -241,12 +401,13 @@ def _decode_entropy_image(
         elif g < 280:
             length = _prefix_value(g - 256, br)
             dist_code = _prefix_value(dist_tree.decode(br), br)
-            if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L neighborhood-mapped distance codes (1-120) "
-                    "not supported (spec table required)"
-                )
-            dist = dist_code - 120
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
             if dist <= 0 or dist > len(px):
                 raise ValueError("VP8L back-reference out of range")
             for _ in range(length):
@@ -286,9 +447,13 @@ def decode_vp8l(data: bytes) -> Tuple[int, int, int, bytes]:
         raise ValueError("unknown VP8L version")
 
     transforms: List[tuple] = []
+    seen_transforms = set()
     xsize = w
     while br.bit():
         ttype = br.read(2)
+        if ttype in seen_transforms:
+            raise ValueError("VP8L duplicate transform")
+        seen_transforms.add(ttype)
         if ttype == 2:  # SUBTRACT_GREEN
             transforms.append(("subtract_green",))
         elif ttype == 3:  # COLOR_INDEXING
@@ -317,10 +482,19 @@ def decode_vp8l(data: bytes) -> Tuple[int, int, int, bytes]:
             transforms.append(("palette", palette, width_bits, xsize))
             if width_bits:
                 xsize = (xsize + (1 << width_bits) - 1) >> width_bits
-        else:
-            raise NotImplementedError(
-                "VP8L predictor/color transform not supported "
-                "(spec tables required)"
+        else:  # 0 = PREDICTOR, 1 = COLOR — sub-image of per-block modes/ctes
+            size_bits = br.read(3) + 2
+            block_w = (xsize + (1 << size_bits) - 1) >> size_bits
+            block_h = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, block_w, block_h, is_main=False)
+            transforms.append(
+                (
+                    "predictor" if ttype == 0 else "color",
+                    size_bits,
+                    sub,
+                    xsize,
+                    block_w,
+                )
             )
 
     px = _decode_entropy_image(br, xsize, h, is_main=True)
@@ -332,6 +506,31 @@ def decode_vp8l(data: bytes) -> Tuple[int, int, int, bytes]:
                 r = (((v >> 16) & 0xFF) + g) & 0xFF
                 b = ((v & 0xFF) + g) & 0xFF
                 px[i] = (v & 0xFF00FF00) | (r << 16) | b
+        elif t[0] == "predictor":
+            _, size_bits, sub, tw, block_w = t
+            if len(px) != tw * h:
+                raise ValueError("VP8L predictor transform size mismatch")
+            for y in range(h):
+                for x in range(tw):
+                    i = y * tw + x
+                    px[i] = _add_px(
+                        px[i], _predict(px, tw, x, y, size_bits, sub, block_w)
+                    )
+        elif t[0] == "color":
+            _, size_bits, sub, tw, block_w = t
+            if len(px) != tw * h:
+                raise ValueError("VP8L color transform size mismatch")
+            for y in range(h):
+                brow = (y >> size_bits) * block_w
+                for x in range(tw):
+                    i = y * tw + x
+                    g2r, g2b, r2b = _color_deltas(sub[brow + (x >> size_bits)])
+                    v = px[i]
+                    g = _i8((v >> 8) & 0xFF)
+                    r = (((v >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
+                    b = ((v & 0xFF) + ((g2b * g) >> 5)) & 0xFF
+                    b = (b + ((r2b * _i8(r)) >> 5)) & 0xFF
+                    px[i] = (v & 0xFF00FF00) | (r << 16) | b
         else:  # palette
             _, palette, width_bits, full_w = t
             out: List[int] = []
@@ -496,27 +695,19 @@ def _write_tree(bw: _BitWriter, lengths: List[int]) -> None:
             bw.write(extra, 2)
 
 
-def encode_vp8l(
-    width: int, height: int, pixels: bytes, channels: int = 3
-) -> bytes:
-    """Deterministic VP8L payload: literal-only stream (no transforms,
-    no cache, no LZ77) with real canonical prefix codes — every
-    decoder feature short of backrefs is exercised. ``pixels`` is
-    interleaved RGB (channels=3, alpha=255) or RGBA (channels=4)."""
-    if channels not in (3, 4):
-        raise ValueError("encode_vp8l supports RGB or RGBA input")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer size mismatch")
-    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
-        raise ValueError("VP8L dimensions out of range")
-    n = width * height
-    rs, gs, bs, As = [], [], [], []
-    for i in range(n):
-        o = i * channels
-        rs.append(pixels[o])
-        gs.append(pixels[o + 1])
-        bs.append(pixels[o + 2])
-        As.append(pixels[o + 3] if channels == 4 else 255)
+def _write_literal_stream(
+    bw: _BitWriter, argb: Sequence[int], is_main: bool
+) -> None:
+    """Entropy-coded image of plain literals (no cache, no meta, no
+    LZ77) with canonical prefix codes — shared by the main image and
+    the transform sub-images."""
+    bw.write(0, 1)  # no color cache
+    if is_main:
+        bw.write(0, 1)  # no meta prefix codes
+    gs = [(p >> 8) & 0xFF for p in argb]
+    rs = [(p >> 16) & 0xFF for p in argb]
+    bs = [p & 0xFF for p in argb]
+    As = [(p >> 24) & 0xFF for p in argb]
 
     def freq(vals: List[int]) -> Dict[int, int]:
         f: Dict[int, int] = {}
@@ -529,6 +720,47 @@ def encode_vp8l(
     b_len = _huffman_lengths(freq(bs), 256)
     a_len = _huffman_lengths(freq(As), 256)
     d_len = [0] * 40  # no distance symbols used
+    for lens in (g_len, r_len, b_len, a_len, d_len):
+        _write_tree(bw, lens)
+    codes = [
+        _canonical_codes(lens) for lens in (g_len, r_len, b_len, a_len)
+    ]
+    singles = [len(c) <= 1 for c in codes]
+    for i in range(len(argb)):
+        for ch, vals in enumerate((gs, rs, bs, As)):
+            if not singles[ch]:
+                bw.write_code(*codes[ch][vals[i]])
+
+
+def encode_vp8l(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    transforms: Sequence = (),
+) -> bytes:
+    """Deterministic VP8L payload: literal streams (no cache, no LZ77)
+    with real canonical prefix codes, optionally behind forward
+    transforms so the decoder's inverse paths are exercised end to
+    end.  ``pixels`` is interleaved RGB (channels=3, alpha=255) or
+    RGBA (channels=4).  ``transforms`` entries, applied in order:
+    ``"subtract_green"``, ``("predictor", mode)`` (one whole-image
+    block, modes 0-13), ``("color", (g2r, g2b, r2b))`` (one
+    whole-image cte, deltas as signed ints)."""
+    if channels not in (3, 4):
+        raise ValueError("encode_vp8l supports RGB or RGBA input")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("VP8L dimensions out of range")
+    n = width * height
+    argb: List[int] = []
+    for i in range(n):
+        o = i * channels
+        a = pixels[o + 3] if channels == 4 else 255
+        argb.append(
+            (a << 24) | (pixels[o] << 16) | (pixels[o + 1] << 8) | pixels[o + 2]
+        )
 
     bw = _BitWriter()
     bw.write(0x2F, 8)
@@ -536,36 +768,74 @@ def encode_vp8l(
     bw.write(height - 1, 14)
     bw.write(1 if channels == 4 else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix codes
-    for lens in (g_len, r_len, b_len, a_len, d_len):
-        _write_tree(bw, lens)
-    g_codes = _canonical_codes(g_len)
-    r_codes = _canonical_codes(r_len)
-    b_codes = _canonical_codes(b_len)
-    a_codes = _canonical_codes(a_len)
-    g_single = len(g_codes) <= 1
-    r_single = len(r_codes) <= 1
-    b_single = len(b_codes) <= 1
-    a_single = len(a_codes) <= 1
-    for i in range(n):
-        if not g_single:
-            bw.write_code(*g_codes[gs[i]])
-        if not r_single:
-            bw.write_code(*r_codes[rs[i]])
-        if not b_single:
-            bw.write_code(*b_codes[bs[i]])
-        if not a_single:
-            bw.write_code(*a_codes[As[i]])
+
+    size_bits = 9  # max block (512) -> one block covers fixture images
+    block_w = (width + (1 << size_bits) - 1) >> size_bits
+    block_h = (height + (1 << size_bits) - 1) >> size_bits
+    for t in transforms:
+        if t == "subtract_green":
+            bw.write(1, 1)
+            bw.write(2, 2)
+            argb = [
+                (v & 0xFF00FF00)
+                | ((((v >> 16) & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF) << 16
+                | (((v & 0xFF) - ((v >> 8) & 0xFF)) & 0xFF)
+                for v in argb
+            ]
+        elif t[0] == "predictor":
+            mode = t[1]
+            if not 0 <= mode <= 13:
+                raise ValueError("predictor mode out of range")
+            bw.write(1, 1)
+            bw.write(0, 2)
+            bw.write(size_bits - 2, 3)
+            sub = [0xFF000000 | (mode << 8)] * (block_w * block_h)
+            _write_literal_stream(bw, sub, is_main=False)
+            argb = [
+                _sub_px(
+                    argb[y * width + x],
+                    _predict(argb, width, x, y, size_bits, sub, block_w),
+                )
+                for y in range(height)
+                for x in range(width)
+            ]
+        elif t[0] == "color":
+            g2r, g2b, r2b = (d & 0xFF for d in t[1])
+            bw.write(1, 1)
+            bw.write(1, 2)
+            bw.write(size_bits - 2, 3)
+            cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            _write_literal_stream(
+                bw, [cte] * (block_w * block_h), is_main=False
+            )
+            out: List[int] = []
+            for v in argb:
+                g = _i8((v >> 8) & 0xFF)
+                r0 = (v >> 16) & 0xFF
+                r = (r0 - ((_i8(g2r) * g) >> 5)) & 0xFF
+                b = (
+                    (v & 0xFF)
+                    - ((_i8(g2b) * g) >> 5)
+                    - ((_i8(r2b) * _i8(r0)) >> 5)
+                ) & 0xFF
+                out.append((v & 0xFF00FF00) | (r << 16) | b)
+            argb = out
+        else:
+            raise ValueError(f"unknown encoder transform {t!r}")
+    bw.write(0, 1)  # no more transforms
+    _write_literal_stream(bw, argb, is_main=True)
     return bytes(bw.out)
 
 
 def encode_webp_lossless(
-    width: int, height: int, pixels: bytes, channels: int = 3
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    transforms: Sequence = (),
 ) -> bytes:
     """Full RIFF WebP container around :func:`encode_vp8l`."""
-    payload = encode_vp8l(width, height, pixels, channels)
+    payload = encode_vp8l(width, height, pixels, channels, transforms)
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"

@@ -236,38 +236,224 @@ class TestHandBuiltStreams:
             )
 
 
-class TestErrorEdges:
-    def test_predictor_transform_raises(self):
+# The literal RFC 9649 distance-map table, (dx, dy) per distance code
+# 1..120 — kept verbatim here as the ground truth the generated
+# closed-form table in operators/vp8l must reproduce entry-for-entry.
+_SPEC_DIST_TABLE = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+class TestTransforms:
+    def test_distance_map_matches_spec_table(self):
+        assert list(V._DIST_MAP) == _SPEC_DIST_TABLE
+
+    def test_predictor_roundtrip_every_mode(self):
+        random.seed(11)
+        for mode in range(14):
+            w, h = random.randint(1, 17), random.randint(1, 13)
+            ch = random.choice([3, 4])
+            px = bytes(random.randrange(256) for _ in range(w * h * ch))
+            got = V.decode_vp8l(
+                V.encode_vp8l(w, h, px, ch, transforms=[("predictor", mode)])
+            )
+            assert got[:3] == (w, h, 4)
+            for i in range(w * h):
+                assert got[3][4 * i : 4 * i + 3] == px[ch * i : ch * i + 3]
+                assert got[3][4 * i + 3] == (px[ch * i + 3] if ch == 4 else 255)
+
+    def test_color_transform_roundtrip(self):
+        random.seed(12)
+        for _ in range(10):
+            w, h = random.randint(1, 15), random.randint(1, 12)
+            deltas = tuple(random.randint(-128, 127) for _ in range(3))
+            px = bytes(random.randrange(256) for _ in range(w * h * 3))
+            got = V.decode_vp8l(
+                V.encode_vp8l(w, h, px, 3, transforms=[("color", deltas)])
+            )
+            for i in range(w * h):
+                assert got[3][4 * i : 4 * i + 3] == px[3 * i : 3 * i + 3]
+
+    def test_stacked_transforms_roundtrip(self):
+        random.seed(13)
+        for _ in range(6):
+            w, h = random.randint(2, 14), random.randint(2, 11)
+            px = bytes(random.randrange(256) for _ in range(w * h * 4))
+            tr = ["subtract_green", ("predictor", random.randint(0, 13))]
+            random.shuffle(tr)
+            tr.append(("color", (random.randint(-128, 127), 3, -5)))
+            got = V.decode_vp8l(V.encode_vp8l(w, h, px, 4, transforms=tr))
+            assert got[3] == px
+
+    def test_select_is_strict_per_amended_spec(self):
+        # pLeft (=Σ|T-TL|) strictly smaller -> left; ties -> top
+        L = 0xFF000000 | (10 << 16)
+        T = 0xFF000000 | (20 << 16)
+        TL_eq = 0xFF000000 | (15 << 16)  # pLeft == pTop == 5
+        assert V._select(L, T, TL_eq) == T
+        TL_l = 0xFF000000 | (19 << 16)  # pLeft=1 < pTop=9
+        assert V._select(L, T, TL_l) == L
+
+    def test_clamp_half_truncates_toward_zero(self):
+        # a=10, TL=13 -> d=-3: C trunc gives -1 (result 9); floor
+        # division would give -2 (result 8)
+        L = 0xFF000000 | (10 << 16)
+        T = 0xFF000000 | (10 << 16)
+        TL = 0xFF000000 | (13 << 16)
+        assert (V._clamp_add_sub_half(L, T, TL) >> 16) & 0xFF == 9
+
+    def test_avg2_per_channel(self):
+        a = 0x01030507
+        b = 0x02040608
+        assert V._avg2(a, b) == 0x01030507  # floor((a+b)/2) per channel
+
+    def test_predictor_border_rules(self):
+        # direct kernel checks of the three border overrides plus the
+        # rightmost-column TR rule (leftmost pixel of the current row)
+        w = 3
+        sub = [0xFF000000 | (3 << 8)]  # mode 3 = TR
+        px = [0xFF000001, 0xFF000002, 0xFF000003,
+              0xFF000004, 0xFF000005, 0xFF000006]
+        assert V._predict(px, w, 0, 0, 9, sub, 1) == 0xFF000000  # (0,0)
+        assert V._predict(px, w, 1, 0, 9, sub, 1) == px[0]       # top row: L
+        assert V._predict(px, w, 0, 1, 9, sub, 1) == px[0]       # left col: T
+        assert V._predict(px, w, 1, 1, 9, sub, 1) == px[2]       # TR normal
+        assert V._predict(px, w, 2, 1, 9, sub, 1) == px[3]       # TR wraps
+        # end-to-end: all-zero residuals under mode 2 stay black
+        blob = V.encode_vp8l(
+            3, 2, bytes([0, 0, 0]) * 6, 3, transforms=[("predictor", 2)]
+        )
+        assert V.decode_vp8l(blob)[3] == bytes([0, 0, 0, 255]) * 6
+
+    def _mapped_copy_stream(self, w, h, literals, length_sym, dist_sym,
+                            dist_extra=None):
+        """Literal pixels then ONE LZ77 copy via a mapped distance."""
+        bw = _BitWriter()
+        _header(bw, w, h)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta
+        g_syms = [((p >> 8) & 0xFF) for p in literals] + [256 + length_sym]
+        freq = lambda vals: {v: vals.count(v) for v in vals}
+        g_len = _huffman_lengths(freq(g_syms), 280)
+        r_len = _huffman_lengths(freq([(p >> 16) & 0xFF for p in literals]), 256)
+        b_len = _huffman_lengths(freq([p & 0xFF for p in literals]), 256)
+        a_len = _huffman_lengths(freq([(p >> 24) & 0xFF for p in literals]), 256)
+        d_len = _huffman_lengths({dist_sym: 1}, 40)
+        for lens in (g_len, r_len, b_len, a_len, d_len):
+            _write_tree(bw, lens)
+        gc = _canonical_codes(g_len)
+        rc = _canonical_codes(r_len)
+        bc = _canonical_codes(b_len)
+        ac = _canonical_codes(a_len)
+        for p in literals:
+            bw.write_code(*gc[(p >> 8) & 0xFF])
+            if len(rc) > 1:
+                bw.write_code(*rc[(p >> 16) & 0xFF])
+            if len(bc) > 1:
+                bw.write_code(*bc[p & 0xFF])
+            if len(ac) > 1:
+                bw.write_code(*ac[(p >> 24) & 0xFF])
+        bw.write_code(*gc[256 + length_sym])
+        # single-symbol distance tree consumes 0 code bits
+        if dist_extra is not None:
+            bw.write(*dist_extra)
+        return bytes(bw.out)
+
+    def test_mapped_distance_row_copy(self):
+        # distance code 1 -> (0,1) -> dist = xsize: row 2 copies row 1
+        w, h = 4, 2
+        lits = [0xFF000000 | (c << 16) | ((c + 1) << 8) | (c + 2)
+                for c in (10, 40, 70, 100)]
+        blob = self._mapped_copy_stream(
+            w, h, lits, length_sym=3, dist_sym=0  # len 4, dist value 1
+        )
+        got = V.decode_vp8l(blob)
+        expect = lits + lits
+        for i, p in enumerate(expect):
+            assert got[3][4 * i : 4 * i + 4] == bytes(
+                ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, 255)
+            )
+
+    def test_mapped_distance_clamps_to_one(self):
+        # code 80 -> (-7, 1): with xsize=4 the raw dist is -3, clamped
+        # to 1, so the copy repeats the previous pixel
+        w, h = 4, 1
+        A = 0xFF102030
+        B = 0xFF405060
+        # dist value 80: prefix sym 12 (offset 64, 5 extra bits), extra 15
+        blob = self._mapped_copy_stream(
+            w, h, [A, B], length_sym=1, dist_sym=12, dist_extra=(15, 5)
+        )
+        got = V.decode_vp8l(blob)
+        expect = [A, B, B, B]
+        for i, p in enumerate(expect):
+            assert got[3][4 * i : 4 * i + 4] == bytes(
+                ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, 255)
+            )
+
+    def test_meta_prefix_groups(self):
+        # 8x2 image, meta block 4 px: left half group 0, right group 1;
+        # every per-group tree is single-symbol, so the pixel data
+        # consumes zero bits and the output is decided by the groups
+        w, h = 8, 2
+        bw = _BitWriter()
+        _header(bw, w, h)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(1, 1)  # meta prefix codes present
+        bw.write(0, 3)  # meta_bits = 2 -> block 4
+        # meta image 2x1: group ids 0 and 1 in (red<<8)|green
+        _write_literal_image(
+            bw, [0xFF000000, 0xFF000100], is_main=False
+        )
+        for g, r, b, a in ((0x10, 0x20, 0x30, 0xFF), (0x50, 0x60, 0x70, 0x80)):
+            for lens in (
+                _huffman_lengths({g: 1}, 280),
+                _huffman_lengths({r: 1}, 256),
+                _huffman_lengths({b: 1}, 256),
+                _huffman_lengths({a: 1}, 256),
+                [0] * 40,
+            ):
+                _write_tree(bw, lens)
+        got = V.decode_vp8l(bytes(bw.out))
+        assert got[:3] == (w, h, 4)
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                exp = (
+                    bytes((0x20, 0x10, 0x30, 0xFF))
+                    if x < 4
+                    else bytes((0x60, 0x50, 0x70, 0x80))
+                )
+                assert got[3][4 * i : 4 * i + 4] == exp
+
+    def test_duplicate_transform_raises(self):
         bw = _BitWriter()
         _header(bw, 4, 4)
         bw.write(1, 1)
-        bw.write(0, 2)  # PREDICTOR
-        with pytest.raises(NotImplementedError, match="predictor"):
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN again
+        with pytest.raises(ValueError, match="duplicate"):
             V.decode_vp8l(bytes(bw.out) + b"\x00" * 8)
 
-    def test_mapped_distance_raises(self):
-        # distance code value <= 120 is the neighborhood map
-        A = 0xFF010203
-        bw = _BitWriter()
-        _header(bw, 4, 1)
-        bw.write(0, 1)
-        bw.write(0, 1)  # no cache
-        bw.write(0, 1)  # no meta
-        g_len = _huffman_lengths({0x02: 1, 256 + 3: 1}, 280)
-        for lens in (
-            g_len,
-            _huffman_lengths({0x01: 1}, 256),
-            _huffman_lengths({0x03: 1}, 256),
-            _huffman_lengths({0xFF: 1}, 256),
-            _huffman_lengths({0: 1}, 40),  # dist code 0 -> value 1 (mapped)
-        ):
-            _write_tree(bw, lens)
-        gc = _canonical_codes(g_len)
-        bw.write_code(*gc[0x02])
-        bw.write_code(*gc[256 + 3])
-        with pytest.raises(NotImplementedError, match="distance"):
-            V.decode_vp8l(bytes(bw.out) + b"\x00" * 4)
 
+class TestErrorEdges:
     def test_lossy_vp8_raises(self):
         body = b"WEBPVP8 " + b"\x00\x00\x00\x00" + b"\x00" * 16
         blob = b"RIFF" + len(body).to_bytes(4, "little") + body
