@@ -1675,6 +1675,29 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select("id", _fl(F.col("cosine")).alias("cosine_scaled"))
 
 
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) under the gate: md5-seeded + one
+    quantized-Lloyd-step clusters (the exact ivf index build), in-cell
+    cosine>=0.35 pairs, connected components, and the paper's keep rule
+    (lowest centroid similarity survives, integer-scaled so both
+    engines order identically). The oracle replays the whole chain —
+    index build, pair set, recursive-CTE components, keep window. The
+    Spark side's max_cluster hot-cell guard is inactive at gate scale
+    (largest cell << cap), so the oracle omits it."""
+    emb = _emb(spark, sf_dir)
+    out = D.semdedup(
+        emb, n_cells=IVF_CELLS, threshold=0.35, quantize=IVF_Q
+    )
+    return out.select(
+        "id",
+        F.col("cell_id").cast("int").alias("cell_id"),
+        "group_id",
+        F.col("n_group").cast("bigint").alias("n_group"),
+        "centroid_sim_scaled",
+        "is_kept",
+    )
+
+
 def q_entity_link_embedding(spark, sf_dir):
     """EMBEDDING-tier entity linking under the gate (the north-star's
     'dictionary + embedding entity linking' second half): a 50-entry
@@ -3175,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "emb_semdedup": q_emb_semdedup,              # SemDeDup clusters
         "corpus_bm25": q_corpus_bm25,                # integer BM25 top-k
         "corpus_quality_clf": q_corpus_quality_clf,  # weak-label NB scorer
         "corpus_dsir": q_corpus_dsir,                # DSIR importance slice
@@ -3228,9 +3252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "page_og": q_page_og,
         "media_resize": q_media_resize,
-        "corpus_curate": q_corpus_curate,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "corpus_curate": q_corpus_curate,
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
         "text_pack": q_text_pack,
@@ -5779,6 +5803,76 @@ FROM pruned pr JOIN embeddings e ON e.vec_id = pr.vec_id, q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
 LIMIT 10
 """
+
+    # SemDeDup: the identical centroid build (seeds -> one quantized
+    # Lloyd step), final assignment, in-cell cosine pairs, recursive-CTE
+    # connected components, and the lowest-centroid-sim keep window.
+    semdedup_sql = f"""
+WITH RECURSIVE seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell_id,
+         embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_CELLS}
+), a0 AS (
+  SELECT e.vec_id, s.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) DESC,
+                    s.cell_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+), ex AS (
+  SELECT a0.cell_id,
+         generate_subscripts(e.embedding, 1) AS d,
+         unnest(e.embedding::DOUBLE[]) AS x
+  FROM a0 JOIN embeddings e ON e.vec_id = a0.vec_id
+  WHERE a0.rn = 1
+), cm AS (
+  SELECT cell_id, d, floor(sum(floor(x * {IVF_Q})) / count(*)) / {IVF_Q} AS m
+  FROM ex GROUP BY cell_id, d
+), cents AS (
+  SELECT cell_id, list(m ORDER BY d) AS centroid FROM cm GROUP BY cell_id
+), a1 AS (
+  SELECT e.vec_id, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                    c.cell_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), withsim AS MATERIALIZED (
+  SELECT CAST(a1.vec_id AS VARCHAR) AS id, a1.cell_id,
+         e.embedding::DOUBLE[] AS v,
+         CAST(floor(10000 * list_cosine_similarity(e.embedding::DOUBLE[], c.centroid))
+              AS BIGINT) AS centroid_sim_scaled
+  FROM a1
+  JOIN embeddings e ON e.vec_id = a1.vec_id
+  JOIN cents c ON c.cell_id = a1.cell_id
+  WHERE a1.rn = 1
+), pairs AS MATERIALIZED (
+  SELECT x.id AS a, y.id AS b
+  FROM withsim x JOIN withsim y ON x.cell_id = y.cell_id AND x.id < y.id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.35
+), sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), lab AS (
+  SELECT w.id, w.cell_id, w.centroid_sim_scaled,
+         coalesce(c.component, w.id) AS group_id
+  FROM withsim w LEFT JOIN comp c ON c.node = w.id
+)
+SELECT id, CAST(cell_id AS INTEGER) AS cell_id, group_id,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_group,
+       centroid_sim_scaled,
+       row_number() OVER (
+         PARTITION BY group_id ORDER BY centroid_sim_scaled, id
+       ) = 1 AS is_kept
+FROM lab
+"""
     # -- corpus filter: quality score + repetition + lang verdict with
     # sorted reason tags (mirrors operators/filtering.py thresholds)
     score_sql = r"""
@@ -5867,6 +5961,7 @@ FROM ({lang_sql}) GROUP BY lang_pred
         "dedup_clusters": clusters,
         "text_lang_id": lang_sql,
         "emb_near_dup": emb_near_dup,
+        "emb_semdedup": semdedup_sql,
         "ann_ivf_topk": ivf,
         "corpus_filter": corpus_filter,
         "corpus_report": corpus_report,

@@ -603,6 +603,131 @@ def embedding_near_dup_pairs(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.5,
+    quantize: int = 1_000_000,
+    sim_scale: int = 10_000,
+    max_cluster: Optional[int] = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(id, cell_id, group_id, n_group, centroid_sim_scaled, is_kept) —
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    SEMANTIC deduplication over an embedding column.
+
+    Vectors are k-means-clustered (md5-seeded centroids + one quantized
+    Lloyd step, shared with the IVF index build in
+    :mod:`..operators.similarity`); within each cluster, pairs with
+    cosine >= ``threshold`` are semantic duplicates; pairs resolve to
+    groups via the shared connected-components operator, and per group
+    ONE example is kept — the member with the LOWEST cosine to its
+    cluster centroid (the paper's keep rule: low-centroid-similarity
+    examples are the least prototypical, so keeping them preserves
+    diversity), ties broken by id. Rows with no duplicate pair are
+    singleton keeps.
+
+    Determinism: the keep rule orders on ``floor(sim_scale * cosine)``
+    (an integer) then the stringified id, so the survivor choice is
+    partition-independent and engine-portable (the DuckDB oracle
+    replays the identical centroid build and rule).
+
+    Scale shape (100 TB): pair generation is confined to clusters —
+    never all-pairs — and clusters larger than ``max_cluster`` are
+    excluded from pair generation entirely (their members stay
+    singleton keeps): a degenerate mega-cluster (near-constant
+    embeddings) would otherwise emit O(n²/k²) pairs from one cell.
+    The centroid join is a broadcast of ``n_cells`` rows; CC shuffles
+    only the pair graph; the final labeling is one window over
+    group_id. In production, ``n_cells`` scales as ~sqrt(N) so the
+    expected per-cell pair cost stays linear in N.
+    """
+    from pyspark.sql import Window
+
+    from .canonicalize import connected_components
+    from .similarity import _dot, _norm, assign_cells, make_centroids
+
+    if centroids is None:
+        centroids = make_centroids(
+            emb, n_cells, vec_col, id_col, quantize=quantize
+        )
+    assigned = assign_cells(emb, centroids, vec_col, id_col)
+    withsim = (
+        assigned.join(F.broadcast(centroids), "cell_id")
+        .select(
+            F.col(id_col).cast("string").alias("id"),
+            "cell_id",
+            F.col(vec_col).alias("v"),
+            F.floor(
+                F.lit(float(sim_scale))
+                * _dot(F.col(vec_col), F.col("centroid"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("centroid")))
+            )
+            .cast("bigint")
+            .alias("centroid_sim_scaled"),
+        )
+        .persist()
+    )
+    # hot-cluster guard: cells above the cap skip pair generation
+    ok_cells = withsim.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    if max_cluster is not None:
+        ok_cells = ok_cells.filter(F.col("n_cell") <= max_cluster)
+    eligible = withsim.join(
+        F.broadcast(ok_cells.select("cell_id")), "cell_id"
+    )
+    a = eligible.select(
+        "cell_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = eligible.select(
+        "cell_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot / (norm(F.col("va")) * norm(F.col("vb")))
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(pairs)
+    lab = (
+        withsim.join(comp, withsim["id"] == comp["node"], "left")
+        .select(
+            "id",
+            "cell_id",
+            "centroid_sim_scaled",
+            F.coalesce("component", F.col("id")).alias("group_id"),
+        )
+    )
+    w = Window.partitionBy("group_id")
+    me = F.struct(
+        F.col("centroid_sim_scaled").alias("s"), F.col("id").alias("i")
+    )
+    return lab.select(
+        "id",
+        "cell_id",
+        "group_id",
+        F.count(F.lit(1)).over(w).alias("n_group"),
+        "centroid_sim_scaled",
+        (me == F.min(me).over(w)).alias("is_kept"),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -447,6 +447,66 @@ class TestEmbeddingOps:
         pairs = dedup.embedding_near_dup_pairs(df, threshold=0.99).collect()
         assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
+    def _semdedup_fixture(self, spark):
+        # two tight planted groups + isolated vectors; 4-dim
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+            (3, [0.99, 0.02, 0.01, 0.0]),   # near-dup of 1 and 2
+            (4, [0.0, 1.0, 0.0, 0.0]),
+            (5, [0.0, 0.999, 0.01, 0.0]),   # near-dup of 4
+            (6, [0.0, 0.0, 1.0, 0.0]),      # isolated
+            (7, [0.0, 0.0, 0.0, 1.0]),      # isolated
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_semdedup_groups_and_keep_rule(self, spark):
+        df = self._semdedup_fixture(spark)
+        out = {r.id: r for r in dedup.semdedup(
+            df, n_cells=4, threshold=0.99, quantize=10**6
+        ).collect()}
+        assert len(out) == 7
+        # planted groups resolve transitively; singletons self-group
+        g123 = {out["1"].group_id, out["2"].group_id, out["3"].group_id}
+        assert len(g123) == 1
+        assert out["4"].group_id == out["5"].group_id
+        assert out["6"].group_id == "6" and out["6"].n_group == 1
+        assert out["1"].n_group == 3 and out["4"].n_group == 2
+        # exactly one keep per group, and it's the min (sim, id) member
+        for members in (["1", "2", "3"], ["4", "5"]):
+            kept = [m for m in members if out[m].is_kept]
+            assert len(kept) == 1
+            expect = min(
+                members,
+                key=lambda m: (out[m].centroid_sim_scaled, m),
+            )
+            assert kept == [expect]
+        assert out["6"].is_kept and out["7"].is_kept
+
+    def test_semdedup_max_cluster_guard(self, spark):
+        df = self._semdedup_fixture(spark)
+        # a cap below every cell size disables pair generation entirely:
+        # all rows become singleton keeps (documented drop-dedup-for-
+        # pathological-cells semantics, parity with dedup max_bucket)
+        out = dedup.semdedup(
+            df, n_cells=4, threshold=0.99, quantize=10**6, max_cluster=0
+        ).collect()
+        assert all(r.is_kept and r.n_group == 1 for r in out)
+
+    def test_semdedup_partition_invariant(self, spark):
+        df = self._semdedup_fixture(spark)
+        a = sorted(
+            tuple(r) for r in dedup.semdedup(
+                df, n_cells=4, threshold=0.99, quantize=10**6
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in dedup.semdedup(
+                df.repartition(5), n_cells=4, threshold=0.99, quantize=10**6
+            ).collect()
+        )
+        assert a == b
+
 
 class TestTextStats:
     def test_token_counts_match_python(self, spark, docs):
