@@ -1544,6 +1544,34 @@ def q_text_surprisal(spark, sf_dir):
     return TD.unigram_surprisal(_docs(spark, sf_dir))
 
 
+def q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing under the gate (Wenzek et al.
+    2020): per-language head/middle/tail terciles of the all-integer
+    unigram-surprisal score. Buckets are assigned by VALUE over the
+    per-(lang, score) histogram — 1 + (docs_strictly_below * 3) div
+    lang_total — so value ties share a bucket, the window never touches
+    the documents, and both engines cut identically."""
+    return TD.perplexity_buckets(_docs(spark, sf_dir))
+
+
+_MIXTURE_WEIGHTS = {"src0": 3, "src1": 1, "src2": 1}
+_MIXTURE_BUDGET = 3000
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Token-budget mixture sampling under the gate (the static
+    data-mixing step of a training corpus): each listed domain gets
+    budget = total * w div sum(w) tokens, filled in md5(doc_id) order,
+    keeping every document whose exclusive token prefix is below the
+    budget (the crossing document is included). The Spark side runs the
+    two-level coarse-range/boundary-window plan; the oracle replays the
+    naive single-window rule — identical because the md5-range order
+    extends the md5 order."""
+    return TD.mixture_sample(
+        _docs(spark, sf_dir), _MIXTURE_WEIGHTS, _MIXTURE_BUDGET
+    )
+
+
 _BM25_TERMS = ["join", "filter", "window", "customer"]
 
 
@@ -3198,6 +3226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "text_ccnet_buckets": q_text_ccnet_buckets,  # CCNet ppl terciles
+        "corpus_mixture": q_corpus_mixture,          # token-budget mixing
         "emb_semdedup": q_emb_semdedup,              # SemDeDup clusters
         "corpus_bm25": q_corpus_bm25,                # integer BM25 top-k
         "corpus_quality_clf": q_corpus_quality_clf,  # weak-label NB scorer
@@ -3250,10 +3280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_anchors": q_links_anchors,
         "robots_filter": q_robots_filter,
         "page_meta": q_page_meta,
-        "page_og": q_page_og,
-        "media_resize": q_media_resize,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "page_og": q_page_og,
+        "media_resize": q_media_resize,
         "corpus_curate": q_corpus_curate,
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
@@ -5338,6 +5368,78 @@ FROM p GROUP BY prev // 512
 """,
         # all-integer unigram surprisal: (T*1e6) div tf per token,
         # floored tf-weighted mean per doc — no floats, no libm
+        # CCNet terciles: the surprisal chain + value-level histogram cut
+        # (1 + n_below*3 // n_lang; all operands non-negative so DuckDB's
+        # floor-div == Spark's truncating div)
+        "text_ccnet_buckets": r"""
+WITH per_doc AS (
+  SELECT doc_id AS id, token, CAST(COUNT(*) AS BIGINT) AS tf_doc
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents WHERE length(trim(text)) > 0
+  )
+  GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf FROM per_doc GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS t FROM vocab
+), dim AS (
+  SELECT token, CAST((t * 1000000) // tf AS BIGINT) AS surprisal
+  FROM vocab, tot
+), scored AS (
+  SELECT id,
+         CAST(SUM(tf_doc) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf_doc * surprisal) // SUM(tf_doc) AS BIGINT)
+           AS surprisal_scaled
+  FROM per_doc JOIN dim USING (token)
+  GROUP BY id
+), sl AS (
+  SELECT s.*, d.lang FROM scored s JOIN documents d ON d.doc_id = s.id
+), hist AS (
+  SELECT lang, surprisal_scaled, CAST(COUNT(*) AS BIGINT) AS n_val
+  FROM sl GROUP BY lang, surprisal_scaled
+), cuts AS (
+  SELECT lang, surprisal_scaled,
+         CAST(1 + (COALESCE(SUM(n_val) OVER (
+                     PARTITION BY lang ORDER BY surprisal_scaled
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) * 3)
+              // SUM(n_val) OVER (PARTITION BY lang) AS INTEGER) AS bucket
+  FROM hist
+)
+SELECT sl.id, sl.lang, sl.n_tokens, sl.surprisal_scaled, c.bucket,
+       CASE c.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS label
+FROM sl JOIN cuts c USING (lang, surprisal_scaled)
+""",
+        # token-budget mixture: the NAIVE one-window-per-domain rule —
+        # the Spark side's coarse-range/boundary plan must reproduce it
+        # exactly (range order extends md5 order)
+        "corpus_mixture": r"""
+WITH tokd AS (
+  SELECT doc_id AS id, source AS domain,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), b AS (
+  SELECT * FROM (VALUES {mixture_budgets}) AS v(domain, budget)
+), pre AS (
+  SELECT t.id, t.domain, t.n_tok, b.budget,
+         COALESCE(SUM(t.n_tok) OVER (
+           PARTITION BY t.domain ORDER BY t.h, t.id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prev
+  FROM tokd t JOIN b ON b.domain = t.domain
+)
+SELECT id, domain, n_tok FROM pre WHERE prev < budget
+""".format(
+            mixture_budgets=", ".join(
+                f"('{d}', CAST({_MIXTURE_BUDGET * w // sum(_MIXTURE_WEIGHTS.values())} AS BIGINT))"
+                for d, w in sorted(_MIXTURE_WEIGHTS.items())
+            )
+        ),
         "text_surprisal": r"""
 WITH per_doc AS (
   SELECT doc_id AS id, token, CAST(COUNT(*) AS BIGINT) AS tf_doc

@@ -31,6 +31,8 @@ __all__ = [
     "unigram_surprisal",
     "embed_documents",
     "bin_manifests",
+    "perplexity_buckets",
+    "mixture_sample",
 ]
 
 
@@ -527,3 +529,188 @@ def shard_manifest(
             ).alias("id_digest"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """(id, lang, n_tokens, surprisal_scaled, bucket, label) — CCNet-style
+    perplexity bucketing (Wenzek et al. 2020): per language, documents are
+    split into ``n_buckets`` equal-mass buckets of their LM-quality proxy
+    score, labeled head / middle / tail for the default 3 (CCNet trains on
+    head+middle and drops the tail). The score is :func:`unigram_surprisal`
+    — all-integer, so the bucket boundaries are bit-identical on every
+    engine.
+
+    Buckets are assigned by VALUE, not by row: a document's bucket is
+    ``1 + (docs-strictly-below * n_buckets) div lang_total``, so every
+    document with the same (lang, score) lands in the same bucket and the
+    result is partition-independent (an ntile() would split value ties by
+    an arbitrary row order and need a per-language global sort).
+
+    Scale shape: the ranking window runs over the per-(lang, score)
+    HISTOGRAM — bounded by distinct score values, orders of magnitude
+    smaller than the corpus — never over the documents, so there is no
+    one-reducer-per-language funnel; documents get their bucket back via
+    a hash join on (lang, score). CCNet itself buckets per language with
+    a sampled CDF; the histogram here is exact and still bounded.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scored = unigram_surprisal(df, text_col, id_col, scale).join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+        ),
+        "id",
+    )
+    hist = scored.groupBy("lang", "surprisal_scaled").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_val")
+    )
+    w_below = (
+        Window.partitionBy("lang")
+        .orderBy("surprisal_scaled")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("lang")
+    cuts = hist.select(
+        "lang",
+        "surprisal_scaled",
+        F.coalesce(F.sum("n_val").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum("n_val").over(w_all).cast("bigint").alias("n_lang"),
+    ).select(
+        "lang",
+        "surprisal_scaled",
+        (F.lit(1) + F.expr(f"(n_below * {n_buckets}) div n_lang"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    label = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        if n_buckets == 3
+        else F.concat(F.lit("q"), F.col("bucket").cast("string"))
+    )
+    return scored.join(cuts, ["lang", "surprisal_scaled"]).select(
+        "id",
+        "lang",
+        "n_tokens",
+        "surprisal_scaled",
+        "bucket",
+        label.alias("label"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: Dict[str, int],
+    total_budget: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_coarse: int = 256,
+) -> DataFrame:
+    """(id, domain, n_tok) — token-budget mixture sampling (the static
+    data-mixing step of Pile/DoReMi-style training corpora): each domain
+    receives ``budget_d = total_budget * w_d div sum(w)`` tokens (integer
+    weights, so the split is exact and engine-portable) and is filled by
+    documents in md5(id) order — a deterministic shuffle — keeping every
+    document whose EXCLUSIVE token prefix within its domain is still below
+    the budget (the document that crosses the budget line is included, so
+    each domain slightly overshoots rather than undershoots). Domains
+    absent from ``weights`` are dropped.
+
+    Scale shape — two-level selection, no per-domain global window over
+    the documents: md5 space is cut into ``n_coarse`` ordered ranges,
+    a per-(domain, range) token-sum table (bounded by
+    ``|domains| * n_coarse``) is prefix-summed with a window over THAT
+    table, and each range is classified kept-whole / dropped-whole /
+    boundary. Only the single boundary range per domain pays a fine
+    document-level window (~corpus/n_coarse rows); everything else is a
+    map-side filter against the broadcast range table. The md5 order
+    within a range extends the range order, so the two-level result is
+    identical to the naive one-window plan the DuckDB oracle runs.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if n_coarse < 1:
+        raise ValueError("n_coarse must be >= 1")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of ints >= 0")
+    denom = sum(weights.values())
+    if denom <= 0:
+        raise ValueError("weights must sum to > 0")
+    spark = df.sparkSession
+    budgets = F.broadcast(
+        spark.createDataFrame(
+            [(d, total_budget * w // denom) for d, w in sorted(weights.items())],
+            "domain string, budget bigint",
+        )
+    )
+    # md5_int is 32 bits; ranges are equal h-slices so range order == h order
+    width = max(1, (2**32 + n_coarse - 1) // n_coarse)
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        n_tok.cast("bigint").alias("n_tok"),
+        md5_int(F.col(id_col).cast("string")).alias("h"),
+    ).withColumn("rng", F.expr(f"h div {width}").cast("int"))
+    toks = toks.join(budgets, "domain").persist()
+    coarse = toks.groupBy("domain", "rng", "budget").agg(
+        F.sum("n_tok").cast("bigint").alias("rng_tok")
+    )
+    w_prev = (
+        Window.partitionBy("domain")
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classified = coarse.select(
+        "domain",
+        "rng",
+        F.coalesce(F.sum("rng_tok").over(w_prev), F.lit(0))
+        .cast("bigint")
+        .alias("prev_tok"),
+        "rng_tok",
+        "budget",
+    ).select(
+        "domain",
+        "rng",
+        "prev_tok",
+        F.when(F.col("prev_tok") + F.col("rng_tok") < F.col("budget"), "keep")
+        .when(F.col("prev_tok") >= F.col("budget"), "drop")
+        .otherwise("boundary")
+        .alias("cls"),
+    )
+    marked = toks.join(
+        F.broadcast(classified.filter(F.col("cls") != "drop")),
+        ["domain", "rng"],
+    )
+    kept_whole = marked.filter(F.col("cls") == "keep").select(
+        "id", "domain", "n_tok"
+    )
+    w_fine = (
+        Window.partitionBy("domain", "rng")
+        .orderBy("h", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        marked.filter(F.col("cls") == "boundary")
+        .withColumn(
+            "prefix",
+            F.col("prev_tok")
+            + F.coalesce(F.sum("n_tok").over(w_fine), F.lit(0)),
+        )
+        .filter(F.col("prefix") < F.col("budget"))
+        .select("id", "domain", "n_tok")
+    )
+    return kept_whole.unionByName(kept_boundary)

@@ -510,3 +510,145 @@ class TestShardManifest:
             [(1, "x"), (2, "yy"), (3, "z")], ["doc_id", "text"])
         got = shard_manifest(a, 1, sub_buckets=None).collect()[0]
         assert got.id_digest == hashlib.md5(b"1,2,3").hexdigest()
+
+
+class TestPerplexityBuckets:
+    def test_value_level_cut_hand_computed(self, spark):
+        # one lang, scores force the histogram cut: 6 docs, scale=10
+        # corpus "a"x4 + "b"x2 → T=6, surprisal: a=(60 div 4)=15, b=30
+        # docs: 4x "a" (score 15), 2x "b" (score 30)
+        # n_below for score 15 = 0 → bucket 1+0*3//6 = 1 (head)
+        # n_below for score 30 = 4 → bucket 1+4*3//6 = 3 (tail)
+        df = spark.createDataFrame(
+            [(i, "a", "en") for i in range(4)]
+            + [(i + 4, "b", "en") for i in range(2)],
+            "doc_id int, text string, lang string",
+        )
+        out = {
+            r.id: (r.bucket, r.label)
+            for r in td.perplexity_buckets(df, scale=10).collect()
+        }
+        assert all(out[i] == (1, "head") for i in range(4))
+        assert all(out[i] == (3, "tail") for i in (4, 5))
+
+    def test_ties_share_bucket_and_masses_near_equal(self, spark, docs):
+        out = td.perplexity_buckets(docs).cache()
+        # value ties never straddle buckets
+        assert (
+            out.groupBy("lang", "surprisal_scaled")
+            .agg(F.countDistinct("bucket").alias("nb"))
+            .where("nb > 1")
+            .count()
+            == 0
+        )
+        # per-lang masses within one value-run of each other
+        sizes = out.groupBy("lang", "bucket").count().collect()
+        per_lang = {}
+        for r in sizes:
+            per_lang.setdefault(r.lang, {})[r.bucket] = r["count"]
+        for lang, b in per_lang.items():
+            assert set(b) == {1, 2, 3}
+            n = sum(b.values())
+            for k in b.values():
+                assert abs(k - n / 3) <= max(3, n * 0.2)
+        out.unpersist()
+
+    def test_partition_invariant(self, spark, docs):
+        a = sorted(map(tuple, td.perplexity_buckets(docs).collect()))
+        b = sorted(
+            map(tuple, td.perplexity_buckets(docs.repartition(7)).collect())
+        )
+        assert a == b
+
+    def test_bad_n_buckets(self, spark, docs):
+        with pytest.raises(ValueError):
+            td.perplexity_buckets(docs, n_buckets=0)
+
+
+class TestMixtureSample:
+    def _naive(self, rows, weights, total):
+        # reference rule: md5 order, keep while exclusive prefix < budget
+        import hashlib
+
+        denom = sum(weights.values())
+        out = []
+        for dom, w in weights.items():
+            budget = total * w // denom
+            docs = [r for r in rows if r[1] == dom]
+            docs.sort(
+                key=lambda r: (
+                    int(hashlib.md5(str(r[0]).encode()).hexdigest()[:8], 16),
+                    r[0],
+                )
+            )
+            prev = 0
+            for doc_id, _, n_tok in docs:
+                if prev < budget:
+                    out.append((doc_id, dom, n_tok))
+                prev += n_tok
+        return sorted(out)
+
+    def _rows(self, docs):
+        return [
+            (r.doc_id, r.source, len(r.text.split()) if r.text.strip() else 0)
+            for r in docs.select("doc_id", "source", "text").collect()
+        ]
+
+    def test_matches_naive_rule(self, spark, docs):
+        weights = {"src0": 3, "src1": 1, "src2": 1}
+        got = sorted(
+            (r.id, r.domain, r.n_tok)
+            for r in td.mixture_sample(docs, weights, 1500).collect()
+        )
+        assert got == self._naive(self._rows(docs), weights, 1500)
+
+    def test_two_level_equals_single_bucket(self, spark, docs):
+        # n_coarse=1 puts EVERY doc through the fine boundary window —
+        # the coarse path must change nothing
+        weights = {"src0": 1, "src3": 2}
+        a = sorted(
+            map(tuple, td.mixture_sample(docs, weights, 900).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                td.mixture_sample(docs, weights, 900, n_coarse=1).collect(),
+            )
+        )
+        assert a == b
+
+    def test_unlisted_domains_dropped_and_crossing_doc_included(
+        self, spark, docs
+    ):
+        out = td.mixture_sample(docs, {"src0": 1}, 100).collect()
+        assert {r.domain for r in out} == {"src0"}
+        total = sum(r.n_tok for r in out)
+        # crossing doc included: total reaches the budget (src0 has
+        # far more than 100 tokens at sf0.001) but removing the last
+        # md5-ordered doc drops it below
+        assert total >= 100
+        rows = self._rows(docs)
+        naive = self._naive(rows, {"src0": 1}, 100)
+        assert sorted((r.id, r.domain, r.n_tok) for r in out) == naive
+
+    def test_zero_budget_and_validation(self, spark, docs):
+        assert td.mixture_sample(docs, {"src0": 1}, 0).count() == 0
+        with pytest.raises(ValueError):
+            td.mixture_sample(docs, {}, 10)
+        with pytest.raises(ValueError):
+            td.mixture_sample(docs, {"a": -1}, 10)
+        with pytest.raises(ValueError):
+            td.mixture_sample(docs, {"a": 1}, -5)
+
+    def test_partition_invariant(self, spark, docs):
+        weights = {"src0": 2, "src1": 1}
+        a = sorted(
+            map(tuple, td.mixture_sample(docs, weights, 700).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                td.mixture_sample(docs.repartition(9), weights, 700).collect(),
+            )
+        )
+        assert a == b
