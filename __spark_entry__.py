@@ -1544,6 +1544,23 @@ def q_text_surprisal(spark, sf_dir):
     return TD.unigram_surprisal(_docs(spark, sf_dir))
 
 
+_BPE_LEARN_MERGES = 6
+
+
+def q_text_bpe_learn(spark, sf_dir):
+    """BPE merge-table LEARNING under the gate (Sennrich et al. 2016):
+    6 greedy most-frequent-adjacent-pair merges over the corpus's
+    word-count table, ties (count desc, lhs, rhs). The oracle unrolls
+    the 6 iterations CTE by CTE — same |sym|-delimited representation,
+    same left-to-right non-overlapping replace — so the learned table
+    matches bit-exactly."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+        learn_bpe_merges,
+    )
+
+    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=_BPE_LEARN_MERGES)
+
+
 def q_text_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing under the gate (Wenzek et al.
     2020): per-language head/middle/tail terciles of the all-integer
@@ -3226,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "text_bpe_learn": q_text_bpe_learn,          # BPE merge learning
         "text_ccnet_buckets": q_text_ccnet_buckets,  # CCNet ppl terciles
         "corpus_mixture": q_corpus_mixture,          # token-budget mixing
         "emb_semdedup": q_emb_semdedup,              # SemDeDup clusters
@@ -3279,9 +3297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
         "robots_filter": q_robots_filter,
-        "page_meta": q_page_meta,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "page_meta": q_page_meta,
         "page_og": q_page_og,
         "media_resize": q_media_resize,
         "corpus_curate": q_corpus_curate,
@@ -5909,6 +5927,51 @@ LIMIT 10
     # SemDeDup: the identical centroid build (seeds -> one quantized
     # Lloyd step), final assignment, in-cell cosine pairs, recursive-CTE
     # connected components, and the lowest-centroid-sim keep window.
+    # BPE merge learning: the 6 greedy iterations unrolled CTE by CTE
+    # (PageRank-style). Same |sym| delimiting and non-overlapping
+    # left-to-right replace() as the Spark loop.
+    _bpe_iters = []
+    for _k in range(1, _BPE_LEARN_MERGES + 1):
+        _bpe_iters.append(
+            f"""s{_k} AS (
+  SELECT str_split(substring(repr, 2, length(repr) - 2), '||') AS syms, cnt
+  FROM r{_k - 1}
+), p{_k} AS (
+  SELECT syms[j] AS lhs, syms[j + 1] AS rhs, cnt
+  FROM s{_k}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(j)
+), b{_k} AS (
+  SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM p{_k} GROUP BY lhs, rhs HAVING SUM(cnt) >= 2
+  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+), r{_k} AS (
+  SELECT replace(repr, '|' || lhs || '||' || rhs || '|',
+                 '|' || lhs || rhs || '|') AS repr, cnt
+  FROM r{_k - 1}, b{_k}
+)"""
+        )
+    bpe_learn_sql = (
+        r"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9 ]', ' ', 'g')),
+             ' +')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+), r0 AS (
+  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS repr, cnt FROM words
+), """
+        + ", ".join(_bpe_iters)
+        + "\nSELECT CAST(k AS INTEGER) AS merge_rank, lhs, rhs, pair_count FROM (\n"
+        + "\n  UNION ALL ".join(
+            f"SELECT {_k} AS k, lhs, rhs, pair_count FROM b{_k}"
+            for _k in range(1, _BPE_LEARN_MERGES + 1)
+        )
+        + "\n)"
+    )
+
     semdedup_sql = f"""
 WITH RECURSIVE seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell_id,
@@ -6064,6 +6127,7 @@ FROM ({lang_sql}) GROUP BY lang_pred
         "text_lang_id": lang_sql,
         "emb_near_dup": emb_near_dup,
         "emb_semdedup": semdedup_sql,
+        "text_bpe_learn": bpe_learn_sql,
         "ann_ivf_topk": ivf,
         "corpus_filter": corpus_filter,
         "corpus_report": corpus_report,

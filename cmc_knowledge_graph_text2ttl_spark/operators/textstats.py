@@ -269,3 +269,101 @@ def subword_token_counts(
         n_tokens.cast("bigint").alias("n_subword_tokens"),
         (n_chars - n_tokens).cast("bigint").alias("n_merged"),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """(merge_rank, lhs, rhs, pair_count) — BPE merge-table LEARNING
+    (Sennrich et al. 2016), the training step whose output
+    :func:`subword_token_counts` applies: greedily pick the most
+    frequent adjacent symbol pair across the corpus ``n_merges`` times,
+    merging it into one symbol after each pick. Ties break (count desc,
+    lhs asc, rhs asc) so the learned table is deterministic on every
+    engine; learning stops early when no pair reaches
+    ``min_pair_count``.
+
+    Text normalizes exactly like the apply side (lowercase, non-[a-z0-9]
+    → space) and the corpus immediately collapses to its WORD-COUNT
+    table — vocabulary-sized, orders of magnitude smaller than the
+    corpus — which is the only thing the loop ever touches (classic BPE
+    trainers do the same). Words are held as ``|sym|``-delimited strings
+    (``|h||e||y|``); a merge is ONE literal column-side replace of
+    ``|a||b|`` with ``|ab|`` — the doubled delimiter makes a match
+    start and end only at symbol boundaries, and left-to-right
+    non-overlapping replace() IS BPE's single-pass pairing rule
+    (``a a a a`` merges to ``aa aa``, not ``aa a a`` — identical
+    semantics in Spark and DuckDB, which the oracle unrolls iteration
+    by iteration).
+
+    Scale shape: one corpus pass builds the word counts (explode +
+    map-side-combined aggregate); each iteration is a pair explode over
+    the vocabulary table, a combinable (lhs, rhs) aggregate, and a
+    TakeOrdered(1) argmax — the driver holds ONE winning pair per
+    iteration (bounded bookkeeping, same contract as the k-means
+    centroid loop), and a localCheckpoint per iteration truncates the
+    replace-chain lineage like the PageRank loop does.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9 ]", " "
+        )
+    )
+    words = (
+        df.select(F.explode(F.split(norm, " +")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wc = words.select(
+        F.regexp_replace(F.col("word"), "(.)", "|$1|").alias("repr"), "cnt"
+    ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(repr, 2, length(repr) - 2)"), r"\|\|"
+        )
+        pairs = wc.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1).alias("lhs"),
+                    F.slice(syms, 2, F.size(syms) - 1).alias("rhs"),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+            )
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+            .where(F.col("pair_count") >= min_pair_count)
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, c = top[0].lhs, top[0].rhs, top[0].pair_count
+        merges.append((rank, lhs, rhs, c))
+        wc = wc.select(
+            F.replace(
+                F.col("repr"),
+                F.lit(f"|{lhs}||{rhs}|"),
+                F.lit(f"|{lhs}{rhs}|"),
+            ).alias("repr"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )

@@ -2186,3 +2186,88 @@ class TestIcoDecode:
                 mm.decode_ico(good[:cut])
             except ValueError:
                 pass
+
+
+class TestBpeLearn:
+    def test_sennrich_style_hand_computed(self, spark):
+        # low x3, lower, lowest | new x2, newer, newest
+        df = spark.createDataFrame(
+            [(0, "low lower lowest low low"), (1, "new newer newest new")],
+            "doc_id int, text string",
+        )
+        got = [
+            (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+            for r in textstats.learn_bpe_merges(df, n_merges=5)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        # (l,o) in 5 words; (lo,w) 5; (e,w) 4; (n,ew) 4; (e,r) 2
+        assert got == [
+            (1, "l", "o", 5),
+            (2, "lo", "w", 5),
+            (3, "e", "w", 4),
+            (4, "n", "ew", 4),
+            (5, "e", "r", 2),
+        ]
+
+    def test_single_pass_pairing_rule(self, spark):
+        # "a a a a" (one word "aaaa") merges left-to-right non-overlapping:
+        # rank1 (a,a) count 3 (pairs within aaaa), after merge -> aa|aa
+        # rank2 (aa,aa) count 1 < min_pair_count=2 -> stops at 1 merge...
+        # use two copies so rank2 survives
+        df = spark.createDataFrame(
+            [(0, "aaaa aaaa")], "doc_id int, text string"
+        )
+        got = [
+            (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+            for r in textstats.learn_bpe_merges(df, n_merges=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        # each "aaaa" has 3 adjacent (a,a) pairs -> 6 total; after the
+        # merge each word is [aa, aa] (NOT [aa, a, a]) so rank2 is
+        # (aa,aa) x2; then one "aaaa" symbol per word -> no rank 3
+        assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+    def test_early_stop_when_below_min_count(self, spark):
+        df = spark.createDataFrame(
+            [(0, "xy xy zw")], "doc_id int, text string"
+        )
+        out = textstats.learn_bpe_merges(df, n_merges=8).collect()
+        # only (x,y) reaches 2; (z,w) is 1
+        assert [(r.lhs, r.rhs) for r in out] == [("x", "y")]
+
+    def test_normalization_matches_apply_side(self, spark):
+        # case folding + punctuation stripping: "Lo-w!" contributes lo/w
+        df = spark.createDataFrame(
+            [(0, "Lo-w! lo w LOW low")], "doc_id int, text string"
+        )
+        out = {
+            (r.lhs, r.rhs): r.pair_count
+            for r in textstats.learn_bpe_merges(df, n_merges=2).collect()
+        }
+        # words: lo, w, lo, w, low, low -> (l,o) in 4 words
+        assert out[("l", "o")] == 4
+
+    def test_partition_invariant(self, spark, docs):
+        a = [
+            tuple(r)
+            for r in textstats.learn_bpe_merges(docs, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        b = [
+            tuple(r)
+            for r in textstats.learn_bpe_merges(
+                docs.repartition(11), n_merges=4
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert a == b and len(a) == 4
+
+    def test_validation(self, spark, docs):
+        with pytest.raises(ValueError):
+            textstats.learn_bpe_merges(docs, n_merges=0)
+        with pytest.raises(ValueError):
+            textstats.learn_bpe_merges(docs, min_pair_count=0)
