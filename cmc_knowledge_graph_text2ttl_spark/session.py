@@ -41,6 +41,17 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the default 100-entry generated-class cache thrashes under this
+        # engine's query mix: one iterative graph loop (connected
+        # components / PageRank — a NEW plan per iteration) evicts the
+        # whole cache, and the next heavy operator (e.g. the 16-agg
+        # minhash) then pays multi-second janino+JIT recompilation on
+        # EVERY run — measured 2x wall on dedup_minhash. Static conf, so
+        # it must be set here, before the session exists.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
