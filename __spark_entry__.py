@@ -1396,6 +1396,25 @@ def q_corpus_span_dedup(spark, sf_dir):
     return span_dedup(docs.select("doc_id", text2.alias("text")))
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Lee et al. 2022 ExactSubstr under the gate: docs with doc_id%4==1
+    get an identical 8-token spam tail appended; the rebuilt corpus must
+    keep that window ONLY in its lexicographically first occurrence and
+    cut those tokens everywhere else — plus whatever natural duplicate
+    8-token windows the corpus contains, which the oracle replays with
+    the identical split/hash/first-occurrence rule."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    spam = " buy cheap pills now from our best store"
+    text2 = F.when(
+        F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(spam))
+    ).otherwise(F.col("text"))
+    return exact_substring_dedup(docs.select("doc_id", text2.alias("text")), n=8)
+
+
 def q_corpus_shards(spark, sf_dir):
     """Shard-manifest publish step under the gate: md5-deterministic
     routing into 8 shards with the TWO-LEVEL integrity digest (md5
@@ -3243,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "dedup_substring": q_dedup_substring,        # ExactSubstr removal
         "text_bpe_learn": q_text_bpe_learn,          # BPE merge learning
         "text_ccnet_buckets": q_text_ccnet_buckets,  # CCNet ppl terciles
         "corpus_mixture": q_corpus_mixture,          # token-budget mixing
@@ -3296,9 +3316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_extract": q_links_extract,
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
-        "robots_filter": q_robots_filter,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "robots_filter": q_robots_filter,
         "page_meta": q_page_meta,
         "page_og": q_page_og,
         "media_resize": q_media_resize,
@@ -4612,6 +4632,47 @@ FROM ranked WHERE rn = 1
         # C4 span dedup: identical split ('. ' literal), identical span
         # hash (md5 over the joined 3-sentence window), identical
         # first-occurrence rule ((id, s) lexicographic == rn 1)
+        "dedup_substring": """
+WITH d AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 4 = 1
+              THEN text || ' buy cheap pills now from our best store'
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT id, string_split(coalesce(text, ''), ' ') AS ws FROM d
+), spans AS (
+  SELECT id, CAST(s AS INTEGER) AS s,
+         md5(array_to_string(ws[s+1:s+8], ' ')) AS h
+  FROM base, LATERAL unnest(generate_series(0, len(ws) - 8)) t(s)
+), ranked AS (
+  SELECT id, s,
+         row_number() OVER (PARTITION BY h ORDER BY id, s) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS cnt
+  FROM spans
+), removed AS (
+  SELECT DISTINCT id, CAST(j AS INTEGER) AS j
+  FROM ranked, LATERAL unnest(generate_series(s, s + 7)) t(j)
+  WHERE cnt >= 2 AND rn > 1
+), tok_rows AS (
+  SELECT id, CAST(j - 1 AS INTEGER) AS j, ws[CAST(j AS INTEGER)] AS tok
+  FROM base, LATERAL unnest(generate_series(1, len(ws))) t(j)
+), kept AS (
+  SELECT tr.id, tr.j, tr.tok FROM tok_rows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removed r WHERE r.id = tr.id AND r.j = tr.j
+  )
+), rebuilt AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY j) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT b.id,
+       coalesce(r.text, '') AS text,
+       CAST(len(b.ws) AS INTEGER) AS n_tokens,
+       CAST(len(b.ws) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+FROM base b LEFT JOIN rebuilt r USING (id)
+""",
         "corpus_span_dedup": """
 WITH d AS (
   SELECT doc_id AS id,

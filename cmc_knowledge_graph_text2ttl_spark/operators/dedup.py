@@ -821,3 +821,97 @@ def span_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    drop_all: bool = False,
+) -> DataFrame:
+    """(id, text, n_tokens, n_removed) — token-level EXACT-SUBSTRING
+    span removal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr): every ``n``-token window
+    whose token sequence occurs more than once in the WHOLE corpus
+    (within-document repeats count) marks its tokens for removal, and
+    the document text is rebuilt from the surviving tokens.
+
+    ``drop_all=False`` (default) keeps the canonical occurrence — the
+    lexicographically smallest (id, start), the same seed-free rule as
+    :func:`span_dedup` — so one copy of every duplicated passage
+    survives the corpus. ``drop_all=True`` is the paper's tool default:
+    every occurrence is cut, including the first.
+
+    Tokens are literal single-space splits (``split(text, ' ')``): the
+    split/rejoin is an exact identity on untouched documents and DuckDB
+    replays it byte-for-byte. Overlapping duplicated windows union
+    naturally — token coverage is deduplicated per (id, index) before
+    the rebuild, so a long verbatim passage is removed once even though
+    every window inside it is duplicated.
+
+    Scale shape (100 TB): the window explode is linear in corpus tokens
+    and feeds ONE map-side-combinable agg on the window hash (count +
+    min-struct — no buffers); only occurrences of DUPLICATED windows
+    come back through the hash join and fan out ×n into coverage rows
+    (bounded by n × duplicated-token volume, not corpus volume); the
+    rebuild is one per-doc aggregation bounded by document length.
+    No Python anywhere.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1).alias("toks"),
+    )
+    nt = F.size(F.col("toks"))
+    # ALL window positions — no array_distinct: a document repeating its
+    # own n-gram is a corpus-level duplicate too (Lee et al. count total
+    # occurrences, not distinct documents).
+    spans = base.select(
+        "id",
+        F.explode(
+            F.when(nt >= n, F.sequence(F.lit(0), nt - n)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("s"),
+        "toks",
+    ).select(
+        "id",
+        "s",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("s") + 1, n))).alias(
+            "h"
+        ),
+    )
+    counts = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(F.struct("id", "s")).alias("keep")
+    )
+    dup = spans.join(counts.filter(F.col("cnt") >= 2), "h")
+    if not drop_all:
+        dup = dup.filter(
+            ~((F.col("id") == F.col("keep.id")) & (F.col("s") == F.col("keep.s")))
+        )
+    removed = dup.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("j")
+    ).distinct()
+    tok_rows = base.select("id", F.posexplode(F.col("toks")).alias("j", "tok"))
+    kept = tok_rows.join(removed, ["id", "j"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select("id", nt.alias("n_tokens"))
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )

@@ -241,6 +241,87 @@ class TestSpanDedup:
                        span_sentences=0)
 
 
+class TestExactSubstringDedup:
+    """Lee et al. 2022 ExactSubstr token-window removal (operators/dedup.py)."""
+
+    def _run(self, spark, rows, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r.id: r for r in exact_substring_dedup(df, **kw).collect()}
+
+    def test_identity_when_no_duplicates(self, spark):
+        rows = [(1, "a b c d e f"), (2, "g h i j k l")]
+        got = self._run(spark, rows, n=4)
+        for i, t in rows:
+            assert got[i].text == t and got[i].n_removed == 0
+            assert got[i].n_tokens == 6
+
+    def test_duplicated_passage_kept_in_canonical_only(self, spark):
+        passage = "x1 x2 x3 x4 x5"
+        rows = [(1, "intro words here " + passage),
+                (2, "other doc " + passage + " tail toks"),
+                (3, "unrelated tokens only right here now")]
+        got = self._run(spark, rows, n=5)
+        assert got[1].text == rows[0][1] and got[1].n_removed == 0
+        assert got[2].text == "other doc tail toks" and got[2].n_removed == 5
+        assert got[3].text == rows[2][1] and got[3].n_removed == 0
+
+    def test_drop_all_cuts_every_occurrence(self, spark):
+        passage = "x1 x2 x3 x4 x5"
+        rows = [(1, "intro words here " + passage),
+                (2, "other doc " + passage + " tail toks")]
+        got = self._run(spark, rows, n=5, drop_all=True)
+        assert got[1].text == "intro words here" and got[1].n_removed == 5
+        assert got[2].text == "other doc tail toks" and got[2].n_removed == 5
+
+    def test_overlapping_windows_union_coverage(self, spark):
+        # 6 shared tokens at n=5 → two overlapping duplicated windows in
+        # doc 2; the removal must be the 6-token union, not 10 tokens.
+        passage = "x1 x2 x3 x4 x5 x6"
+        rows = [(1, passage + " u1 u2"), (2, "v1 v2 " + passage)]
+        got = self._run(spark, rows, n=5)
+        assert got[1].n_removed == 0
+        assert got[2].text == "v1 v2" and got[2].n_removed == 6
+
+    def test_within_doc_repeat_counts_as_duplicate(self, spark):
+        passage = "x1 x2 x3 x4 x5"
+        rows = [(1, passage + " mid " + passage)]
+        got = self._run(spark, rows, n=5)
+        assert got[1].text == passage + " mid" and got[1].n_removed == 5
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        rows = [(1, "a b c"), (2, ""), (3, "double  space kept")]
+        got = self._run(spark, rows, n=4)
+        for i, t in rows:
+            assert got[i].text == t and got[i].n_removed == 0
+
+    def test_partition_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted((r.id, r.text, r.n_removed)
+                   for r in exact_substring_dedup(docs, n=8).collect())
+        b = sorted((r.id, r.text, r.n_removed)
+                   for r in exact_substring_dedup(
+                       docs.repartition(13), n=8).collect())
+        assert a == b
+
+    def test_bad_n_raises(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        with pytest.raises(ValueError, match="n must"):
+            exact_substring_dedup(
+                spark.createDataFrame([(1, "x")], ["doc_id", "text"]), n=1
+            )
+
+
 class TestNearDupClusters:
     # four near-identical docs in two chains + one unique doc; ids chosen
     # so string-min != numeric-min is exercised (string "10" < "9")
