@@ -1328,6 +1328,77 @@ def q_crawl_blocklist(spark, sf_dir):
     return filter_blocked_domains(pages, blocklist).select("doc_id", "url")
 
 
+def _quality_urls(spark, sf_dir):
+    """Deterministic URL fixture exercising every url_quality signal:
+    id arithmetic picks IP hosts (%7==3), a 'casino' path segment
+    (%11==5), a 2100-char tail (%13==7), %16 path segments and %12
+    query params — the oracle rebuilds the identical strings."""
+    did = F.col("doc_id")
+    host = F.when(
+        did % 7 == 3,
+        F.concat(F.lit("10."), (did % 9).cast("string"), F.lit(".2.3")),
+    ).otherwise(
+        F.concat(
+            F.lit("h"),
+            (did % 20).cast("string"),
+            F.lit(".site"),
+            (did % 5).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    badseg = F.when(did % 11 == 5, F.lit("/casino")).otherwise(F.lit(""))
+    path = F.concat(
+        badseg,
+        F.repeat(F.lit("/seg"), (did % 16).cast("int")),
+        F.when(
+            did % 13 == 7, F.concat(F.lit("/"), F.repeat(F.lit("z"), 2100))
+        ).otherwise(F.lit("")),
+    )
+    query = F.when(
+        did % 12 > 0,
+        F.concat(
+            F.lit("?"),
+            F.substring(F.repeat(F.lit("&p=1"), (did % 12).cast("int")), 2, 100000),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.concat(F.lit("http://"), host, path, query)
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def q_url_quality(spark, sf_dir):
+    """FineWeb/RefinedWeb-style URL-level quality verdict under the
+    gate: badword substring, over-long URL, query-param and path-depth
+    traps, raw-IP host, host digit share — all pure column expressions
+    over the deterministic _quality_urls fixture; the oracle rebuilds
+    the same URLs and restates each signal closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.urls import url_quality
+
+    out = url_quality(_quality_urls(spark, sf_dir))
+    return out.select(
+        "id",
+        "url",
+        "host",
+        "url_len",
+        "n_params",
+        "path_depth",
+        "host_digit_pct",
+        "is_ip_host",
+        "has_badword",
+        "keep",
+        F.array_join("reasons", ",").alias("reasons"),
+    )
+
+
+def q_crawl_host_stats(spark, sf_dir):
+    """Per-host crawl-reputation aggregates under the gate: one
+    map-side-combinable groupBy over url_quality with integer-floor
+    mean URL length (sum DIV n — the partition- and engine-independent
+    mean)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.urls import host_stats
+
+    return host_stats(_quality_urls(spark, sf_dir))
+
+
 def q_corpus_safety(spark, sf_dir):
     """Safety-curation capstone under one gate: domain blocklist →
     PII scrub → C4/Gopher verdict, composed exactly as a production
@@ -3262,6 +3333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "url_quality": q_url_quality,                # FineWeb URL verdict
+        "crawl_host_stats": q_crawl_host_stats,      # host reputation aggs
         "dedup_substring": q_dedup_substring,        # ExactSubstr removal
         "text_bpe_learn": q_text_bpe_learn,          # BPE merge learning
         "text_ccnet_buckets": q_text_ccnet_buckets,  # CCNet ppl terciles
@@ -3314,10 +3387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg": q_media_jpeg,
         "media_gif": q_media_gif,
         "links_extract": q_links_extract,
-        "links_pagerank": q_links_pagerank,
-        "links_anchors": q_links_anchors,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "links_pagerank": q_links_pagerank,
+        "links_anchors": q_links_anchors,
         "robots_filter": q_robots_filter,
         "page_meta": q_page_meta,
         "page_og": q_page_og,
@@ -4632,6 +4705,93 @@ FROM ranked WHERE rn = 1
         # C4 span dedup: identical split ('. ' literal), identical span
         # hash (md5 over the joined 3-sentence window), identical
         # first-occurrence rule ((id, s) lexicographic == rn 1)
+        "url_quality": """
+WITH u AS (
+  SELECT doc_id AS id,
+    CASE WHEN doc_id % 7 = 3
+         THEN '10.' || CAST(doc_id % 9 AS VARCHAR) || '.2.3'
+         ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.site'
+              || CAST(doc_id % 5 AS VARCHAR) || '.example' END AS host,
+    CASE WHEN doc_id % 11 = 5 THEN '/casino' ELSE '' END
+      || repeat('/seg', CAST(doc_id % 16 AS INTEGER))
+      || CASE WHEN doc_id % 13 = 7 THEN '/' || repeat('z', 2100)
+              ELSE '' END AS path,
+    CASE WHEN doc_id % 12 > 0
+         THEN '?' || substr(repeat('&p=1', CAST(doc_id % 12 AS INTEGER)), 2)
+         ELSE '' END AS query,
+    doc_id % 7 = 3 AS is_ip,
+    doc_id % 11 = 5 AS bad,
+    CAST(doc_id % 12 AS INTEGER) AS np,
+    CAST((CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) + doc_id % 16 +
+         (CASE WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END) AS INTEGER) AS depth
+  FROM documents
+), v AS (
+  SELECT id, 'http://' || host || path || query AS url,
+         host, is_ip, bad, np, depth
+  FROM u
+), s AS (
+  SELECT id, url, host,
+         CAST(len(url) AS INTEGER) AS url_len,
+         np AS n_params, depth AS path_depth,
+         CAST((len(regexp_replace(host, '[^0-9]', '', 'g')) * 100)
+              // len(host) AS INTEGER) AS host_digit_pct,
+         is_ip AS is_ip_host, bad AS has_badword,
+         len(url) > 2048 AS too_long, np > 8 AS param_trap,
+         depth > 12 AS deep_path
+  FROM v
+)
+SELECT id, url, host, url_len, n_params, path_depth, host_digit_pct,
+       is_ip_host, has_badword,
+       NOT (has_badword OR too_long OR param_trap OR deep_path
+            OR is_ip_host) AS keep,
+       concat_ws(',',
+         CASE WHEN has_badword THEN 'badword' END,
+         CASE WHEN deep_path THEN 'deep_path' END,
+         CASE WHEN is_ip_host THEN 'ip_host' END,
+         CASE WHEN param_trap THEN 'param_trap' END,
+         CASE WHEN too_long THEN 'too_long' END) AS reasons
+FROM s
+""",
+        "crawl_host_stats": """
+WITH u AS (
+  SELECT doc_id AS id,
+    CASE WHEN doc_id % 7 = 3
+         THEN '10.' || CAST(doc_id % 9 AS VARCHAR) || '.2.3'
+         ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.site'
+              || CAST(doc_id % 5 AS VARCHAR) || '.example' END AS host,
+    CASE WHEN doc_id % 11 = 5 THEN '/casino' ELSE '' END
+      || repeat('/seg', CAST(doc_id % 16 AS INTEGER))
+      || CASE WHEN doc_id % 13 = 7 THEN '/' || repeat('z', 2100)
+              ELSE '' END AS path,
+    CASE WHEN doc_id % 12 > 0
+         THEN '?' || substr(repeat('&p=1', CAST(doc_id % 12 AS INTEGER)), 2)
+         ELSE '' END AS query,
+    doc_id % 7 = 3 AS is_ip,
+    doc_id % 11 = 5 AS bad,
+    CAST(doc_id % 12 AS INTEGER) AS np,
+    CAST((CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) + doc_id % 16 +
+         (CASE WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END) AS INTEGER) AS depth
+  FROM documents
+), s AS (
+  SELECT id, 'http://' || host || path || query AS url, host,
+         is_ip, bad, np, depth
+  FROM u
+), f AS (
+  SELECT host, len(url) AS url_len, depth,
+         bad AS has_badword,
+         NOT (bad OR len(url) > 2048 OR np > 8 OR depth > 12
+              OR is_ip) AS keep
+  FROM s
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN has_badword THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_badword,
+       CAST(SUM(url_len) AS BIGINT) // COUNT(*) AS mean_url_len,
+       CAST(MAX(depth) AS INTEGER) AS max_path_depth
+FROM f GROUP BY host
+""",
         "dedup_substring": """
 WITH d AS (
   SELECT doc_id AS id,

@@ -214,3 +214,134 @@ def filter_blocked_domains(
         .distinct()
     )
     return df.join(hit_ids, url_col, "left_anti")
+
+
+# FineWeb/RefinedWeb-style URL-level quality: substring badword list
+# (theirs is thousands of entries from the UT1 blocklist; this default is
+# a small stand-in — pass the real list at call time, it compiles into
+# ONE alternation regex, still a pure column op).
+DEFAULT_URL_BADWORDS = ("porn", "xxx", "casino", "viagra", "escort", "sexcam")
+
+
+def url_quality(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    badwords: tuple = DEFAULT_URL_BADWORDS,
+    max_len: int = 2048,
+    max_params: int = 8,
+    max_depth: int = 12,
+) -> DataFrame:
+    """(id, url, host, url_len, n_params, path_depth, host_digit_pct,
+    is_ip_host, has_badword, keep, reasons) — URL-level quality verdict
+    in the RefinedWeb / FineWeb style (Penedo et al. 2023/2024): crawl
+    curation rejects documents on URL evidence alone, BEFORE fetching
+    or extracting content, so this runs on the frontier table.
+
+    Signals (all pure column expressions, no UDF, no join):
+
+    * badword substring in the lowercased URL (``badwords`` compiles
+      into one alternation regex — the real UT1-derived lists are a few
+      thousand entries and still fit a single compiled pattern);
+    * over-long URLs (spam calendars / session-id explosions);
+    * excessive query parameters (faceted-search / tracking traps);
+    * excessive path depth (calendar and pagination traps);
+    * raw-IP hosts (no registrable domain — overwhelmingly spam);
+    * digit share of the host as an integer percent (DGA-ish hosts),
+      reported but NOT part of ``keep`` (a tuning signal).
+
+    ``reasons`` is the sorted machine-readable tag array, same contract
+    as :func:`~..filtering.corpus_filter`.
+    """
+    u = F.col(url_col)
+    host = host_col(u)
+    url_len = F.length(u)
+    n_params = F.coalesce(
+        F.size(
+            F.filter(
+                F.split(F.regexp_extract(u, r"(?s)\?(.*)$", 1), "&"),
+                lambda x: x != "",
+            )
+        ),
+        F.lit(0),
+    )
+    path = F.regexp_extract(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", ""),
+        r"^([^?#]*)",
+        1,
+    )
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    # integer floor division (never float-divide: DuckDB's float->int
+    # cast rounds while Spark's truncates — DIV sidesteps the trap)
+    host_digit_pct = F.when(
+        F.length(host) > 0,
+        (host_digits * 100 - (host_digits * 100) % F.length(host))
+        / F.length(host),
+    ).otherwise(F.lit(0)).cast("int")
+    is_ip_host = host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    bad_re = "(" + "|".join(badwords) + ")"
+    has_badword = F.lower(u).rlike(bad_re)
+    reasons = F.array_compact(
+        F.array(
+            F.when(has_badword, F.lit("badword")),
+            F.when(url_len > max_len, F.lit("too_long")),
+            F.when(n_params > max_params, F.lit("param_trap")),
+            F.when(path_depth > max_depth, F.lit("deep_path")),
+            F.when(is_ip_host, F.lit("ip_host")),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        u.alias("url"),
+        host.alias("host"),
+        url_len.cast("int").alias("url_len"),
+        n_params.cast("int").alias("n_params"),
+        path_depth.cast("int").alias("path_depth"),
+        host_digit_pct.alias("host_digit_pct"),
+        is_ip_host.alias("is_ip_host"),
+        has_badword.alias("has_badword"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.sort_array(reasons).alias("reasons"),
+    )
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    **quality_kwargs,
+) -> DataFrame:
+    """(host, n_docs, n_kept, n_badword, mean_url_len, max_path_depth)
+    — per-host crawl-quality aggregates over :func:`url_quality`.
+
+    The host-reputation table curation pipelines join against: a host
+    whose pages are mostly URL-rejected gets demoted wholesale (the
+    FineWeb recipe drops entire domains past a badword share).
+
+    ``mean_url_len`` is ``sum DIV n`` — integer floor division, the
+    only partition-independent mean (CLAUDE.md rule). One map-side-
+    combinable groupBy on host; no buffers, no windows — safe on a
+    100 TB frontier where one host can own 10^8 URLs.
+    """
+    q = url_quality(df, url_col, id_col, **quality_kwargs)
+    return (
+        q.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.col("has_badword").cast("long")).alias("n_badword"),
+            F.sum(F.col("url_len").cast("long")).alias("_len_sum"),
+            F.max("path_depth").alias("max_path_depth"),
+        )
+        .select(
+            "host",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_badword").cast("long").alias("n_badword"),
+            # integer floor division: the only partition- and engine-
+            # independent mean (no float division anywhere)
+            F.expr("_len_sum DIV n_docs").alias("mean_url_len"),
+            F.col("max_path_depth").cast("int").alias("max_path_depth"),
+        )
+    )

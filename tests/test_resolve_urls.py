@@ -119,3 +119,80 @@ class TestBlocklist:
         bl = spark.createDataFrame(
             [], StructType([StructField("domain", StringType())]))
         assert filter_blocked_domains(docs, bl).count() == 1
+
+
+class TestUrlQuality:
+    """FineWeb-style URL-level quality verdict (urls.url_quality)."""
+
+    ROWS = [
+        (1, "https://good.example.com/articles/cooking"),
+        (2, "http://free-viagra.biz/pills"),                       # badword
+        (3, "http://10.1.2.3/admin"),                              # ip host
+        (4, "http://shop.example/p?" + "&".join(
+            f"f{i}=v{i}" for i in range(12))),                     # param trap
+        (5, "http://cal.example/" + "/".join(
+            f"d{i}" for i in range(20))),                          # deep path
+        (6, "http://x.example/" + "a" * 3000),                     # too long
+        (7, "http://h123456.example/ok"),                          # digits host
+    ]
+
+    def _run(self, spark, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import url_quality
+
+        df = spark.createDataFrame(self.ROWS, ["doc_id", "url"])
+        return {r.id: r for r in url_quality(df, **kw).collect()}
+
+    def test_verdicts_and_reasons(self, spark):
+        got = self._run(spark)
+        assert got[1].keep and got[1].reasons == []
+        assert not got[2].keep and got[2].reasons == ["badword"]
+        assert not got[3].keep and got[3].reasons == ["ip_host"]
+        assert not got[4].keep and got[4].reasons == ["param_trap"]
+        assert not got[5].keep and got[5].reasons == ["deep_path"]
+        assert not got[6].keep and got[6].reasons == ["too_long"]
+        assert got[7].keep  # digit share reported, not a keep criterion
+
+    def test_signal_columns(self, spark):
+        got = self._run(spark)
+        assert got[1].host == "good.example.com"
+        assert got[1].n_params == 0 and got[1].path_depth == 2
+        assert got[4].n_params == 12
+        assert got[5].path_depth == 20
+        assert got[3].is_ip_host and not got[1].is_ip_host
+        # h123456.example -> 6 digits / 15 chars = 40%
+        assert got[7].host_digit_pct == 40
+
+    def test_thresholds_are_parameters(self, spark):
+        got = self._run(spark, max_params=20, max_depth=25, max_len=5000,
+                        badwords=("nonexistentword",))
+        assert all(got[i].keep for i in (1, 2, 4, 5, 6, 7))
+        assert not got[3].keep  # ip_host is not threshold-gated
+
+
+class TestHostStats:
+    def test_per_host_aggregates(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import host_stats
+
+        df = spark.createDataFrame([
+            (1, "http://a.example/one"),          # len 20
+            (2, "http://a.example/two/three"),    # len 26, depth 2
+            (3, "http://a.example/casino/x"),     # badword, len 25
+            (4, "http://b.example/y"),
+        ], ["doc_id", "url"])
+        got = {r.host: r for r in host_stats(df).collect()}
+        a = got["a.example"]
+        assert (a.n_docs, a.n_kept, a.n_badword) == (3, 2, 1)
+        assert a.mean_url_len == (20 + 26 + 25) // 3
+        assert a.max_path_depth == 2
+        b = got["b.example"]
+        assert (b.n_docs, b.n_kept, b.n_badword) == (1, 1, 0)
+
+    def test_partition_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import host_stats
+
+        rows = [(i, f"http://h{i % 7}.example/p{i}/" + "x" * (i % 13))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        a = sorted(map(tuple, host_stats(df).collect()))
+        b = sorted(map(tuple, host_stats(df.repartition(17)).collect()))
+        assert a == b
