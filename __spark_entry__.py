@@ -1467,6 +1467,31 @@ def q_corpus_span_dedup(spark, sf_dir):
     return span_dedup(docs.select("doc_id", text2.alias("text")))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Normalization chain under the gate: id arithmetic plants leading
+    whitespace (%3==0), a CRLF + '!'-run tail (%4==1), a tab+BEL head
+    (%5==2) and a 4-newline gap (%6==3) into the corpus text; the
+    oracle rebuilds the identical mess and replays the 7-rule chain
+    with RE2 regexp_replace — every pattern is engine-identical by
+    construction (no backrefs, no \\s)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.normalize import (
+        normalize_text,
+    )
+
+    did = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(did % 3 == 0, F.concat(F.lit("  \t"), t)).otherwise(t)
+    t = F.when(
+        did % 4 == 1, F.concat(t, F.lit("\r\nthe tail!!!!!!"))
+    ).otherwise(t)
+    t = F.when(did % 5 == 2, F.concat(F.lit("head\t\x07 "), t)).otherwise(t)
+    t = F.when(
+        did % 6 == 3, F.concat(t, F.lit("\n\n\n\nafter the gap"))
+    ).otherwise(t)
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return normalize_text(docs)
+
+
 def q_dedup_substring(spark, sf_dir):
     """Lee et al. 2022 ExactSubstr under the gate: docs with doc_id%4==1
     get an identical 8-token spam tail appended; the rebuilt corpus must
@@ -3333,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "text_normalize": q_text_normalize,          # 7-rule cleanup chain
         "url_quality": q_url_quality,                # FineWeb URL verdict
         "crawl_host_stats": q_crawl_host_stats,      # host reputation aggs
         "dedup_substring": q_dedup_substring,        # ExactSubstr removal
@@ -3386,9 +3412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_read": q_warc_read,
         "media_jpeg": q_media_jpeg,
         "media_gif": q_media_gif,
-        "links_extract": q_links_extract,
         # ---- 50-entry driver window ends here --------------------------
         # one driver row, rotate through the window next round:
+        "links_extract": q_links_extract,
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
         "robots_filter": q_robots_filter,
@@ -3506,6 +3532,53 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        'pdf' AS content_type,
        CAST(NULL AS VARCHAR) AS extract_error
 FROM cc
+"""
+
+
+def _text_normalize_sql() -> str:
+    """DuckDB mirror of normalize.normalize_text_col: the messed-up
+    fixture text is rebuilt with chr() codes, then the 7-rule chain is
+    replayed as nested replace/regexp_replace('g') calls generated in
+    the same fixed order as the Spark column expression."""
+    mess = (
+        "CASE WHEN doc_id % 3 = 0 THEN '  ' || chr(9) || text "
+        "ELSE text END"
+    )
+    mess = (
+        f"CASE WHEN doc_id % 4 = 1 THEN ({mess}) || chr(13) || chr(10) || "
+        f"'the tail!!!!!!' ELSE ({mess}) END"
+    )
+    mess = (
+        f"CASE WHEN doc_id % 5 = 2 THEN 'head' || chr(9) || chr(7) || ' ' "
+        f"|| ({mess}) ELSE ({mess}) END"
+    )
+    mess = (
+        f"CASE WHEN doc_id % 6 = 3 THEN ({mess}) || repeat(chr(10), 4) || "
+        f"'after the gap' ELSE ({mess}) END"
+    )
+    c = "replace(t, chr(13) || chr(10), chr(10))"
+    c = f"replace({c}, chr(13), chr(10))"
+    c = f"regexp_replace({c}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
+    for ch in "!?.,-=*#~_":
+        esc = "\\" + ch if ch in ".*?+-" else ch
+        c = f"regexp_replace({c}, '{esc}{{4,}}', '{ch * 3}', 'g')"
+    c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
+    # replacement strings go through RE2's rewrite parser, which only
+    # understands \\0-\\9 — a literal newline must be chr(10), not '\\n'
+    c = f"regexp_replace({c}, ' *\\n *', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', repeat(chr(10), 2), 'g')"
+    c = f"regexp_replace({c}, '^[ \\n]+', '', 'g')"
+    c = f"regexp_replace({c}, '[ \\n]+$', '', 'g')"
+    return f"""
+WITH m AS (
+  SELECT doc_id AS id, {mess} AS t FROM documents
+), n AS (
+  SELECT id, t, {c} AS text FROM m
+)
+SELECT id, text,
+       CAST(len(t) AS INTEGER) AS n_chars_before,
+       CAST(len(text) AS INTEGER) AS n_chars_after
+FROM n
 """
 
 
@@ -4705,6 +4778,7 @@ FROM ranked WHERE rn = 1
         # C4 span dedup: identical split ('. ' literal), identical span
         # hash (md5 over the joined 3-sentence window), identical
         # first-occurrence rule ((id, s) lexicographic == rn 1)
+        "text_normalize": _text_normalize_sql(),
         "url_quality": """
 WITH u AS (
   SELECT doc_id AS id,
