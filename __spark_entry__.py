@@ -1467,6 +1467,46 @@ def q_corpus_span_dedup(spark, sf_dir):
     return span_dedup(docs.select("doc_id", text2.alias("text")))
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Recrawl-frontier capstone under one gate: the crawl_delta
+    fixture (%4 arithmetic: changed/gone/spawned/unchanged) composed
+    with 5-iteration integer PageRank over the links_pagerank edge
+    formula — priority = status weight × rank, unranked new URLs at
+    the initial mass. The oracle chains the unrolled PageRank CTEs
+    with the closed-form delta statuses."""
+    from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
+    from cmc_knowledge_graph_text2ttl_spark.operators import recrawl as RC
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    old = docs.select(url.alias("url"), F.col("text").alias("content"))
+    survived = docs.where(F.col("doc_id") % 4 != 1).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("content"),
+    )
+    spawned = docs.where(F.col("doc_id") % 4 == 2).select(
+        F.concat(F.lit("doc://n"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("content"),
+    )
+    delta = RC.crawl_delta(old, survived.union(spawned))
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("k"),
+    ).select(
+        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
+    )
+    ranks = LK.pagerank(edges, iterations=5).select(
+        F.concat(F.lit("doc://"), F.col("node").cast("string")).alias("url"),
+        "rank",
+    )
+    return RC.crawl_frontier(delta, ranks)
+
+
 def q_text_normalize(spark, sf_dir):
     """Normalization chain under the gate: id arithmetic plants leading
     whitespace (%3==0), a CRLF + '!'-run tail (%4==1), a tab+BEL head
@@ -3358,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
         "text_normalize": q_text_normalize,          # 7-rule cleanup chain
         "url_quality": q_url_quality,                # FineWeb URL verdict
         "crawl_host_stats": q_crawl_host_stats,      # host reputation aggs
@@ -3411,8 +3452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_resolve": q_links_resolve,
         "warc_read": q_warc_read,
         "media_jpeg": q_media_jpeg,
-        "media_gif": q_media_gif,
         # ---- 50-entry driver window ends here --------------------------
+        "media_gif": q_media_gif,
         # one driver row, rotate through the window next round:
         "links_extract": q_links_extract,
         "links_pagerank": q_links_pagerank,
@@ -3766,11 +3807,18 @@ FROM ww
 """
 
 
-def _pagerank_sql(iters: int = 5, scale: int = 1_000_000, damping: int = 85) -> str:
+def _pagerank_sql(
+    iters: int = 5,
+    scale: int = 1_000_000,
+    damping: int = 85,
+    final_select: str | None = None,
+) -> str:
     """Unrolled integer PageRank: one chained CTE per iteration — the
     recursive-CTE form can't aggregate over the recursive table, and
     materialized CTEs avoid DuckDB re-evaluating the edge set per
-    reference (the dedup_clusters lesson)."""
+    reference (the dedup_clusters lesson). ``final_select`` lets a
+    composing oracle (crawl_frontier) append its own SQL over the
+    final ``r{iters}`` rank table."""
     teleport = (100 - damping) * scale // 100
     parts = [f"""
 WITH e AS MATERIALIZED (
@@ -3794,7 +3842,11 @@ WITH e AS MATERIALIZED (
            JOIN outdeg o ON o.node = e.src
     GROUP BY e.dst
   ) s ON s.node = n.node)""")
-    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    parts.append(
+        final_select
+        if final_select is not None
+        else f"\nSELECT node, rank FROM r{iters}"
+    )
     return "".join(parts)
 
 
@@ -4778,6 +4830,27 @@ FROM ranked WHERE rn = 1
         # C4 span dedup: identical split ('. ' literal), identical span
         # hash (md5 over the joined 3-sentence window), identical
         # first-occurrence rule ((id, s) lexicographic == rn 1)
+        "crawl_frontier": _pagerank_sql(
+            iters=5,
+            final_select="""
+, f AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         doc_id AS gnode
+  FROM documents WHERE doc_id % 4 <> 1
+  UNION ALL
+  SELECT 'doc://n' || CAST(doc_id AS VARCHAR) AS url, 'new' AS status,
+         NULL AS gnode
+  FROM documents WHERE doc_id % 4 = 2
+)
+SELECT f.url, f.status,
+       CAST(COALESCE(r.rank, 1000000) AS BIGINT) AS rank,
+       CAST((CASE f.status WHEN 'new' THEN 3 WHEN 'changed' THEN 2
+             ELSE 1 END) * COALESCE(r.rank, 1000000) AS BIGINT) AS priority
+FROM f LEFT JOIN r5 r ON r.node = f.gnode
+""",
+        ),
         "text_normalize": _text_normalize_sql(),
         "url_quality": """
 WITH u AS (

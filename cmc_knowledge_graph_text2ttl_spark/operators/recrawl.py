@@ -11,7 +11,7 @@ comparison; batching is a per-host window over an md5-derived order
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_int
@@ -85,4 +85,49 @@ def fetch_batches(
         F.col(host_col).alias("host"),
         (rn / batch_size).cast("int").alias("batch_id"),
         (rn % batch_size).cast("int").alias("pos_in_batch"),
+    )
+
+
+def crawl_frontier(
+    delta: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    default_rank: int = 1_000_000,
+    weights: dict | None = None,
+) -> DataFrame:
+    """(url, status, rank, priority) — the prioritized recrawl
+    frontier: :func:`crawl_delta` statuses weighted by link-graph
+    importance (:func:`~.links.pagerank` ranks joined by URL).
+
+    ``priority = weight(status) * rank`` — integer arithmetic only.
+    URLs absent from the rank table (frontier growth: 'new' pages were
+    never crawled, so never ranked) fall back to ``default_rank``, the
+    PageRank initial mass, so fresh discoveries compete at par rather
+    than at zero. Statuses without a weight entry ('gone' by default)
+    drop out of the frontier — tombstoning is a different pipeline.
+
+    Scale shape: one key join between two digest-thin tables (the
+    delta side is (url, status), the rank side (url, rank)); the
+    downstream consumer is :func:`fetch_batches` for the polite
+    per-host schedule. No windows, no collects.
+    """
+    if weights is None:
+        weights = {"new": 3, "changed": 2, "unchanged": 1}
+    if not weights:
+        raise ValueError("weights must have at least one status entry")
+    w: Column = F.lit(None).cast("bigint")
+    for status, mult in sorted(weights.items()):
+        w = F.when(F.col("status") == status, F.lit(int(mult))).otherwise(w)
+    r = ranks.select(F.col(url_col).alias("url"), F.col("rank").alias("_rank"))
+    rank = F.coalesce(F.col("_rank"), F.lit(default_rank)).cast("bigint")
+    return (
+        delta.select("url", "status", w.alias("_w"))
+        .filter(F.col("_w").isNotNull())
+        .join(r, "url", "left")
+        .select(
+            "url",
+            "status",
+            rank.alias("rank"),
+            (F.col("_w") * rank).cast("bigint").alias("priority"),
+        )
     )

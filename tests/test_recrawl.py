@@ -76,3 +76,44 @@ class TestFetchBatches:
     def test_bad_batch_size_raises(self, spark):
         with pytest.raises(ValueError):
             rc.fetch_batches(self._urls(spark, 5), 0)
+
+
+class TestCrawlFrontier:
+    def _frontier(self, spark, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+            crawl_frontier,
+        )
+
+        delta = spark.createDataFrame([
+            ("u1", "new"), ("u2", "changed"), ("u3", "unchanged"),
+            ("u4", "gone"), ("u5", "changed"),
+        ], ["url", "status"])
+        ranks = spark.createDataFrame([
+            ("u2", 2_000_000), ("u3", 5_000_000), ("u4", 9_000_000),
+            ("u5", 500_000),
+        ], ["url", "rank"])
+        return {r.url: r for r in crawl_frontier(delta, ranks, **kw).collect()}
+
+    def test_priorities_and_gone_excluded(self, spark):
+        got = self._frontier(spark)
+        assert "u4" not in got                      # gone -> tombstone path
+        assert got["u1"].rank == 1_000_000          # default for unranked new
+        assert got["u1"].priority == 3 * 1_000_000
+        assert got["u2"].priority == 2 * 2_000_000
+        assert got["u3"].priority == 1 * 5_000_000
+        assert got["u5"].priority == 2 * 500_000
+
+    def test_custom_weights_drop_unlisted(self, spark):
+        got = self._frontier(spark, weights={"changed": 10})
+        assert set(got) == {"u2", "u5"}
+        assert got["u2"].priority == 10 * 2_000_000
+
+    def test_empty_weights_raise(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+            crawl_frontier,
+        )
+
+        df = spark.createDataFrame([("u", "new")], ["url", "status"])
+        with pytest.raises(ValueError, match="weights"):
+            crawl_frontier(df, df.select("url", F.lit(1).alias("rank")),
+                           weights={})
