@@ -883,6 +883,10 @@ def exact_substring_dedup(
             "h"
         ),
     )
+    # consumed twice (global count agg + occurrence join): persisting
+    # halves the dominant cost — the window explode over the full corpus
+    # — exactly the minhash shingle-scan discipline above
+    spans = spans.persist()
     counts = spans.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min(F.struct("id", "s")).alias("keep")
     )
