@@ -2930,6 +2930,94 @@ def q_media_frames_mjpeg(spark, sf_dir):
     )
 
 
+def q_media_frames_apng(spark, sf_dir):
+    """REAL APNG animation decode under the gate: each doc gets a
+    3-frame APNG (acTL/fcTL/IDAT/fdAT) — full-canvas solid, a quarter
+    sub-rect overwrite composited on it, full-canvas solid again —
+    decoded frame-by-frame via the repo's own PNG codec and the shared
+    dispose/blend compositor. The sub-rect is exactly a quarter of the
+    8×6 canvas, so every per-channel mean is the closed-form integer
+    (v1 + 3·v0)·25 — no floor ambiguity anywhere."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v0 = [(did * 7 + c * 31) % 256 for c in range(3)]
+                v1 = [(did * 11 + c * 17) % 256 for c in range(3)]
+                v2 = [(did * 5 + c * 13) % 256 for c in range(3)]
+                s = lambda v, n: bytes(tuple(v) + (255,)) * n  # noqa: E731
+                blob = MM.encode_apng(8, 6, [
+                    (0, 0, 8, 6, s(v0, 48), 0, 0),
+                    (2, 1, 4, 3, s(v1, 12), 0, 0),
+                    (0, 0, 8, 6, s(v2, 48), 0, 0),
+                ])
+                ids.append(str(did))
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    out = MM.sample_frames(media, n_frames=4)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channel",
+        F.floor(F.col("mean") * 100).cast("bigint").alias("mean_scaled"),
+    )
+
+
+def q_media_frames_webp(spark, sf_dir):
+    """REAL animated-WebP decode under the gate: each doc gets a
+    2-frame VP8X/ANIM/ANMF container whose frames are VP8L bitstreams
+    (the repo's own lossless decoder) — full-canvas solid, then a
+    quarter sub-rect overwrite at an even offset. Means are the same
+    closed-form quarter-mix integers as the APNG gate."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+    from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+        encode_webp_anim,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w0 = bytes((did * 3 + c * 19) % 256 for c in range(3)) * 32
+                w1 = bytes((did * 9 + c * 23) % 256 for c in range(3)) * 8
+                blob = encode_webp_anim(8, 4, [
+                    (0, 0, 8, 4, w0, 3, 0, 0),
+                    (2, 2, 4, 2, w1, 3, 0, 0),
+                ])
+                ids.append(str(did))
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    out = MM.sample_frames(media, n_frames=4)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "channel",
+        F.floor(F.col("mean") * 100).cast("bigint").alias("mean_scaled"),
+    )
+
+
 def _synth_dhash_media(spark, sf_dir):
     """Per-doc 3-channel images where PAIRS (2k, 2k+1) share the exact
     pixel formula px[j] = (s*31 + j*17 + (j%7)*41) % 256 (s = doc_id
@@ -3398,6 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- group 1: new this round (r5) --------------------------------
+        "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
+        "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
         "text_normalize": q_text_normalize,          # 7-rule cleanup chain
         "url_quality": q_url_quality,                # FineWeb URL verdict
@@ -3450,9 +3540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_read": q_archive_read,
         "media_id3": q_media_id3,
         "links_resolve": q_links_resolve,
+        # ---- 50-entry driver window ends here --------------------------
         "warc_read": q_warc_read,
         "media_jpeg": q_media_jpeg,
-        # ---- 50-entry driver window ends here --------------------------
         "media_gif": q_media_gif,
         # one driver row, rotate through the window next round:
         "links_extract": q_links_extract,
@@ -5035,6 +5125,35 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id, feature,
 FROM documents,
      (VALUES ('width'), ('height'), ('channels'),
              ('mean_c0'), ('mean_c1'), ('mean_c2'), ('mean_c3')) f(feature)
+""",
+        "media_frames_apng": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(3 AS INTEGER) AS n_frames,
+       CAST(8 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       CAST(c AS INTEGER) AS channel,
+       CAST(CASE fi
+         WHEN 0 THEN ((doc_id * 7 + c * 31) % 256) * 100
+         WHEN 1 THEN (((doc_id * 11 + c * 17) % 256)
+                      + 3 * ((doc_id * 7 + c * 31) % 256)) * 25
+         ELSE ((doc_id * 5 + c * 13) % 256) * 100
+       END AS BIGINT) AS mean_scaled
+FROM documents, (VALUES (0), (1), (2)) t(fi), generate_series(0, 2) g(c)
+""",
+        "media_frames_webp": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(2 AS INTEGER) AS n_frames,
+       CAST(8 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(c AS INTEGER) AS channel,
+       CAST(CASE fi
+         WHEN 0 THEN ((doc_id * 3 + c * 19) % 256) * 100
+         ELSE (((doc_id * 9 + c * 23) % 256)
+               + 3 * ((doc_id * 3 + c * 19) % 256)) * 25
+       END AS BIGINT) AS mean_scaled
+FROM documents, (VALUES (0), (1)) t(fi), generate_series(0, 2) g(c)
 """,
         "media_frames_mjpeg": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -1538,6 +1538,261 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
+def _to_rgba(px: bytes, ch: int) -> bytes:
+    """Any decoded channel layout → RGBA (gray/GA expand, RGB gains an
+    opaque alpha)."""
+    if ch == 4:
+        return px
+    out = bytearray(len(px) // ch * 4)
+    if ch == 1:
+        for i, g in enumerate(px):
+            out[4 * i] = out[4 * i + 1] = out[4 * i + 2] = g
+            out[4 * i + 3] = 255
+    elif ch == 2:
+        for i in range(len(px) // 2):
+            g = px[2 * i]
+            out[4 * i] = out[4 * i + 1] = out[4 * i + 2] = g
+            out[4 * i + 3] = px[2 * i + 1]
+    elif ch == 3:
+        for i in range(len(px) // 3):
+            out[4 * i : 4 * i + 3] = px[3 * i : 3 * i + 3]
+            out[4 * i + 3] = 255
+    else:
+        raise ValueError(f"cannot normalize {ch}-channel pixels")
+    return bytes(out)
+
+
+def _flatten_rgba(canvas: bytes, n_px: int) -> bytes:
+    """RGBA canvas → RGB over black: c·a div 255 (floor — integer,
+    deterministic, engine-replayable)."""
+    rgb = bytearray(n_px * 3)
+    for i in range(n_px):
+        a = canvas[4 * i + 3]
+        if a == 255:
+            rgb[3 * i : 3 * i + 3] = canvas[4 * i : 4 * i + 3]
+        elif a:
+            for c in range(3):
+                rgb[3 * i + c] = canvas[4 * i + c] * a // 255
+    return bytes(rgb)
+
+
+def _compose_anim(
+    cw: int,
+    chh: int,
+    frames,
+    max_frames: Optional[int] = None,
+) -> List[bytes]:
+    """Shared APNG/animated-WebP compositor: full-canvas RGB output per
+    frame. ``frames`` yields (x, y, fw, fh, rgba, dispose, blend) with
+    dispose 0=none / 1=background (clear region) / 2=previous (revert)
+    and blend 0=source (overwrite) / 1=over (alpha composite). The
+    output buffer starts transparent black; OVER uses exact rational
+    arithmetic floored per channel (out_c = (sc·sa·255 + dc·da·(255-sa))
+    div (sa·255 + da·(255-sa))) so every engine/test replays it
+    bit-for-bit. Dispose applies AFTER the frame is emitted (APNG
+    semantics; WebP only uses 0/1)."""
+    canvas = bytearray(cw * chh * 4)
+    out: List[bytes] = []
+    for x, y, fw, fh, rgba, dispose, blend in frames:
+        if x < 0 or y < 0 or x + fw > cw or y + fh > chh:
+            raise ValueError("animation frame rect outside canvas")
+        if len(rgba) != fw * fh * 4:
+            raise ValueError("animation frame pixel buffer size mismatch")
+        saved = bytes(canvas) if dispose == 2 else None
+        for r in range(fh):
+            ci = ((y + r) * cw + x) * 4
+            si = r * fw * 4
+            if blend == 0:
+                canvas[ci : ci + fw * 4] = rgba[si : si + fw * 4]
+            else:
+                for k in range(fw):
+                    sa = rgba[si + 4 * k + 3]
+                    if sa == 255:
+                        canvas[ci + 4 * k : ci + 4 * k + 4] = rgba[
+                            si + 4 * k : si + 4 * k + 4
+                        ]
+                    elif sa:
+                        da = canvas[ci + 4 * k + 3]
+                        num_a = sa * 255 + da * (255 - sa)
+                        for c in range(3):
+                            sc = rgba[si + 4 * k + c]
+                            dc = canvas[ci + 4 * k + c]
+                            canvas[ci + 4 * k + c] = (
+                                (sc * sa * 255 + dc * da * (255 - sa))
+                                // num_a
+                            )
+                        canvas[ci + 4 * k + 3] = num_a // 255
+        out.append(_flatten_rgba(canvas, cw * chh))
+        if max_frames is not None and len(out) >= max_frames:
+            break
+        if dispose == 1:
+            for r in range(fh):
+                ci = ((y + r) * cw + x) * 4
+                canvas[ci : ci + fw * 4] = b"\x00" * (fw * 4)
+        elif dispose == 2:
+            canvas = bytearray(saved)
+    return out
+
+
+def decode_apng_frames(
+    data: bytes, max_frames: Optional[int] = None
+) -> Tuple[int, int, List[bytes]]:
+    """REAL APNG decode → (canvas_w, canvas_h, [full-canvas RGB bytes
+    per frame]): acTL/fcTL/fdAT chunk walk, each frame's compressed
+    stream rebuilt into a standalone PNG and decoded with the repo's
+    own :func:`decode_png` (full color-type/bit-depth matrix for
+    free), then composited with the shared dispose/blend rules. A PNG
+    without acTL decodes as its single frame; a default image (IDAT
+    before the first fcTL) is not part of the animation, per spec."""
+    try:
+        return _decode_apng_impl(data, max_frames)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt APNG stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_apng_impl(
+    data: bytes, max_frames: Optional[int]
+) -> Tuple[int, int, List[bytes]]:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr: Optional[bytes] = None
+    extra = b""  # PLTE/tRNS, replayed into every frame's standalone PNG
+    have_actl = False
+    frames: List[dict] = []  # {'ctl': (fw,fh,x,y,dispose,blend), 'data': []}
+    idat_owner: Optional[dict] = None
+    seen_idat = False
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag in (b"PLTE", b"tRNS"):
+            extra += _png_chunk(tag, body)
+        elif tag == b"acTL":
+            have_actl = True
+        elif tag == b"fcTL":
+            if len(body) < 26:
+                raise ValueError("short fcTL chunk")
+            fw, fh, fx, fy = struct.unpack(">IIII", body[4:20])
+            dispose, blend = body[24], body[25]
+            fr = {"ctl": (fw, fh, fx, fy, dispose, blend), "data": []}
+            frames.append(fr)
+            if not seen_idat:
+                idat_owner = fr
+        elif tag == b"IDAT":
+            seen_idat = True
+            if idat_owner is not None:
+                idat_owner["data"].append(body)
+        elif tag == b"fdAT":
+            if len(body) < 4:
+                raise ValueError("short fdAT chunk")
+            if frames:
+                frames[-1]["data"].append(body[4:])
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    cw, chh = struct.unpack(">II", ihdr[:8])
+    if not have_actl:
+        w, h, ch, px = decode_png(data)
+        return (w, h, [_flatten_rgba(_to_rgba(px, ch), w * h)])
+    frames = [f for f in frames if f["data"]]
+    if not frames:
+        raise ValueError("APNG without animation frames")
+    if frames and frames[0]["ctl"][4] == 2:
+        # spec: DISPOSE_OP_PREVIOUS on the first frame acts as BACKGROUND
+        fw, fh, fx, fy, _, blend = frames[0]["ctl"]
+        frames[0]["ctl"] = (fw, fh, fx, fy, 1, blend)
+
+    def gen():
+        for fr in frames:
+            fw, fh, fx, fy, dispose, blend = fr["ctl"]
+            sub = (
+                data[:8]
+                + _png_chunk(
+                    b"IHDR",
+                    struct.pack(">II", fw, fh) + ihdr[8:],
+                )
+                + extra
+                + b"".join(_png_chunk(b"IDAT", d) for d in fr["data"])
+                + _png_chunk(b"IEND", b"")
+            )
+            w, h, ch, px = decode_png(sub)
+            yield (fx, fy, w, h, _to_rgba(px, ch), dispose, blend)
+
+    out = _compose_anim(cw, chh, gen(), max_frames)
+    return (cw, chh, out)
+
+
+def decode_webp_anim_frames(
+    data: bytes, max_frames: Optional[int] = None
+) -> Tuple[int, int, List[bytes]]:
+    """REAL animated-WebP decode → (canvas_w, canvas_h, [full-canvas
+    RGB bytes per frame]): VP8X/ANIM/ANMF walk (vp8l.parse_webp_anim),
+    each sub-bitstream decoded with the repo's VP8L decoder, composited
+    with the shared dispose/blend rules. A non-animated WebP decodes as
+    its single VP8L frame; lossy VP8 raises NotImplementedError."""
+    from .vp8l import decode_webp, parse_webp_anim
+
+    try:
+        cw, chh, frames = parse_webp_anim(data)
+    except ValueError as ex:
+        if "not a WebP" in str(ex):
+            raise
+        # VP8X without the anim flag / no VP8X at all: plain still image
+        w, h, ch, px = decode_webp(data)
+        return (w, h, [_flatten_rgba(_to_rgba(px, ch), w * h)])
+    out = _compose_anim(cw, chh, iter(frames), max_frames)
+    return (cw, chh, out)
+
+
+def encode_apng(
+    width: int,
+    height: int,
+    frames,
+    channels: int = 4,
+) -> bytes:
+    """Deterministic APNG fixture encoder: acTL + per-frame fcTL with
+    IDAT (first frame, full canvas required) / fdAT (rest). ``frames``
+    is a sequence of (x, y, fw, fh, pixels, dispose, blend); all
+    frames share ``channels`` (the IHDR color type governs every
+    frame, per spec)."""
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    if frames[0][:4] != (0, 0, width, height):
+        raise ValueError("first APNG frame must cover the canvas")
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    )
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (x, y, fw, fh, pixels, dispose, blend) in enumerate(frames):
+        stride = fw * channels
+        if len(pixels) != stride * fh:
+            raise ValueError("frame pixel buffer size mismatch")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x, y, 1, 10, dispose, blend
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(
+            b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(fh)
+        )
+        comp = zlib.compress(raw, 6)
+        if i == 0:
+            out += _png_chunk(b"IDAT", comp)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + comp)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,
@@ -1547,9 +1802,11 @@ def sample_frames(
 ) -> DataFrame:
     """Evenly-spaced frame sampling — the frame-sample primitive a
     video/animation training pipeline needs. The default decoder is
-    REAL for animated GIF (:func:`decode_gif_frames`, the one
-    multi-frame format with a pure-stdlib codec here) and raises for
-    video containers (:func:`video_frames_stub`); inject ``decoder=``
+    REAL for animated GIF (:func:`decode_gif_frames`), MJPEG-in-AVI
+    (:func:`decode_mjpeg_avi`), APNG (:func:`decode_apng_frames`) and
+    animated lossless WebP (:func:`decode_webp_anim_frames`), and
+    raises for other video containers (:func:`video_frames_stub`);
+    inject ``decoder=``
     (bytes → (w, h, [RGB frames])) to back it with a real video codec
     — batch shape, schema and sampling rule are identical. Emits
     per-sampled-frame per-channel exact means (integer sums, so
@@ -1563,6 +1820,10 @@ def sample_frames(
             return decode_gif_frames(data)
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             return decode_mjpeg_avi(data)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_apng_frames(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return decode_webp_anim_frames(data)
         return video_frames_stub(data)
 
     dec = decoder or default_decoder

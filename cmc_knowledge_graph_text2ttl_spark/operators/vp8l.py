@@ -841,3 +841,110 @@ def encode_webp_lossless(
         chunk += b"\x00"
     body = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP container (VP8X + ANIM + ANMF): parse/encode only — frame
+# compositing lives in multimodal._compose_anim, shared with APNG.
+
+
+def _u24(data: bytes, pos: int) -> int:
+    return data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+
+
+def parse_webp_anim(data: bytes):
+    """Animated WebP → (canvas_w, canvas_h, frames) where each frame is
+    (x, y, fw, fh, rgba_bytes, dispose, blend) with the shared codes
+    (dispose: 0 none / 1 background; blend: 0 source / 1 over). Each
+    ANMF sub-bitstream must be VP8L (the repo's real lossless decoder);
+    lossy VP8 sub-frames raise NotImplementedError. Raises ValueError
+    if the container carries no animation."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    pos, end = 12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    canvas = None
+    frames = []
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("short VP8X chunk")
+            if not body[0] & 0x02:
+                raise ValueError("WebP container is not animated")
+            canvas = (_u24(body, 4) + 1, _u24(body, 7) + 1)
+        elif cid == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("short ANMF chunk")
+            x, y = _u24(body, 0) * 2, _u24(body, 3) * 2
+            fw, fh = _u24(body, 6) + 1, _u24(body, 9) + 1
+            flags = body[15]
+            dispose = flags & 0x01
+            blend = 0 if flags & 0x02 else 1  # spec bit: 1 = do NOT blend
+            # frame data: sub-chunks; find the VP8L payload
+            spos, send = 16, len(body)
+            rgba = None
+            while spos + 8 <= send:
+                scid = body[spos : spos + 4]
+                (ssz,) = struct.unpack("<I", body[spos + 4 : spos + 8])
+                if scid == b"VP8L":
+                    w, h, _ch, rgba = decode_vp8l(
+                        body[spos + 8 : spos + 8 + ssz]
+                    )
+                    if (w, h) != (fw, fh):
+                        raise ValueError("ANMF/VP8L dimension mismatch")
+                    break
+                if scid == b"VP8 ":
+                    raise NotImplementedError("lossy VP8 animation frame")
+                spos += 8 + ssz + (ssz & 1)
+            if rgba is None:
+                raise ValueError("ANMF frame without a VP8L bitstream")
+            frames.append((x, y, fw, fh, rgba, dispose, blend))
+        pos += 8 + sz + (sz & 1)
+    if canvas is None:
+        raise ValueError("animated WebP without a VP8X chunk")
+    if not frames:
+        raise ValueError("animated WebP without ANMF frames")
+    return canvas[0], canvas[1], frames
+
+
+def _p24(v: int) -> bytes:
+    return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+
+def encode_webp_anim(
+    canvas_w: int,
+    canvas_h: int,
+    frames,
+    loop: int = 0,
+) -> bytes:
+    """Deterministic animated-WebP fixture: VP8X(anim) + ANIM + one
+    ANMF per frame, each embedding :func:`encode_vp8l` output. Frames
+    are (x, y, fw, fh, pixels, channels, dispose, blend) with the
+    shared codes; x/y must be even (the format stores offsets /2)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        out = cid + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    vp8x = bytes([0x02, 0, 0, 0]) + _p24(canvas_w - 1) + _p24(canvas_h - 1)
+    anim = struct.pack("<IH", 0, loop)  # transparent-black bg, loop count
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for x, y, fw, fh, pixels, channels, dispose, blend in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        payload = encode_vp8l(fw, fh, pixels, channels)
+        flags = (dispose & 0x01) | (0x00 if blend else 0x02)
+        anmf = (
+            _p24(x // 2)
+            + _p24(y // 2)
+            + _p24(fw - 1)
+            + _p24(fh - 1)
+            + _p24(4)  # duration ms
+            + bytes([flags])
+            + chunk(b"VP8L", payload)
+        )
+        body += chunk(b"ANMF", anmf)
+    full = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(full)) + full

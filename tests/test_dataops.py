@@ -1592,6 +1592,137 @@ class TestGifFrames:
         assert got == {"ok"}
 
 
+class TestAnimFrames:
+    """APNG + animated-WebP frame decode (multimodal._compose_anim path)."""
+
+    @staticmethod
+    def _solid(w, h, px):
+        return bytes(px) * (w * h)
+
+    def test_apng_compose_source_blend(self):
+        apng = mm.encode_apng(8, 6, [
+            (0, 0, 8, 6, self._solid(8, 6, (200, 10, 20, 255)), 0, 0),
+            (2, 1, 4, 3, self._solid(4, 3, (5, 180, 30, 255)), 0, 0),
+            (0, 0, 8, 6, self._solid(8, 6, (1, 2, 250, 255)), 0, 0),
+        ])
+        w, h, frames = mm.decode_apng_frames(apng)
+        assert (w, h, len(frames)) == (8, 6, 3)
+        assert frames[0] == self._solid(8, 6, (200, 10, 20))
+        exp = bytearray(self._solid(8, 6, (200, 10, 20)))
+        for r in range(3):
+            for k in range(4):
+                i = ((1 + r) * 8 + 2 + k) * 3
+                exp[i:i + 3] = bytes((5, 180, 30))
+        assert frames[1] == bytes(exp)
+        assert frames[2] == self._solid(8, 6, (1, 2, 250))
+
+    def test_apng_over_blend_floor_rational(self):
+        apng = mm.encode_apng(4, 2, [
+            (0, 0, 4, 2, self._solid(4, 2, (0, 0, 0, 255)), 0, 0),
+            (0, 0, 4, 2, self._solid(4, 2, (255, 255, 255, 128)), 0, 1),
+        ])
+        _, _, fr = mm.decode_apng_frames(apng)
+        # (255*128*255 + 0*255*127) // (128*255 + 255*127) = 128
+        assert fr[1][0] == 128
+
+    def test_apng_dispose_background_and_over(self):
+        apng = mm.encode_apng(4, 2, [
+            (0, 0, 4, 2, self._solid(4, 2, (100, 100, 100, 255)), 0, 0),
+            (0, 0, 2, 1, self._solid(2, 1, (200, 0, 0, 255)), 1, 0),
+            (2, 1, 2, 1, self._solid(2, 1, (0, 200, 0, 255)), 0, 1),
+        ])
+        _, _, fr = mm.decode_apng_frames(apng)
+        last = fr[2]
+        assert last[0:3] == b"\x00\x00\x00"        # disposed region
+        assert last[(1 * 4 + 2) * 3:(1 * 4 + 2) * 3 + 3] == bytes((0, 200, 0))
+        assert last[2 * 3:2 * 3 + 3] == bytes((100, 100, 100))
+
+    def test_apng_dispose_previous_reverts(self):
+        apng = mm.encode_apng(2, 1, [
+            (0, 0, 2, 1, self._solid(2, 1, (10, 10, 10, 255)), 0, 0),
+            (0, 0, 2, 1, self._solid(2, 1, (250, 0, 0, 255)), 2, 0),
+            (0, 0, 1, 1, self._solid(1, 1, (0, 0, 9, 255)), 0, 0),
+        ])
+        _, _, fr = mm.decode_apng_frames(apng)
+        assert fr[1] == self._solid(2, 1, (250, 0, 0))
+        # frame 2 paints on the REVERTED (frame-0) canvas
+        assert fr[2] == bytes((0, 0, 9)) + bytes((10, 10, 10))
+
+    def test_plain_png_single_frame(self):
+        png = mm.encode_png(3, 2, self._solid(3, 2, (9, 8, 7)), 3)
+        w, h, fr = mm.decode_apng_frames(png)
+        assert (w, h, len(fr)) == (3, 2, 1)
+        assert fr[0] == self._solid(3, 2, (9, 8, 7))
+
+    def test_webp_anim_roundtrip(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+            encode_webp_anim,
+        )
+
+        webp = encode_webp_anim(8, 4, [
+            (0, 0, 8, 4, self._solid(8, 4, (40, 50, 60)), 3, 0, 0),
+            (2, 2, 4, 2, self._solid(4, 2, (200, 100, 0)), 3, 0, 0),
+        ])
+        w, h, fr = mm.decode_webp_anim_frames(webp)
+        assert (w, h, len(fr)) == (8, 4, 2)
+        assert fr[0] == self._solid(8, 4, (40, 50, 60))
+        exp = bytearray(self._solid(8, 4, (40, 50, 60)))
+        for r in range(2):
+            for k in range(4):
+                i = ((2 + r) * 8 + 2 + k) * 3
+                exp[i:i + 3] = bytes((200, 100, 0))
+        assert fr[1] == bytes(exp)
+
+    def test_webp_still_falls_back_to_single_frame(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+            encode_webp_lossless,
+        )
+
+        still = encode_webp_lossless(3, 2, self._solid(3, 2, (1, 2, 3)), 3)
+        w, h, fr = mm.decode_webp_anim_frames(still)
+        assert (w, h, len(fr)) == (3, 2, 1)
+        assert fr[0] == self._solid(3, 2, (1, 2, 3))
+
+    def test_webp_odd_offset_rejected_by_encoder(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+            encode_webp_anim,
+        )
+
+        with pytest.raises(ValueError, match="even"):
+            encode_webp_anim(4, 4, [
+                (1, 0, 2, 2, self._solid(2, 2, (0, 0, 0)), 3, 0, 0)])
+
+    def test_sample_frames_apng_and_webp_default_decoder(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+            encode_webp_anim,
+        )
+
+        apng = mm.encode_apng(4, 4, [
+            (0, 0, 4, 4, self._solid(4, 4, (10, 20, 30, 255)), 0, 0),
+            (0, 0, 4, 4, self._solid(4, 4, (50, 60, 70, 255)), 0, 0),
+        ])
+        webp = encode_webp_anim(4, 4, [
+            (0, 0, 4, 4, self._solid(4, 4, (5, 6, 7)), 3, 0, 0),
+        ])
+        df = spark.createDataFrame(
+            [("a", bytearray(apng)), ("w", bytearray(webp)),
+             ("junk", bytearray(b"\x89PNG\r\n\x1a\ngarbage"))],
+            "media_id string, blob binary")
+        got = {(r.media_id, r.frame_idx, r.channel): r.mean
+               for r in mm.sample_frames(df).collect()}
+        assert got[("a", 0, 0)] == 10.0 and got[("a", 1, 2)] == 70.0
+        assert got[("w", 0, 0)] == 5.0 and got[("w", 0, 2)] == 7.0
+        assert not any(k[0] == "junk" for k in got)
+
+    def test_frame_rect_outside_canvas_raises(self):
+        apng = mm.encode_apng(4, 2, [
+            (0, 0, 4, 2, self._solid(4, 2, (1, 1, 1, 255)), 0, 0),
+            (3, 1, 2, 1, self._solid(2, 1, (2, 2, 2, 255)), 0, 0),
+        ])
+        with pytest.raises(ValueError, match="outside canvas"):
+            mm.decode_apng_frames(apng)
+
+
 class TestImageHash:
     """Perceptual dHash + image near-dup (operators/imagehash.py)."""
 
