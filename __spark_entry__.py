@@ -1507,6 +1507,30 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_text_mojibake(spark, sf_dir):
+    """Mojibake repair under the gate: docs with doc_id%5==1 get a
+    latin-1-rendered-UTF-8 tail appended (2- and 3-byte sequences) and
+    must come back repaired; %5==2 get a truncated lead byte and must
+    pass through UNtouched (the full-match grammar rejects them — and
+    keeps Spark's throwing decode off that branch); the oracle
+    restates both closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.normalize import (
+        repair_mojibake,
+    )
+
+    moji = (" caf\u00c3\u00a9 na\u00c3\u00afve"
+            " \u00e2\u0080\u0094 r\u00c3\u00a9sum\u00c3\u00a9")
+    broken = " broken \u00c3"
+    did = F.col("doc_id")
+    t = (
+        F.when(did % 5 == 1, F.concat(F.col("text"), F.lit(moji)))
+        .when(did % 5 == 2, F.concat(F.col("text"), F.lit(broken)))
+        .otherwise(F.col("text"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return repair_mojibake(docs)
+
+
 def q_text_normalize(spark, sf_dir):
     """Normalization chain under the gate: id arithmetic plants leading
     whitespace (%3==0), a CRLF + '!'-run tail (%4==1), a tab+BEL head
@@ -3489,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "text_mojibake": q_text_mojibake,            # latin-1 UTF-8 repair
         "text_normalize": q_text_normalize,          # 7-rule cleanup chain
         "url_quality": q_url_quality,                # FineWeb URL verdict
         "crawl_host_stats": q_crawl_host_stats,      # host reputation aggs
@@ -3539,8 +3564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4": q_media_mp4,
         "archive_read": q_archive_read,
         "media_id3": q_media_id3,
-        "links_resolve": q_links_resolve,
         # ---- 50-entry driver window ends here --------------------------
+        "links_resolve": q_links_resolve,
         "warc_read": q_warc_read,
         "media_jpeg": q_media_jpeg,
         "media_gif": q_media_gif,
@@ -4941,6 +4966,14 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "text_mojibake": """
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 5 = 1 THEN text || ' café naïve — résumé'
+            WHEN doc_id % 5 = 2 THEN text || ' broken Ã'
+            ELSE text END AS text,
+       doc_id % 5 = 1 AS was_mojibake
+FROM documents
+""",
         "text_normalize": _text_normalize_sql(),
         "url_quality": """
 WITH u AS (

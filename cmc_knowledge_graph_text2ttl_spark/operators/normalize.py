@@ -81,3 +81,54 @@ def normalize_text(
         "n_chars_before",
         F.length("text").cast("int").alias("n_chars_after"),
     )
+
+
+# "UTF-8 bytes rendered as Latin-1" full-match grammar (RFC 3629 exactly:
+# no overlongs, no surrogates, max U+10FFFF). A text matching this AND
+# containing at least one lead byte is mojibake that ROUND-TRIPS: encode
+# to ISO-8859-1 cannot fail (every char is <= U+00FF by construction) and
+# re-decode as UTF-8 cannot fail (the grammar IS UTF-8 validity) -- which
+# matters because Spark 4 encode/decode THROW on malformed input instead
+# of replacing.
+MOJIBAKE_FULL_RE = (
+    "^(?:[\\x00-\\x7F]"
+    "|[\\xC2-\\xDF][\\x80-\\xBF]"
+    "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]"
+    "|[\\xE1-\\xEC\\xEE\\xEF][\\x80-\\xBF]{2}"
+    "|\\xED[\\x80-\\x9F][\\x80-\\xBF]"
+    "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}"
+    "|[\\xF1-\\xF3][\\x80-\\xBF]{3}"
+    "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*$"
+)
+MOJIBAKE_LEAD_RE = "[\\xC2-\\xF4]"
+
+
+def repair_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text, was_mojibake) -- repair of the single most common web
+    encoding defect: UTF-8 bytes mis-decoded as Latin-1 upstream
+    ("cafÃ©" for "café"), the ftfy core case. A document is repaired
+    ONLY when the ENTIRE text matches the UTF-8-as-Latin-1 grammar and
+    contains at least one multi-byte lead char -- a conservative
+    whole-document rule: mixed/ambiguous documents pass through
+    untouched rather than risking double-repair corruption. The repair
+    itself is ``decode(encode(text, 'ISO-8859-1'), 'UTF-8')`` -- pure
+    JVM column expressions, total by construction (see
+    MOJIBAKE_FULL_RE). Latin-1 only: cp1252-specific mojibake (curly
+    quotes, em-dash through 0x80-0x9F) has lead sequences outside the
+    grammar and passes through -- documented, not silently mangled.
+
+    Scale shape: map-side only, fuses into the feeding scan.
+    """
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    is_moji = src.rlike(MOJIBAKE_FULL_RE) & src.rlike(MOJIBAKE_LEAD_RE)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            is_moji, F.decode(F.encode(src, "ISO-8859-1"), "UTF-8")
+        ).otherwise(src).alias("text"),
+        is_moji.alias("was_mojibake"),
+    )
