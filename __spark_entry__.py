@@ -2117,9 +2117,10 @@ def _synth_audio(spark, sf_dir):
     """Deterministic per-doc 16-bit audio: doc d gets 200 + (d%7)*40
     samples of v(i) = ((d*31 + i*17) mod 2003) - 1001 at 8 kHz —
     PCM WAV, except doc_id%3==2 which carries the SAME samples as a
-    FLAC with FIXED order-1 subframes (Rice-coded residuals): the
-    features must be container-independent, so the oracle's waveform
-    replay needs no change."""
+    FLAC with FIXED order-1 subframes (Rice-coded residuals) and
+    doc_id%3==1 as an AIFF (big-endian signed PCM, 80-bit-extended
+    rate field): the features must be container-independent, so the
+    oracle's waveform replay needs no change."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
@@ -2140,6 +2141,8 @@ def _synth_audio(spark, sf_dir):
                         encode_flac(samples, 8000, channels=1,
                                     block_size=160, subframe="fixed1")
                     )
+                elif did % 3 == 1:
+                    blobs.append(MM.encode_aiff(1, 8000, samples, 16))
                 else:
                     blobs.append(MM.encode_wav(samples, 8000, 1))
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
@@ -2911,14 +2914,14 @@ def q_media_frames(spark, sf_dir):
 
 
 def q_media_frames_mjpeg(spark, sf_dir):
-    """REAL video frame decode under the gate: each doc gets an MJPEG
-    AVI (RIFF/hdrl/movi with five '00dc' JPEG frames), walked and
-    decoded frame-by-frame with the repo's own JPEG codec
-    (multimodal.decode_mjpeg_avi). Frame k is a solid 8×8 DC-only
-    block of value (doc_id*13 + k*37) % 256, so every decoded pixel —
-    and therefore each sampled frame's per-channel mean — is
-    closed-form; sample_frames(n_frames=2) must pick frames {0, 4}
-    by the evenly-spaced rule."""
+    """REAL video frame decode under the gate: each doc gets an AVI
+    with five frames of solid value (doc_id*13 + k*37) % 256 — even
+    doc_ids as MJPEG ('00dc' JPEGs through the repo's JPEG codec), odd
+    doc_ids as uncompressed DIB (BI_RGB 24-bit bottom-up padded BGR
+    '00db' chunks): both decode to identical solid RGB frames, so ONE
+    closed-form oracle covers both codec paths bit-for-bit;
+    sample_frames(n_frames=2) must pick frames {0, 4} by the
+    evenly-spaced rule."""
     import pandas as pd
 
     from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
@@ -2931,14 +2934,17 @@ def q_media_frames_mjpeg(spark, sf_dir):
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                frames = [
-                    JP.encode_jpeg_blocks(
-                        8, 8, [[((did * 13 + k * 37) % 256) - 128] + [0] * 63]
-                    )
-                    for k in range(5)
-                ]
+                vals = [(did * 13 + k * 37) % 256 for k in range(5)]
                 ids.append(str(did))
-                blobs.append(MM.encode_avi_mjpeg(8, 8, frames))
+                if did % 2:
+                    frames = [bytes((v, v, v)) * 64 for v in vals]
+                    blobs.append(MM.encode_avi_rgb(8, 8, frames))
+                else:
+                    frames = [
+                        JP.encode_jpeg_blocks(8, 8, [[v - 128] + [0] * 63])
+                        for v in vals
+                    ]
+                    blobs.append(MM.encode_avi_mjpeg(8, 8, frames))
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 
     media = docs.mapInPandas(gen, schema="media_id string, blob binary")

@@ -143,6 +143,8 @@ def sniff_media(data: Optional[bytes]) -> tuple:
         return ("audio", "flac", None, None)
     if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska / WebM)
         return ("video", "webm", None, None)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return ("audio", "aiff", None, None)
     if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
         # ICO: first directory entry carries dims; 0 encodes 256
         w, h = data[6] or 256, data[7] or 256
@@ -1494,6 +1496,114 @@ def decode_mjpeg_avi(data: bytes) -> Tuple[int, int, List[bytes]]:
     return (dims[0], dims[1], frames)
 
 
+def _avi_video_strf(data: bytes) -> Tuple[int, int, int, bytes]:
+    """(width, height, bit_count, compression) from the first video
+    'strf' BITMAPINFOHEADER in the hdrl."""
+    i = data.find(b"strf")
+    if i < 0 or i + 28 > len(data):
+        raise ValueError("AVI without a video strf header")
+    bih = data[i + 8 :]
+    w, h = struct.unpack("<ii", bih[4:12])
+    (bits,) = struct.unpack("<H", bih[14:16])
+    comp = bih[16:20]
+    return (w, abs(h), bits, comp)
+
+
+def decode_avi_frames(data: bytes) -> Tuple[int, int, List[bytes]]:
+    """AVI video frames → (w, h, [full-frame RGB bytes]) for the two
+    in-repo-decodable codecs: MJPEG ('MJPG' strf, each chunk a JPEG —
+    :func:`decode_mjpeg_avi`) and uncompressed DIB (BI_RGB 24-bit:
+    bottom-up, 4-byte-padded BGR rows, converted here). Other FourCCs
+    raise NotImplementedError (per-row isolation in sample_frames)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    w, h, bits, comp = _avi_video_strf(data)
+    if comp in (b"MJPG", b"mjpg"):
+        return decode_mjpeg_avi(data)
+    if comp != b"\x00\x00\x00\x00":
+        raise NotImplementedError(
+            f"no pure-Python decoder for AVI codec {comp!r}"
+        )
+    if bits != 24:
+        raise NotImplementedError(f"DIB AVI {bits}-bit not supported")
+    chunks: List[bytes] = []
+    _riff_video_chunks(data, 12, min(len(data), 12 + struct.unpack(
+        "<I", data[4:8])[0] - 4), chunks)
+    if not chunks:
+        raise ValueError("AVI has no video chunks")
+    stride = (w * 3 + 3) // 4 * 4
+    frames: List[bytes] = []
+    for raw in chunks:
+        if len(raw) < stride * h:
+            raise ValueError("DIB frame shorter than its geometry")
+        out = bytearray(w * h * 3)
+        for r in range(h):
+            src = (h - 1 - r) * stride  # bottom-up rows
+            dst = r * w * 3
+            row = raw[src : src + w * 3]
+            for k in range(w):
+                out[dst + 3 * k] = row[3 * k + 2]      # B→R
+                out[dst + 3 * k + 1] = row[3 * k + 1]
+                out[dst + 3 * k + 2] = row[3 * k]      # R→B
+        frames.append(bytes(out))
+    return (w, h, frames)
+
+
+def encode_avi_rgb(
+    width: int, height: int, rgb_frames: Sequence[bytes], fps: int = 25
+) -> bytes:
+    """Deterministic uncompressed-DIB AVI fixture (BI_RGB 24-bit,
+    bottom-up padded BGR '00db' chunks) — counterpart of the DIB path
+    in :func:`decode_avi_frames`."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    stride = (width * 3 + 3) // 4 * 4
+    dib_frames: List[bytes] = []
+    for px in rgb_frames:
+        if len(px) != width * height * 3:
+            raise ValueError("frame pixel buffer size mismatch")
+        rows = []
+        for r in range(height - 1, -1, -1):
+            row = bytearray(stride)
+            base = r * width * 3
+            for k in range(width):
+                row[3 * k] = px[base + 3 * k + 2]
+                row[3 * k + 1] = px[base + 3 * k + 1]
+                row[3 * k + 2] = px[base + 3 * k]
+            rows.append(bytes(row))
+        dib_frames.append(b"".join(rows))
+    n = len(dib_frames)
+    avih = struct.pack(
+        "<14I", 1_000_000 // max(1, fps), 0, 0, 0x10,
+        n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"\x00\x00\x00\x00",
+        stride * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in dib_frames))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 def encode_avi_mjpeg(
     width: int, height: int, jpeg_frames: Sequence[bytes], fps: int = 25
 ) -> bytes:
@@ -1819,7 +1929,7 @@ def sample_frames(
         if data[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif_frames(data)
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-            return decode_mjpeg_avi(data)
+            return decode_avi_frames(data)
         if data[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_apng_frames(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
@@ -1974,16 +2084,140 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, List[int]]:
         raise ValueError(f"corrupt WAV stream: {type(ex).__name__}: {ex}") from ex
 
 
+def _f80_to_int(b: bytes) -> int:
+    """80-bit IEEE 754 extended-precision BE → nearest int (the AIFF
+    COMM sample-rate field; real rates are exact integers)."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    sign = -1 if b[0] & 0x80 else 1
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    shift = exp - 16383 - 63
+    v = mant << shift if shift >= 0 else (mant + (1 << (-shift - 1))) >> -shift
+    return sign * v
+
+
+def _int_to_f80(v: int) -> bytes:
+    """int → 80-bit extended BE (fixture encoder counterpart)."""
+    if v == 0:
+        return b"\x00" * 10
+    e = v.bit_length() - 1
+    mant = v << (63 - e) if e <= 63 else v >> (e - 63)
+    return struct.pack(">H", 16383 + e) + mant.to_bytes(8, "big")
+
+
+def decode_aiff(data: bytes) -> Tuple[int, int, int, List[int]]:
+    """REAL pure-stdlib AIFF/AIFF-C decode → (channels, sample_rate,
+    n_frames, interleaved samples): FORM chunk walk, COMM (channel
+    count, frame count, bit depth, 80-bit-extended sample rate), SSND
+    payload. AIFF PCM is big-endian SIGNED at every depth (8-bit too —
+    unlike WAV); AIFF-C is accepted for compression 'NONE' (BE) and
+    'sowt' (the Apple little-endian variant), anything else raises
+    NotImplementedError. Malformed input raises ValueError."""
+    try:
+        return _decode_aiff_impl(data)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt AIFF stream: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_aiff_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    channels = rate = bits = n_frames = None
+    little = False
+    payload: Optional[bytes] = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (clen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if tag == b"COMM":
+            if len(body) < 18:
+                raise ValueError("short COMM chunk")
+            channels, n_frames, bits = struct.unpack(">hIh", body[:8])
+            rate = _f80_to_int(body[8:18])
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+                if comp == b"sowt":
+                    little = True
+                elif comp != b"NONE":
+                    raise NotImplementedError(
+                        f"AIFF-C compression {comp!r} not supported"
+                    )
+        elif tag == b"SSND":
+            if len(body) < 8:
+                raise ValueError("short SSND chunk")
+            (off,) = struct.unpack(">I", body[:4])
+            payload = body[8 + off :]
+        pos += 8 + clen + (clen & 1)
+    if channels is None or payload is None:
+        raise ValueError("AIFF missing COMM or SSND")
+    if channels < 1 or bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"AIFF {bits}-bit not supported")
+    step = bits // 8
+    total = n_frames * channels
+    if len(payload) < total * step:
+        raise ValueError("SSND shorter than COMM frame count")
+    samples: List[int] = []
+    order = "little" if little else "big"
+    for i in range(total):
+        samples.append(
+            int.from_bytes(payload[i * step : (i + 1) * step], order, signed=True)
+        )
+    return (channels, rate, n_frames, samples)
+
+
+def encode_aiff(
+    channels: int,
+    rate: int,
+    samples: Sequence[int],
+    bits: int = 16,
+    aifc_sowt: bool = False,
+) -> bytes:
+    """Deterministic AIFF (or AIFF-C/'sowt') fixture encoder — the
+    counterpart of :func:`decode_aiff`."""
+    if len(samples) % channels:
+        raise ValueError("sample count not divisible by channels")
+    step = bits // 8
+    order = "little" if aifc_sowt else "big"
+    payload = b"".join(
+        int(s).to_bytes(step, order, signed=True) for s in samples
+    )
+    comm = struct.pack(
+        ">hIh", channels, len(samples) // channels, bits
+    ) + _int_to_f80(rate)
+    if aifc_sowt:
+        comm += b"sowt" + b"\x0e" + b"not compressed" + b"\x00"
+    ssnd = struct.pack(">II", 0, 0) + payload
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack(">I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    form_type = b"AIFC" if aifc_sowt else b"AIFF"
+    body = form_type
+    if aifc_sowt:
+        body += chunk(b"FVER", struct.pack(">I", 0xA2805140))
+    body += chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def decode_audio(data: bytes) -> Tuple[int, int, int, List[int]]:
     """bytes → (channels, sample_rate, n_frames, interleaved samples):
-    REAL decode for PCM WAV and FLAC (operators/flac.py — constant/
+    REAL decode for PCM WAV, FLAC (operators/flac.py — constant/
     verbatim/fixed/LPC subframes, Rice residuals, stereo
-    decorrelation, CRC-verified). One dispatcher so every audio
-    consumer (features, fingerprints, near-dup) covers both containers
-    with no caller changes. Other formats raise NotImplementedError
-    (per-row isolated everywhere)."""
+    decorrelation, CRC-verified) and AIFF/AIFF-C PCM. One dispatcher
+    so every audio consumer (features, fingerprints, near-dup) covers
+    all containers with no caller changes. Other formats raise
+    NotImplementedError (per-row isolated everywhere)."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(data)
     if data[:4] == b"fLaC":
         from .flac import decode_flac
 

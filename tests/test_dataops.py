@@ -1723,6 +1723,100 @@ class TestAnimFrames:
             mm.decode_apng_frames(apng)
 
 
+class TestDibAvi:
+    """Uncompressed-DIB AVI video path (multimodal.decode_avi_frames)."""
+
+    def test_roundtrip_rows_channels_padding(self):
+        # 5x3: stride 16 > 15 exercises the 4-byte row padding
+        px = bytes(range(5 * 3 * 3))
+        avi = mm.encode_avi_rgb(5, 3, [px])
+        w, h, fr = mm.decode_avi_frames(avi)
+        assert (w, h, len(fr)) == (5, 3, 1) and fr[0] == px
+
+    def test_mjpeg_still_routed_through_dispatcher(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
+
+        avi = mm.encode_avi_mjpeg(
+            8, 8, [JP.encode_jpeg_blocks(8, 8, [[7 - 128] + [0] * 63])])
+        _, _, fr = mm.decode_avi_frames(avi)
+        assert set(fr[0]) == {7}
+
+    def test_unknown_codec_raises_not_implemented(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators import jpeg as JP
+
+        avi = mm.encode_avi_mjpeg(
+            8, 8, [JP.encode_jpeg_blocks(8, 8, [[0] + [0] * 63])])
+        with pytest.raises(NotImplementedError, match="XVID"):
+            mm.decode_avi_frames(avi.replace(b"MJPG", b"XVID"))
+
+    def test_short_dib_frame_raises(self):
+        avi = mm.encode_avi_rgb(4, 4, [bytes(48)])
+        # truncate the movi payload: keep container, cut frame bytes
+        cut = avi[:-20] + b"\x00" * 0
+        with pytest.raises(ValueError):
+            mm.decode_avi_frames(cut)
+
+    def test_sample_frames_dib_default_decoder(self, spark):
+        frames = [bytes((v, v, v)) * 16 for v in (11, 77, 200)]
+        avi = mm.encode_avi_rgb(4, 4, frames)
+        df = spark.createDataFrame(
+            [("d", bytearray(avi))], "media_id string, blob binary")
+        got = {(r.frame_idx, r.channel): r.mean
+               for r in mm.sample_frames(df).collect()}
+        assert got[(0, 0)] == 11.0 and got[(1, 1)] == 77.0
+        assert got[(2, 2)] == 200.0
+
+
+class TestAiff:
+    """AIFF / AIFF-C PCM decode (multimodal.decode_aiff)."""
+
+    def test_16bit_stereo_roundtrip(self):
+        s = [100, -100, 32767, -32768, 0, 5, -9999, 1234]
+        a = mm.encode_aiff(2, 44100, s, 16)
+        assert mm.sniff_media(a)[:2] == ("audio", "aiff")
+        assert mm.decode_aiff(a) == (2, 44100, 4, s)
+
+    def test_8bit_is_signed_unlike_wav(self):
+        a = mm.encode_aiff(1, 8000, [-128, 127, 0, 64], 8)
+        assert mm.decode_aiff(a)[3] == [-128, 127, 0, 64]
+
+    def test_24bit_and_extended_rate(self):
+        a = mm.encode_aiff(1, 11025, [8_000_000, -8_000_000], 24)
+        ch, rate, nf, s = mm.decode_aiff(a)
+        assert rate == 11025 and s == [8_000_000, -8_000_000]
+
+    def test_aifc_sowt_little_endian(self):
+        s = [1, -2, 300, -4000]
+        a = mm.encode_aiff(1, 22050, s, 16, aifc_sowt=True)
+        assert a[8:12] == b"AIFC"
+        assert mm.decode_aiff(a) == (1, 22050, 4, s)
+
+    def test_unknown_compression_raises(self):
+        a = mm.encode_aiff(1, 8000, [1, 2], 16, aifc_sowt=True)
+        with pytest.raises(NotImplementedError, match="ima4"):
+            mm.decode_aiff(a.replace(b"sowt", b"ima4"))
+
+    def test_dispatcher_and_features(self, spark):
+        s = [((i * 17) % 2003) - 1001 for i in range(200)]
+        a = mm.encode_aiff(1, 8000, s, 16)
+        w = mm.encode_wav(s, 8000, 1)
+        df = spark.createDataFrame(
+            [("aiff", bytearray(a)), ("wav", bytearray(w))],
+            "media_id string, blob binary")
+        got = {r.media_id: r for r in mm.audio_features(df).collect()}
+        # container-independent features: AIFF row == WAV row
+        for f in ("n_channels", "sample_rate", "n_samples",
+                  "duration_ms", "mean_abs", "peak_abs", "zero_crossings"):
+            assert getattr(got["aiff"], f) == getattr(got["wav"], f)
+
+    def test_truncated_raises_value_error(self):
+        with pytest.raises(ValueError):
+            mm.decode_aiff(b"FORM\x00\x00\x00\x04AIFF")
+        a = mm.encode_aiff(1, 8000, [1] * 100, 16)
+        with pytest.raises(ValueError):
+            mm.decode_aiff(a[:40])
+
+
 class TestImageHash:
     """Perceptual dHash + image near-dup (operators/imagehash.py)."""
 
