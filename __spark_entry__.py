@@ -1507,6 +1507,25 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_text_novelty(spark, sf_dir):
+    """Corpus n-gram novelty under the gate: docs with doc_id%6==2
+    get the SAME 7-token boilerplate tail appended (its 5-gram windows
+    become corpus-shared), so their novelty drops below the untouched
+    docs' — plus whatever natural shared grams the corpus has, which
+    the oracle replays with the identical shingle/doc-freq rule."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    did = F.col("doc_id")
+    tail = " subscribe to our newsletter for daily updates today"
+    t = F.when(did % 6 == 2, F.concat(F.col("text"), F.lit(tail))).otherwise(
+        F.col("text")
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return ngram_novelty(docs, n=5)
+
+
 def q_text_mojibake(spark, sf_dir):
     """Mojibake repair under the gate: docs with doc_id%5==1 get a
     latin-1-rendered-UTF-8 tail appended (2- and 3-byte sequences) and
@@ -3519,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "text_novelty": q_text_novelty,              # corpus-unique gram share
         "text_mojibake": q_text_mojibake,            # latin-1 UTF-8 repair
         "text_normalize": q_text_normalize,          # 7-rule cleanup chain
         "url_quality": q_url_quality,                # FineWeb URL verdict
@@ -3569,8 +3589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_c4": q_corpus_c4,
         "media_mp4": q_media_mp4,
         "archive_read": q_archive_read,
-        "media_id3": q_media_id3,
         # ---- 50-entry driver window ends here --------------------------
+        "media_id3": q_media_id3,
         "links_resolve": q_links_resolve,
         "warc_read": q_warc_read,
         "media_jpeg": q_media_jpeg,
@@ -4972,6 +4992,38 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "text_novelty": r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 6 = 2
+              THEN text ||
+                   ' subscribe to our newsletter for daily updates today'
+              ELSE text END AS text
+  FROM documents
+), ctoks AS (
+  SELECT id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     t -> t <> '') AS toks
+  FROM d
+), csh AS (
+  SELECT DISTINCT id, array_to_string(toks[i:i+4], ' ') AS shingle
+  FROM ctoks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(toks) - 4, 0))) AS i
+  )
+), dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM csh GROUP BY shingle
+), per AS (
+  SELECT id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM csh JOIN dfreq USING (shingle) GROUP BY id
+)
+SELECT d.id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce((per.n_unique * 100) // per.n_grams, 100) AS INTEGER)
+         AS novelty_pct
+FROM d LEFT JOIN per ON per.id = d.id
+""",
         "text_mojibake": """
 SELECT doc_id AS id,
        CASE WHEN doc_id % 5 = 1 THEN text || ' café naïve — résumé'

@@ -367,3 +367,52 @@ def learn_bpe_merges(
         merges,
         "merge_rank int, lhs string, rhs string, pair_count bigint",
     )
+
+
+def ngram_novelty(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+):
+    """(id, n_grams, n_unique, novelty_pct) — corpus-level novelty: the
+    share of a document's distinct word ``n``-grams that occur in NO
+    other document (doc-frequency 1). Boilerplate-heavy and templated
+    pages score low; original prose scores high — the standard cheap
+    signal for "is this page contributing new text to the corpus"
+    (complementary to within-doc repetition_stats and to pairwise
+    dedup: novelty is per-document and join-free downstream).
+
+    ``novelty_pct = n_unique·100 div n_grams`` (integer floor);
+    documents too short to form a single n-gram report 0 grams and a
+    vacuous novelty of 100.
+
+    Scale shape: one distinct-shingle explode (in-row array_distinct,
+    same as every dedup operator), ONE map-side-combinable doc-freq
+    groupBy, a shingle-keyed join back and ONE per-doc count agg — no
+    windows, no buffers; hot boilerplate shingles are bounded by AQE
+    skew splitting like the dedup joins.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, text_col, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(per, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+        F.coalesce(
+            F.expr("(n_unique * 100) DIV n_grams"), F.lit(100)
+        ).cast("int").alias("novelty_pct"),
+    )

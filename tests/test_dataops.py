@@ -670,6 +670,46 @@ class TestTextStats:
         assert got == expect
 
 
+class TestNgramNovelty:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r.id: r for r in textstats.ngram_novelty(df, **kw).collect()}
+
+    def test_unique_vs_shared_grams(self, spark):
+        shared = "alpha beta gamma delta epsilon"  # one 5-gram, in both docs
+        rows = [
+            (1, shared + " zeta eta theta iota kappa"),
+            (2, "one two three four five " + shared),
+            (3, "only short"),
+        ]
+        got = self._run(spark, rows, n=5)
+        # doc 1: 6 grams; the pure 'shared' window also appears in doc 2
+        assert got[1].n_grams == 6 and got[1].n_unique == 5
+        assert got[1].novelty_pct == 5 * 100 // 6
+        assert got[2].n_grams == 6 and got[2].n_unique == 5
+        assert (got[3].n_grams, got[3].n_unique, got[3].novelty_pct) == (
+            0, 0, 100)
+
+    def test_identical_docs_zero_novelty(self, spark):
+        t = "w1 w2 w3 w4 w5 w6 w7"
+        got = self._run(spark, [(1, t), (2, t)], n=5)
+        assert got[1].novelty_pct == 0 and got[2].novelty_pct == 0
+
+    def test_within_doc_repeat_still_unique(self, spark):
+        # the same gram twice in ONE doc: word_shingles dedups per-doc,
+        # so doc-frequency stays 1 -> still novel
+        t = "a b c d e x a b c d e"
+        got = self._run(spark, [(1, t)], n=5)
+        assert got[1].n_unique == got[1].n_grams
+        assert got[1].novelty_pct == 100
+
+    def test_partition_invariance(self, spark, docs):
+        a = sorted(map(tuple, textstats.ngram_novelty(docs).collect()))
+        b = sorted(map(tuple,
+                       textstats.ngram_novelty(docs.repartition(13)).collect()))
+        assert a == b
+
+
 class TestCorpusReport:
     def test_report_reconciles_with_filter(self, spark, docs):
         from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
