@@ -1507,6 +1507,71 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_corpus_textprep(spark, sf_dir):
+    """Text-preparation capstone under ONE gate: the full cleanup
+    chain a crawl corpus runs before filtering/dedup — normalize (7
+    rules) → mojibake repair → PII scrub (email/IP/phone, fixed
+    order) → C4+Gopher verdict — composed over a corpus with every
+    defect planted by id arithmetic (leading-whitespace mess %3==0,
+    PII tail on every doc, latin-1 mojibake %5==1, CRLF/punct-run
+    tail %4==1). The oracle replays the identical four stages as one
+    CTE chain (shared _normalize_chain_sql + the text_pii regex
+    cascade + the corpus_c4 metric rules)."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.filtering import (
+        c4_gopher_rules,
+    )
+    from cmc_knowledge_graph_text2ttl_spark.operators.normalize import (
+        normalize_text,
+        repair_mojibake,
+    )
+    from cmc_knowledge_graph_text2ttl_spark.operators.pii import scrub_pii
+
+    did = F.col("doc_id")
+    moji = (" caf\u00c3\u00a9 na\u00c3\u00afve"
+            " \u00e2\u0080\u0094 r\u00c3\u00a9sum\u00c3\u00a9")
+    pii_tail = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com or 10."), (did % 200).cast("string"),
+        F.lit(".0.42 call +1 (212) 555-0"),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit(" end"),
+    )
+    raw = F.concat(
+        F.when(did % 3 == 0, F.lit("  \t")).otherwise(F.lit("")),
+        F.col("text"),
+        pii_tail,
+        F.when(did % 5 == 1, F.lit(moji)).otherwise(F.lit("")),
+        F.when(did % 4 == 1, F.lit("\r\n\nmore   text here!!!!!!"))
+        .otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", raw.alias("text"))
+    normed = normalize_text(docs).select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    repaired = repair_mojibake(normed)
+    scrubbed = scrub_pii(
+        repaired.select(F.col("id").alias("doc_id"), "text")
+    ).join(repaired.select("id", "was_mojibake"), "id")
+    verdict = c4_gopher_rules(
+        scrubbed.select(F.col("id").alias("doc_id"), "text")
+    )
+    return (
+        scrubbed.select(
+            "id",
+            "text",
+            "was_mojibake",
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+            .cast("int").alias("n_pii"),
+        )
+        .join(verdict.select("id", "n_words", "keep", "reasons"), "id")
+        .select(
+            "id", "text", "was_mojibake", "n_pii",
+            F.col("n_words").cast("int").alias("n_words"),
+            "keep",
+            "reasons",  # c4_gopher_rules already joins (definition order)
+        )
+    )
+
+
 def q_text_novelty(spark, sf_dir):
     """Corpus n-gram novelty under the gate: docs with doc_id%6==2
     get the SAME 7-token boilerplate tail appended (its 5-gram windows
@@ -3538,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "corpus_textprep": q_corpus_textprep,      # normalize+moji+pii+c4
         "text_novelty": q_text_novelty,              # corpus-unique gram share
         "text_mojibake": q_text_mojibake,            # latin-1 UTF-8 repair
         "text_normalize": q_text_normalize,          # 7-rule cleanup chain
@@ -3588,8 +3654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_ingest": q_web_ingest,
         "corpus_c4": q_corpus_c4,
         "media_mp4": q_media_mp4,
-        "archive_read": q_archive_read,
         # ---- 50-entry driver window ends here --------------------------
+        "archive_read": q_archive_read,
         "media_id3": q_media_id3,
         "links_resolve": q_links_resolve,
         "warc_read": q_warc_read,
@@ -3717,6 +3783,134 @@ FROM cc
 """
 
 
+def _normalize_chain_sql(expr: str) -> str:
+    """The 7-rule normalize chain (normalize.normalize_text_col) as one
+    nested DuckDB expression over ``expr`` — shared by the
+    text_normalize oracle and the corpus_textprep capstone."""
+    c = f"replace({expr}, chr(13) || chr(10), chr(10))"
+    c = f"replace({c}, chr(13), chr(10))"
+    c = f"regexp_replace({c}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
+    for ch in "!?.,-=*#~_":
+        esc = "\\" + ch if ch in ".*?+-" else ch
+        c = f"regexp_replace({c}, '{esc}{{4,}}', '{ch * 3}', 'g')"
+    c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
+    # replacement strings go through RE2's rewrite parser, which only
+    # understands \\0-\\9 — a literal newline must be chr(10), not '\\n'
+    c = f"regexp_replace({c}, ' *\\n *', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', repeat(chr(10), 2), 'g')"
+    c = f"regexp_replace({c}, '^[ \\n]+', '', 'g')"
+    c = f"regexp_replace({c}, '[ \\n]+$', '', 'g')"
+    return c
+
+
+def _corpus_textprep_sql() -> str:
+    """normalize → mojibake → PII → C4 as one CTE chain, each stage a
+    verbatim reuse of its standalone oracle's rules. Built by marker
+    replacement (no nested f-strings): @CHAIN@ = the shared normalize
+    chain over column t, @MOJI@ = the planted mojibake tail as a
+    chr()-concat expression, @FIXED@ = its repaired form."""
+    moji = (" caf\u00c3\u00a9 na\u00c3\u00afve"
+            " \u00e2\u0080\u0094 r\u00c3\u00a9sum\u00c3\u00a9")
+    fixed = " caf\u00e9 na\u00efve \u2014 r\u00e9sum\u00e9"
+
+    def chars(s):
+        parts, run = [], ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append("'" + run + "'")
+                    run = ""
+                parts.append("chr(%d)" % ord(ch))
+        if run:
+            parts.append("'" + run + "'")
+        return " || ".join(parts)
+
+    sql = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '  ' || chr(9) ELSE '' END
+         || text
+         || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+         || '.0.42 call +1 (212) 555-0'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' end'
+         || CASE WHEN doc_id % 5 = 1 THEN @MOJI@ ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN chr(13) || chr(10) || chr(10)
+                      || 'more   text here!!!!!!'
+                 ELSE '' END AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, @CHAIN@ AS t FROM raw
+), mj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN replace(t, @MOJI@, @FIXED@)
+              ELSE t END AS t,
+         doc_id % 5 = 1 AS was_mojibake
+  FROM n
+), s1 AS (
+  SELECT doc_id, was_mojibake,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM mj
+), s2 AS (
+  SELECT doc_id, was_mojibake, n_email,
+         len(regexp_extract_all(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS n_ipv4,
+         regexp_replace(t,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, was_mojibake, n_email, n_ipv4,
+         len(regexp_extract_all(t,
+             '\+?\(?[0-9](?:[().\- ]{0,3}[0-9]){8,}')) AS n_phone,
+         regexp_replace(t, '\+?\(?[0-9](?:[().\- ]{0,3}[0-9]){8,}',
+                        '<PHONE>', 'g') AS t
+  FROM s2
+), m AS (
+  SELECT doc_id, was_mojibake, n_email, n_ipv4, n_phone, t,
+         CASE WHEN len(trim(t)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS n_words,
+         len(t) - len(regexp_replace(t, '[.!?]', '', 'g')) AS n_sentences,
+         len(regexp_replace(t, '\s+', '', 'g')) AS n_chars
+  FROM s3
+), r AS (
+  SELECT doc_id, was_mojibake, n_email, n_ipv4, n_phone, t, n_words,
+         list_filter([
+           CASE WHEN position('{' IN t) > 0 THEN 'curly_brace' END,
+           CASE WHEN position('lorem ipsum' IN lower(t)) > 0
+                THEN 'lorem_ipsum' END,
+           CASE WHEN position('enable javascript' IN lower(t)) > 0
+                THEN 'javascript' END,
+           CASE WHEN n_sentences < 3 THEN 'too_few_sentences' END,
+           CASE WHEN n_words < 20 THEN 'too_short' END,
+           CASE WHEN n_words > 100000 THEN 'too_long' END,
+           CASE WHEN (n_chars * 100) // n_words < 300 THEN 'short_words' END,
+           CASE WHEN (n_chars * 100) // n_words > 1000 THEN 'long_words' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT doc_id AS id, t AS text, was_mojibake,
+       CAST(n_email + n_ipv4 + n_phone AS INTEGER) AS n_pii,
+       CAST(n_words AS INTEGER) AS n_words,
+       len(reasons) = 0 AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS reasons
+FROM r
+"""
+    return (
+        sql.replace("@CHAIN@", _normalize_chain_sql("t"))
+        .replace("@MOJI@", chars(moji))
+        .replace("@FIXED@", chars(fixed))
+    )
+
+
 def _text_normalize_sql() -> str:
     """DuckDB mirror of normalize.normalize_text_col: the messed-up
     fixture text is rebuilt with chr() codes, then the 7-rule chain is
@@ -3738,19 +3932,7 @@ def _text_normalize_sql() -> str:
         f"CASE WHEN doc_id % 6 = 3 THEN ({mess}) || repeat(chr(10), 4) || "
         f"'after the gap' ELSE ({mess}) END"
     )
-    c = "replace(t, chr(13) || chr(10), chr(10))"
-    c = f"replace({c}, chr(13), chr(10))"
-    c = f"regexp_replace({c}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
-    for ch in "!?.,-=*#~_":
-        esc = "\\" + ch if ch in ".*?+-" else ch
-        c = f"regexp_replace({c}, '{esc}{{4,}}', '{ch * 3}', 'g')"
-    c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
-    # replacement strings go through RE2's rewrite parser, which only
-    # understands \\0-\\9 — a literal newline must be chr(10), not '\\n'
-    c = f"regexp_replace({c}, ' *\\n *', chr(10), 'g')"
-    c = f"regexp_replace({c}, '\\n{{3,}}', repeat(chr(10), 2), 'g')"
-    c = f"regexp_replace({c}, '^[ \\n]+', '', 'g')"
-    c = f"regexp_replace({c}, '[ \\n]+$', '', 'g')"
+    c = _normalize_chain_sql("t")
     return f"""
 WITH m AS (
   SELECT doc_id AS id, {mess} AS t FROM documents
@@ -4992,6 +5174,7 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "corpus_textprep": _corpus_textprep_sql(),
         "text_novelty": r"""
 WITH d AS (
   SELECT doc_id AS id,
