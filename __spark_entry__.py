@@ -1507,6 +1507,40 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_crawl_change_rates(spark, sf_dir):
+    """Per-URL change-rate estimation under the gate: a 4-generation
+    digest history where doc d changes at generation j (j=1..3) iff
+    d % (j+2) == 0 — digests are md5 of the cumulative change count,
+    so adjacent-generation transitions happen exactly at the planted
+    points; the oracle restates n_changes/rate/bucket closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+        change_rates,
+    )
+
+    did = F.col("doc_id")
+    g = F.col("gen")
+    hist = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("gen"))
+        .select(
+            F.concat(F.lit("doc://"), did.cast("string")).alias("url"),
+            g.alias("gen"),
+            F.md5(
+                F.concat(
+                    did.cast("string"),
+                    F.lit(":"),
+                    (
+                        F.when((g >= 1) & (did % 3 == 0), 1).otherwise(0)
+                        + F.when((g >= 2) & (did % 4 == 0), 1).otherwise(0)
+                        + F.when((g >= 3) & (did % 5 == 0), 1).otherwise(0)
+                    ).cast("string"),
+                )
+            ).alias("digest"),
+        )
+    )
+    return change_rates(hist)
+
+
 def q_corpus_textprep(spark, sf_dir):
     """Text-preparation capstone under ONE gate: the full cleanup
     chain a crawl corpus runs before filtering/dedup — normalize (7
@@ -3603,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "crawl_change_rates": q_crawl_change_rates,  # Cho-style recrawl tiers
         "corpus_textprep": q_corpus_textprep,      # normalize+moji+pii+c4
         "text_novelty": q_text_novelty,              # corpus-unique gram share
         "text_mojibake": q_text_mojibake,            # latin-1 UTF-8 repair
@@ -3653,8 +3688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif": q_media_exif,
         "web_ingest": q_web_ingest,
         "corpus_c4": q_corpus_c4,
-        "media_mp4": q_media_mp4,
         # ---- 50-entry driver window ends here --------------------------
+        "media_mp4": q_media_mp4,
         "archive_read": q_archive_read,
         "media_id3": q_media_id3,
         "links_resolve": q_links_resolve,
@@ -4899,7 +4934,7 @@ SELECT doc_id AS id, t AS text,
        CAST(n_pii AS INTEGER) AS n_pii,
        CAST(n_words AS INTEGER) AS n_words,
        len(reasons) = 0 AS keep,
-       array_to_string(reasons, ',') AS reasons
+       coalesce(array_to_string(reasons, ','), '') AS reasons
 FROM r
 """,
         "crawl_blocklist": """
@@ -4991,7 +5026,7 @@ SELECT doc_id AS id,
        CAST(n_sentences AS INTEGER) AS n_sentences,
        CAST(mwl AS BIGINT) AS mean_word_len_x100,
        len(reasons) = 0 AS keep,
-       array_to_string(reasons, ',') AS reasons
+       coalesce(array_to_string(reasons, ','), '') AS reasons
 FROM r
 """,
         "audio_fingerprint": _audio_fp_sql() + """
@@ -5174,6 +5209,23 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "crawl_change_rates": """
+WITH c AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS n_changes
+  FROM documents
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(4 AS INTEGER) AS n_gens,
+       CAST(n_changes AS INTEGER) AS n_changes,
+       CAST((n_changes * 100) // 3 AS INTEGER) AS change_rate_pct,
+       CASE WHEN (n_changes * 100) // 3 >= 50 THEN 'hot'
+            WHEN (n_changes * 100) // 3 >= 10 THEN 'warm'
+            ELSE 'cold' END AS crawl_bucket
+FROM c
+""",
         "corpus_textprep": _corpus_textprep_sql(),
         "text_novelty": r"""
 WITH d AS (

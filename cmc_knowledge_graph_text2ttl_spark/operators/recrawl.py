@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .dedup import md5_int
 
-__all__ = ["crawl_delta", "fetch_batches"]
+__all__ = ["crawl_delta", "fetch_batches", "crawl_frontier", "change_rates"]
 
 
 def crawl_delta(
@@ -130,4 +130,64 @@ def crawl_frontier(
             rank.alias("rank"),
             (F.col("_w") * rank).cast("bigint").alias("priority"),
         )
+    )
+
+
+def change_rates(
+    history: DataFrame,
+    url_col: str = "url",
+    gen_col: str = "gen",
+    digest_col: str = "digest",
+    hot_pct: int = 50,
+    warm_pct: int = 10,
+) -> DataFrame:
+    """(url, n_gens, n_changes, change_rate_pct, crawl_bucket) —
+    per-URL content change estimation across crawl generations (the
+    Cho & Garcia-Molina recrawl-scheduling signal): a change is an
+    adjacent-generation digest transition, the rate is
+    ``n_changes·100 div (n_gens - 1)`` (integer floor; 0 for
+    single-generation URLs), and ``crawl_bucket`` is the scheduling
+    tier ('hot' ≥ hot_pct, 'warm' ≥ warm_pct, else 'cold') a frontier
+    uses to pick revisit intervals.
+
+    Scale shape: input is digest-thin (url, gen, digest) — page bodies
+    never enter; ONE per-url window (lag over generation order, keys
+    are single URLs so partitions stay balanced) and ONE per-url agg.
+    """
+    if not 0 <= warm_pct <= hot_pct <= 100:
+        raise ValueError("need 0 <= warm_pct <= hot_pct <= 100")
+    w = Window.partitionBy("url").orderBy("gen")
+    prev = F.lag(F.col("digest")).over(w)
+    rows = history.select(
+        F.col(url_col).alias("url"),
+        F.col(gen_col).alias("gen"),
+        F.col(digest_col).alias("digest"),
+    ).select(
+        "url",
+        F.when(
+            prev.isNotNull() & (F.col("digest") != prev), F.lit(1)
+        ).otherwise(F.lit(0)).alias("chg"),
+    )
+    agg = rows.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_gens"),
+        F.sum("chg").alias("n_changes"),
+    )
+    rate = F.when(
+        F.col("n_gens") > 1,
+        F.expr("(n_changes * 100) DIV (n_gens - 1)"),
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "url",
+        F.col("n_gens").cast("int").alias("n_gens"),
+        F.col("n_changes").cast("int").alias("n_changes"),
+        rate.cast("int").alias("change_rate_pct"),
+    ).select(
+        "url",
+        "n_gens",
+        "n_changes",
+        "change_rate_pct",
+        F.when(F.col("change_rate_pct") >= hot_pct, F.lit("hot"))
+        .when(F.col("change_rate_pct") >= warm_pct, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("crawl_bucket"),
     )

@@ -117,3 +117,67 @@ class TestCrawlFrontier:
         with pytest.raises(ValueError, match="weights"):
             crawl_frontier(df, df.select("url", F.lit(1).alias("rank")),
                            weights={})
+
+
+class TestChangeRates:
+    def _run(self, spark, rows, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+            change_rates,
+        )
+
+        df = spark.createDataFrame(rows, ["url", "gen", "digest"])
+        return {r.url: r for r in change_rates(df, **kw).collect()}
+
+    def test_rates_and_buckets(self, spark):
+        rows = [
+            # u1: 4 gens, changes at g1 and g3 -> 2/3 = 66% hot
+            ("u1", 0, "a"), ("u1", 1, "b"), ("u1", 2, "b"), ("u1", 3, "c"),
+            # u2: 4 gens, never changes -> 0% cold
+            ("u2", 0, "x"), ("u2", 1, "x"), ("u2", 2, "x"), ("u2", 3, "x"),
+            # u3: 5 gens, 1 change -> 25% warm
+            ("u3", 0, "p"), ("u3", 1, "p"), ("u3", 2, "q"),
+            ("u3", 3, "q"), ("u3", 4, "q"),
+            # u4: single generation -> rate 0, cold
+            ("u4", 7, "z"),
+        ]
+        got = self._run(spark, rows)
+        assert (got["u1"].n_changes, got["u1"].change_rate_pct,
+                got["u1"].crawl_bucket) == (2, 66, "hot")
+        assert (got["u2"].change_rate_pct, got["u2"].crawl_bucket) == (
+            0, "cold")
+        assert (got["u3"].change_rate_pct, got["u3"].crawl_bucket) == (
+            25, "warm")
+        assert (got["u4"].n_gens, got["u4"].change_rate_pct,
+                got["u4"].crawl_bucket) == (1, 0, "cold")
+
+    def test_custom_column_names_and_thresholds(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+            change_rates,
+        )
+
+        df = spark.createDataFrame(
+            [("u", 0, "a"), ("u", 1, "b")], ["link", "generation", "h"])
+        got = change_rates(df, url_col="link", gen_col="generation",
+                           digest_col="h", hot_pct=100, warm_pct=0).collect()
+        assert got[0].change_rate_pct == 100 and got[0].crawl_bucket == "hot"
+
+    def test_bad_thresholds_raise(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+            change_rates,
+        )
+
+        df = spark.createDataFrame([("u", 0, "a")], ["url", "gen", "digest"])
+        with pytest.raises(ValueError, match="warm_pct"):
+            change_rates(df, hot_pct=10, warm_pct=50)
+
+    def test_partition_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+            change_rates,
+        )
+
+        rows = [(f"u{i % 40}", g, f"d{(i * 7 + g * g) % 5}")
+                for i in range(40) for g in range(6)]
+        df = spark.createDataFrame(rows, ["url", "gen", "digest"])
+        a = sorted(map(tuple, change_rates(df).collect()))
+        b = sorted(map(tuple, change_rates(df.repartition(17)).collect()))
+        assert a == b
