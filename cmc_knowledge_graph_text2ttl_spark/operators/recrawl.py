@@ -156,7 +156,10 @@ def change_rates(
     """
     if not 0 <= warm_pct <= hot_pct <= 100:
         raise ValueError("need 0 <= warm_pct <= hot_pct <= 100")
-    w = Window.partitionBy("url").orderBy("gen")
+    # digest tie-break: duplicate generation numbers (a re-fetch logged
+    # twice) would otherwise make the lag order — and the rate —
+    # nondeterministic across partitionings
+    w = Window.partitionBy("url").orderBy("gen", "digest")
     prev = F.lag(F.col("digest")).over(w)
     rows = history.select(
         F.col(url_col).alias("url"),
