@@ -1507,6 +1507,74 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_links_hostgraph(spark, sf_dir):
+    """Host-level link graph under the gate: the links_pagerank edge
+    formula mapped onto URLs with host h(doc%7), collapsed to
+    (src_host, dst_host) with edge and distinct-source-page counts —
+    the domain-graph primitive for host authority and crawl budgeting;
+    the oracle replays the same aggregation closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.links import host_graph
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("s"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("k"),
+    ).select("s", ((F.col("s") * 7 + F.col("k") * 13) % n).alias("d"))
+    edges = e.select(
+        F.concat(
+            F.lit("http://h"), (F.col("s") % 7).cast("string"),
+            F.lit(".x/p"), F.col("s").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("http://h"), (F.col("d") % 7).cast("string"),
+            F.lit(".x/p"), F.col("d").cast("string"),
+        ).alias("dst"),
+    )
+    return host_graph(edges)
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Crawl-delay-aware polite scheduling under the gate: per-host
+    robots bodies declare Crawl-delay 2 (h%3==0), 0.5 (h%3==1) or
+    none (h%3==2 → the 1000 ms default); fetch_batches' md5-ordered
+    per-host batches gain delay_ms and not_before_ms = batch·delay.
+    The oracle composes the crawl_batches SQL with the closed-form
+    delay table."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+        polite_schedule,
+    )
+    from cmc_knowledge_graph_text2ttl_spark.operators.robots import (
+        crawl_delays,
+    )
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string")
+        ).alias("host"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                f"h{k}",
+                "User-agent: *\nCrawl-delay: 2" if k % 3 == 0
+                else "User-agent: *\nCrawl-delay: 0.5" if k % 3 == 1
+                else "User-agent: *\nDisallow: /private",
+            )
+            for k in range(7)
+        ],
+        ["host", "robots_txt"],
+    )
+    return polite_schedule(urls, 20, crawl_delays(robots))
+
+
 def q_crawl_change_rates(spark, sf_dir):
     """Per-URL change-rate estimation under the gate: a 4-generation
     digest history where doc d changes at generation j (j=1..3) iff
@@ -3637,6 +3705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "links_hostgraph": q_links_hostgraph,        # domain-graph collapse
+        "crawl_schedule": q_crawl_schedule,          # Crawl-delay politeness
         "crawl_change_rates": q_crawl_change_rates,  # Cho-style recrawl tiers
         "corpus_textprep": q_corpus_textprep,      # normalize+moji+pii+c4
         "text_novelty": q_text_novelty,              # corpus-unique gram share
@@ -3686,9 +3756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
         "media_exif": q_media_exif,
+        # ---- 50-entry driver window ends here --------------------------
         "web_ingest": q_web_ingest,
         "corpus_c4": q_corpus_c4,
-        # ---- 50-entry driver window ends here --------------------------
         "media_mp4": q_media_mp4,
         "archive_read": q_archive_read,
         "media_id3": q_media_id3,
@@ -5209,6 +5279,50 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "links_hostgraph": """
+WITH e AS (
+  SELECT doc_id AS s,
+         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS d
+  FROM documents,
+       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) t(k)
+), h AS (
+  SELECT 'h' || CAST(s % 7 AS VARCHAR) || '.x' AS src_host,
+         'h' || CAST(d % 7 AS VARCHAR) || '.x' AS dst_host,
+         s
+  FROM e
+)
+SELECT src_host, dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_src_pages,
+       src_host = dst_host AS is_internal
+FROM h GROUP BY src_host, dst_host
+""",
+        "crawl_schedule": """
+WITH b AS (
+  SELECT url, host,
+         CAST((rn - 1) // 20 AS INTEGER) AS batch_id,
+         CAST((rn - 1) % 20 AS INTEGER) AS pos_in_batch,
+         CAST(CASE hk % 3 WHEN 0 THEN 2000 WHEN 1 THEN 500
+              ELSE 1000 END AS BIGINT) AS delay_ms
+  FROM (
+    SELECT url, host, hk,
+           row_number() OVER (
+             PARTITION BY host
+             ORDER BY ('0x' || substr(md5(url), 1, 8))::BIGINT, url
+           ) AS rn
+    FROM (
+      SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+               || '/p' || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             doc_id % 7 AS hk
+      FROM documents
+    )
+  )
+)
+SELECT url, host, batch_id, pos_in_batch, delay_ms,
+       CAST(batch_id * delay_ms AS BIGINT) AS not_before_ms
+FROM b
+""",
         "crawl_change_rates": """
 WITH c AS (
   SELECT doc_id,

@@ -277,3 +277,49 @@ def hits(
         .join(auth.withColumnRenamed("s", "authority"), "node")
         .select("node", "hub", "authority")
     )
+
+
+def host_graph(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src_host, dst_host, n_links, n_src_pages, is_internal) — the
+    page-level link graph collapsed to host level: the domain graph
+    used for host authority (PageRank/HITS over it), spam-farm
+    detection (high internal/external ratios) and crawl budgeting.
+
+    ``n_links`` counts page-level edges between the host pair;
+    ``n_src_pages`` counts distinct linking pages (a 10^6-link footer
+    farm from one page stays distinguishable from organic linking);
+    ``is_internal`` marks same-host edges.
+
+    Scale shape: one groupBy on the (src_host, dst_host) pair —
+    map-side combinable for the count, one distinct-expand for the
+    page count; host extraction is the same pure column expression the
+    URL operators use (no UDF). Degree-skewed hosts (everyone links
+    google.com) are exactly the AQE skew-split case.
+    """
+    from .urls import host_col
+
+    sh = host_col(F.col(src_col))
+    dh = host_col(F.col(dst_col))
+    return (
+        edges.select(
+            sh.alias("src_host"),
+            dh.alias("dst_host"),
+            F.col(src_col).alias("_src"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("_src").alias("n_src_pages"),
+        )
+        .select(
+            "src_host",
+            "dst_host",
+            F.col("n_links").cast("long").alias("n_links"),
+            F.col("n_src_pages").cast("long").alias("n_src_pages"),
+            (F.col("src_host") == F.col("dst_host")).alias("is_internal"),
+        )
+    )

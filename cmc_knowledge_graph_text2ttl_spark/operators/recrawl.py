@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from .dedup import md5_int
 
-__all__ = ["crawl_delta", "fetch_batches", "crawl_frontier", "change_rates"]
+__all__ = ["crawl_delta", "fetch_batches", "crawl_frontier", "change_rates",
+           "polite_schedule"]
 
 
 def crawl_delta(
@@ -193,4 +194,36 @@ def change_rates(
         .when(F.col("change_rate_pct") >= warm_pct, F.lit("warm"))
         .otherwise(F.lit("cold"))
         .alias("crawl_bucket"),
+    )
+
+
+def polite_schedule(
+    urls: DataFrame,
+    batch_size: int,
+    delays: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    default_ms: int = 1000,
+) -> DataFrame:
+    """(url, host, batch_id, pos_in_batch, delay_ms, not_before_ms) —
+    :func:`fetch_batches` joined with the per-host Crawl-delay
+    dimension (:func:`~.robots.crawl_delays`): batch ``b`` of a host
+    may start no earlier than ``b · delay_ms`` into the crawl round,
+    which is exactly the "one fetch per delay per host" contract when
+    batch_size=1 and a bounded-burst relaxation otherwise.
+
+    The delay table is a dimension join (broadcast under AQE); hosts
+    absent from it fall back to ``default_ms``."""
+    b = fetch_batches(urls, batch_size, url_col, host_col)
+    d = delays.select(
+        F.col("host"), F.col("delay_ms").cast("long").alias("_delay")
+    )
+    delay = F.coalesce(F.col("_delay"), F.lit(default_ms)).cast("long")
+    return b.join(d, "host", "left").select(
+        "url",
+        "host",
+        "batch_id",
+        "pos_in_batch",
+        delay.alias("delay_ms"),
+        (F.col("batch_id") * delay).cast("long").alias("not_before_ms"),
     )

@@ -22,6 +22,7 @@ Semantics (the de-facto Googlebot rules, documented deviations):
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, List, Tuple
 
 from pyspark.sql import DataFrame
@@ -170,4 +171,74 @@ def robots_allowed(
             "url",
             F.coalesce(F.col("best.a") == 1, F.lit(True)).alias("allowed"),
         )
+    )
+
+
+def parse_crawl_delay(text: str, agent: str = "*"):
+    """robots.txt body → Crawl-delay in MILLISECONDS for ``agent``
+    (None when absent). Same group semantics as :func:`parse_robots`
+    (agent-exact group beats ``*``); the value is parsed as a decimal
+    number of seconds WITHOUT floats — whole·1000 + first three
+    fraction digits — so every engine/test reproduces it exactly.
+    Non-numeric values are ignored (treated as absent), per the
+    de-facto lenient handling."""
+    agent = agent.lower()
+    groups = []  # (agents, delay_ms or None)
+    cur_agents: List[str] = []
+    cur_delay = None
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                if cur_agents:
+                    groups.append((cur_agents, cur_delay))
+                cur_agents, cur_delay = [], None
+                in_agent_run = True
+            cur_agents.append(value.lower())
+        else:
+            in_agent_run = False
+            if field == "crawl-delay":
+                m = re.fullmatch(r"([0-9]+)(?:\.([0-9]+))?", value)
+                if m is not None:
+                    frac = (m.group(2) or "") + "000"
+                    cur_delay = int(m.group(1)) * 1000 + int(frac[:3])
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+    exact = [d for agents, d in groups if agent in agents]
+    if exact:
+        return exact[0]
+    star = [d for agents, d in groups if "*" in agents]
+    return star[0] if star else None
+
+
+def crawl_delays(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+    default_ms: int = 1000,
+) -> DataFrame:
+    """(host, delay_ms) — the per-host politeness dimension table:
+    Crawl-delay per :func:`parse_crawl_delay`, ``default_ms`` when the
+    host declares none. Parse once per host (mapInPandas, same shape
+    as robots_rules); the output is broadcastable."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                d = parse_crawl_delay(str(text or ""), agent)
+                rows.append((str(host), default_ms if d is None else d))
+            if rows:
+                yield pd.DataFrame(rows, columns=["host", "delay_ms"])
+
+    return robots_df.select(host_col, text_col).mapInPandas(
+        run, schema="host string, delay_ms long"
     )

@@ -181,3 +181,83 @@ class TestChangeRates:
         a = sorted(map(tuple, change_rates(df).collect()))
         b = sorted(map(tuple, change_rates(df.repartition(17)).collect()))
         assert a == b
+
+
+class TestPoliteSchedule:
+    def test_delays_join_and_not_before(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.recrawl import (
+            polite_schedule,
+        )
+
+        urls = spark.createDataFrame(
+            [(f"http://h{i % 2}/p{i}", f"h{i % 2}") for i in range(8)],
+            ["url", "host"])
+        delays = spark.createDataFrame(
+            [("h0", 5000)], ["host", "delay_ms"])  # h1 falls back to default
+        got = {r.url: r for r in
+               polite_schedule(urls, 2, delays, default_ms=750).collect()}
+        for r in got.values():
+            expect = 5000 if r.host == "h0" else 750
+            assert r.delay_ms == expect
+            assert r.not_before_ms == r.batch_id * expect
+        # 4 urls per host, batch_size 2 -> batches 0 and 1
+        assert {r.batch_id for r in got.values()} == {0, 1}
+
+    def test_crawl_delay_agent_groups(self):
+        from cmc_knowledge_graph_text2ttl_spark.operators.robots import (
+            parse_crawl_delay,
+        )
+
+        txt = ("User-agent: fastbot\nCrawl-delay: 0.1\n\n"
+               "User-agent: *\nCrawl-delay: 4\nDisallow: /private\n")
+        assert parse_crawl_delay(txt, "fastbot") == 100
+        assert parse_crawl_delay(txt, "otherbot") == 4000
+        assert parse_crawl_delay("no directives here") is None
+
+    def test_crawl_delays_dimension(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.robots import (
+            crawl_delays,
+        )
+
+        df = spark.createDataFrame([
+            ("a.example", "User-agent: *\nCrawl-delay: 2.5"),
+            ("b.example", "User-agent: *\nDisallow: /"),
+            ("c.example", None),
+        ], ["host", "robots_txt"])
+        got = {r.host: r.delay_ms for r in crawl_delays(df).collect()}
+        assert got == {"a.example": 2500, "b.example": 1000,
+                       "c.example": 1000}
+
+
+class TestHostGraph:
+    def test_aggregation_and_internal_flag(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import (
+            host_graph,
+        )
+
+        edges = spark.createDataFrame([
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/1", "http://b.com/y"),
+            ("http://a.com/2", "http://b.com/x"),
+            ("http://a.com/1", "http://a.com/2"),   # internal
+            ("http://c.com/p", "http://b.com/x"),
+        ], ["src", "dst"])
+        got = {(r.src_host, r.dst_host): r for r in
+               host_graph(edges).collect()}
+        ab = got[("a.com", "b.com")]
+        assert (ab.n_links, ab.n_src_pages, ab.is_internal) == (3, 2, False)
+        aa = got[("a.com", "a.com")]
+        assert (aa.n_links, aa.n_src_pages, aa.is_internal) == (1, 1, True)
+        assert got[("c.com", "b.com")].n_links == 1
+
+    def test_partition_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import (
+            host_graph,
+        )
+
+        rows = [(f"http://h{i % 5}.x/p{i}", f"http://h{(i * 3) % 7}.x/q{i}")
+                for i in range(300)]
+        df = spark.createDataFrame(rows, ["src", "dst"])
+        a = sorted(map(tuple, host_graph(df).collect()))
+        b = sorted(map(tuple, host_graph(df.repartition(13)).collect()))
+        assert a == b
