@@ -1507,6 +1507,52 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_media_gps_scrub(spark, sf_dir):
+    """Media-side PII under the gate: JPEGs with a GPS EXIF IFD
+    (planted iff doc_id%3 != 1) are scrubbed — the GPSInfo pointer is
+    removed from IFD0 with every other tag, offset and byte preserved;
+    the gate composes scrub → re-scrub (must find nothing) → EXIF
+    re-parse (facts must survive), all closed-form in the oracle."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gps = ("N", "E") if did % 3 != 1 else None
+                ids.append(str(did))
+                blobs.append(
+                    MM.encode_jpeg_exif(
+                        8, 6,
+                        orientation=(did % 8) + 1,
+                        make=f"M{did % 10}",
+                        model=f"X{did % 4}",
+                        gps=gps,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    media = docs.mapInPandas(gen, schema="media_id string, blob binary")
+    scrubbed = MM.scrub_exif_gps(media)
+    again = MM.scrub_exif_gps(scrubbed.select("media_id", "blob")).select(
+        "media_id", F.col("had_gps").alias("had_gps_after")
+    )
+    facts = MM.image_exif(scrubbed.select("media_id", "blob"))
+    return (
+        scrubbed.select("media_id", "had_gps")
+        .join(again, "media_id")
+        .join(facts.select("media_id", "orientation", "make", "model"),
+              "media_id")
+        .select("media_id", "had_gps", "had_gps_after",
+                "orientation", "make", "model")
+    )
+
+
 def q_links_hostgraph(spark, sf_dir):
     """Host-level link graph under the gate: the links_pagerank edge
     formula mapped onto URLs with host h(doc%7), collapsed to
@@ -3705,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "media_gps_scrub": q_media_gps_scrub,        # GPS EXIF PII strip
         "links_hostgraph": q_links_hostgraph,        # domain-graph collapse
         "crawl_schedule": q_crawl_schedule,          # Crawl-delay politeness
         "crawl_change_rates": q_crawl_change_rates,  # Cho-style recrawl tiers
@@ -3755,8 +3802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,           # sample_frames dispatch
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
-        "media_exif": q_media_exif,
         # ---- 50-entry driver window ends here --------------------------
+        "media_exif": q_media_exif,
         "web_ingest": q_web_ingest,
         "corpus_c4": q_corpus_c4,
         "media_mp4": q_media_mp4,
@@ -5279,6 +5326,15 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "media_gps_scrub": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       doc_id % 3 <> 1 AS had_gps,
+       FALSE AS had_gps_after,
+       CAST((doc_id % 8) + 1 AS INTEGER) AS orientation,
+       'M' || CAST(doc_id % 10 AS VARCHAR) AS make,
+       'X' || CAST(doc_id % 4 AS VARCHAR) AS model
+FROM documents
+""",
         "links_hostgraph": """
 WITH e AS (
   SELECT doc_id AS s,

@@ -318,10 +318,13 @@ def encode_jpeg_exif(
     make: str = "",
     model: str = "",
     taken_at: str = "",
+    gps: Optional[Tuple[str, str]] = None,
 ) -> bytes:
     """Minimal JFIF stream: APP1 EXIF (IFD0 with orientation/make/
-    model + an ExifIFD holding DateTime) + an SOF0 with the dims —
-    the deterministic fixture counterpart of :func:`parse_exif`."""
+    model + an ExifIFD holding DateTime, plus a GPS IFD when ``gps``
+    is a (lat_ref, lon_ref) pair) + an SOF0 with the dims — the
+    deterministic fixture counterpart of :func:`parse_exif` and
+    :func:`scrub_exif_gps`."""
     entries = []  # (tag, type, count, value-bytes or int)
     tail = bytearray()
 
@@ -337,9 +340,9 @@ def encode_jpeg_exif(
         ascii_entry(271, make)
     if model:
         ascii_entry(272, model)
-    n0 = len(entries) + 1  # + ExifIFD pointer
+    n0 = len(entries) + 1 + (1 if gps else 0)  # + pointer entries
     # IFD0 layout: header(8) + count(2) + 12*n0 + next(4), then out-of-line
-    # values, then the Exif sub-IFD
+    # values, then the Exif sub-IFD (then the GPS IFD)
     value_off = 8 + 2 + 12 * n0 + 4
     fixed: List[bytes] = []
     for tag, ftype, count, val in entries:
@@ -352,7 +355,6 @@ def encode_jpeg_exif(
             fixed.append(struct.pack("<HHI", tag, ftype, count) + val)
     exif_ifd_off = value_off + len(tail)
     fixed.append(struct.pack("<HHII", 0x8769, 4, 1, exif_ifd_off))
-    fixed.sort()
     sub_entries = []
     sub_tail = bytearray()
     if taken_at:
@@ -373,6 +375,27 @@ def encode_jpeg_exif(
         + b"\x00\x00\x00\x00"
         + bytes(sub_tail)
     )
+    gps_ifd = b""
+    if gps:
+        gps_ifd_off = exif_ifd_off + len(sub_ifd)
+        fixed.append(struct.pack("<HHII", 0x8825, 4, 1, gps_ifd_off))
+        lat_ref, lon_ref = gps
+
+        def gps_ascii(tag: int, s: str) -> bytes:
+            raw = (s.encode("latin-1") + b"\x00")[:4]
+            return (
+                struct.pack("<HHI", tag, 2, len(raw))
+                + raw
+                + b"\x00" * (4 - len(raw))
+            )
+
+        gentries = [gps_ascii(1, lat_ref), gps_ascii(3, lon_ref)]
+        gps_ifd = (
+            struct.pack("<H", len(gentries))
+            + b"".join(gentries)
+            + b"\x00\x00\x00\x00"
+        )
+    fixed.sort()
     tiff = (
         b"II*\x00"
         + struct.pack("<I", 8)
@@ -381,6 +404,7 @@ def encode_jpeg_exif(
         + b"\x00\x00\x00\x00"
         + bytes(tail)
         + sub_ifd
+        + gps_ifd
     )
     app1_body = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
@@ -392,6 +416,105 @@ def encode_jpeg_exif(
         + b"\x01\x11\x00"
     )
     return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
+
+
+def strip_gps_tiff(tiff: bytes) -> Tuple[bytes, bool]:
+    """(cleaned TIFF bytes, had_gps): remove every GPSInfo pointer
+    entry (tag 0x8825) from IFD0 — the entry table shrinks, the
+    next-IFD pointer moves up, and 12 zero bytes of padding keep EVERY
+    absolute offset in the file valid (out-of-line values, ExifIFD and
+    the now-orphaned GPS IFD bytes stay in place; readers only reach
+    data through entries, so the orphan is inert). Deterministic:
+    same input → same output bytes."""
+    try:
+        end = "<" if tiff[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(end + "I", tiff[4:8])
+        (n,) = struct.unpack(end + "H", tiff[ifd_off : ifd_off + 2])
+        keep: List[bytes] = []
+        had = False
+        for k in range(min(n, 512)):
+            e = tiff[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
+            if len(e) < 12:
+                break
+            (tag,) = struct.unpack(end + "H", e[:2])
+            if tag == 0x8825:
+                had = True
+            else:
+                keep.append(e)
+        if not had:
+            return (tiff, False)
+        dropped = n - len(keep)
+        next_ptr_off = ifd_off + 2 + 12 * n
+        next_ptr = tiff[next_ptr_off : next_ptr_off + 4]
+        out = (
+            tiff[:ifd_off]
+            + struct.pack(end + "H", len(keep))
+            + b"".join(keep)
+            + next_ptr
+            + b"\x00" * (12 * dropped)
+            + tiff[next_ptr_off + 4 :]
+        )
+        return (out, True)
+    except (struct.error, IndexError):
+        return (tiff, False)
+
+
+def scrub_exif_gps(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, blob, had_gps) — media-side PII pass: GPS location
+    data is stripped from every JPEG's EXIF (the camera-default leak a
+    crawled image corpus republishes); all other EXIF tags, the image
+    stream and non-EXIF bytes are preserved byte-for-byte. Non-JPEG
+    and EXIF-less rows pass through unchanged with had_gps=false —
+    never an error (same per-row containment as the other media ops).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, flags = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(raw) if raw is not None else b""
+                out, had = data, False
+                if data[:3] == b"\xff\xd8\xff":
+                    pos = 2
+                    while pos + 4 <= len(data):
+                        if data[pos] != 0xFF:
+                            break
+                        marker = data[pos + 1]
+                        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                            pos += 2
+                            continue
+                        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                        if (
+                            marker == 0xE1
+                            and data[pos + 4 : pos + 10] == b"Exif\x00\x00"
+                        ):
+                            tiff = data[pos + 10 : pos + 2 + ln]
+                            new_tiff, had = strip_gps_tiff(tiff)
+                            if had:
+                                body = b"Exif\x00\x00" + new_tiff
+                                out = (
+                                    data[:pos]
+                                    + b"\xff\xe1"
+                                    + struct.pack(">H", len(body) + 2)
+                                    + body
+                                    + data[pos + 2 + ln :]
+                                )
+                            break
+                        if marker == 0xDA:
+                            break
+                        pos += 2 + ln
+                ids.append(str(mid))
+                blobs.append(out)
+                flags.append(had)
+            yield pd.DataFrame(
+                {"media_id": ids, "blob": blobs, "had_gps": flags}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema="media_id string, blob binary, had_gps boolean"
+    )
 
 
 def _tiff_dims(data: bytes) -> tuple:

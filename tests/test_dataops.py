@@ -1763,6 +1763,50 @@ class TestAnimFrames:
             mm.decode_apng_frames(apng)
 
 
+class TestExifGpsScrub:
+    """Media-side PII: GPS EXIF stripping (multimodal.scrub_exif_gps)."""
+
+    def _jpeg(self, **kw):
+        return mm.encode_jpeg_exif(8, 6, orientation=3, make="Acme",
+                                   model="M", taken_at="2024:01:01 00:00:00",
+                                   **kw)
+
+    def test_gps_removed_other_tags_preserved(self, spark):
+        df = spark.createDataFrame(
+            [("g", bytearray(self._jpeg(gps=("N", "E"))))],
+            "media_id string, blob binary")
+        r = mm.scrub_exif_gps(df).collect()[0]
+        assert r.had_gps
+        cleaned = bytes(r.blob)
+        assert mm.parse_exif(cleaned) == {
+            "orientation": 3, "make": "Acme", "model": "M",
+            "taken_at": "2024:01:01 00:00:00"}
+        assert b"\x25\x88" not in cleaned[:80]  # GPS pointer gone from IFD0
+
+    def test_idempotent_and_passthrough(self, spark):
+        clean = self._jpeg()
+        rows = [("c", bytearray(clean)), ("x", bytearray(b"not a jpeg")),
+                ("e", bytearray(b""))]
+        df = spark.createDataFrame(rows, "media_id string, blob binary")
+        got = {r.media_id: r for r in mm.scrub_exif_gps(df).collect()}
+        assert not any(r.had_gps for r in got.values())
+        assert bytes(got["c"].blob) == clean
+        assert bytes(got["x"].blob) == b"not a jpeg"
+
+    def test_strip_keeps_file_length_and_offsets(self):
+        j = self._jpeg(gps=("S", "W"))
+        start = j.find(b"Exif\x00\x00") + 6
+        tiff = j[start:j.find(b"\xff\xc0")]
+        cleaned, had = mm.strip_gps_tiff(tiff)
+        assert had and len(cleaned) == len(tiff)
+        again, had2 = mm.strip_gps_tiff(cleaned)
+        assert not had2 and again == cleaned
+
+    def test_malformed_tiff_passthrough(self):
+        out, had = mm.strip_gps_tiff(b"II*\x00\x08\x00")
+        assert not had and out == b"II*\x00\x08\x00"
+
+
 class TestDibAvi:
     """Uncompressed-DIB AVI video path (multimodal.decode_avi_frames)."""
 
