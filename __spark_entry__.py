@@ -1507,6 +1507,29 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_links_communities(spark, sf_dir):
+    """Deterministic label-propagation communities under the gate:
+    the links_pagerank edge formula symmetrized to an undirected
+    graph, 3 synchronous iterations with min tie-break — the oracle
+    unrolls the identical iterations as chained count/argmax CTEs,
+    compared bit-exactly per node."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.links import (
+        label_propagation,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("k"),
+    ).select(
+        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
+    )
+    return label_propagation(edges, iterations=3)
+
+
 def q_media_gps_scrub(spark, sf_dir):
     """Media-side PII under the gate: JPEGs with a GPS EXIF IFD
     (planted iff doc_id%3 != 1) are scrubbed — the GPSInfo pointer is
@@ -3751,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "links_communities": q_links_communities,    # deterministic LPA
         "media_gps_scrub": q_media_gps_scrub,        # GPS EXIF PII strip
         "links_hostgraph": q_links_hostgraph,        # domain-graph collapse
         "crawl_schedule": q_crawl_schedule,          # Crawl-delay politeness
@@ -3792,7 +3816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dup": q_media_near_dup,       # max_bucket cap
         "media_clusters": q_media_clusters,       # star-edge path
         "audio_fingerprint": q_audio_fingerprint,  # shared _banded_pairs
-        "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
         "text_pii": q_text_pii,                   # digit-counting phone re
         "corpus_safety": q_corpus_safety,         # phone re + exact host
         "crawl_blocklist": q_crawl_blocklist,     # exact-host branch gated
@@ -3803,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
         # ---- 50-entry driver window ends here --------------------------
+        "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
         "media_exif": q_media_exif,
         "web_ingest": q_web_ingest,
         "corpus_c4": q_corpus_c4,
@@ -3953,6 +3977,49 @@ def _normalize_chain_sql(expr: str) -> str:
     c = f"regexp_replace({c}, '^[ \\n]+', '', 'g')"
     c = f"regexp_replace({c}, '[ \\n]+$', '', 'g')"
     return c
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation (min tie-break): one
+    count+argmax CTE pair per iteration over the symmetrized edge
+    set — same materialized-CTE discipline as _pagerank_sql."""
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents,
+       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) t(k)
+), und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e
+  )
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM und
+), l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", n{i} AS (
+  SELECT u.a AS node, l.label, COUNT(*) AS cnt
+  FROM und u JOIN l{i - 1} l ON l.node = u.b
+  GROUP BY u.a, l.label
+), b{i} AS (
+  SELECT node, label AS new_label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY cnt DESC, label
+           ) AS rn
+    FROM n{i}
+  ) WHERE rn = 1
+), l{i} AS (
+  SELECT n.node, COALESCE(b.new_label, l.label) AS label
+  FROM nodes n JOIN l{i - 1} l ON l.node = n.node
+  LEFT JOIN b{i} b ON b.node = n.node
+)""")
+    parts.append(
+        f"\nSELECT node, CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
+    return "".join(parts)
 
 
 def _corpus_textprep_sql() -> str:
@@ -5326,6 +5393,7 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "links_communities": _lpa_sql(iters=3),
         "media_gps_scrub": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        doc_id % 3 <> 1 AS had_gps,

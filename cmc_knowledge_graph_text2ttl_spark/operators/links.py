@@ -323,3 +323,65 @@ def host_graph(
             (F.col("src_host") == F.col("dst_host")).alias("is_internal"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """(node, label) — synchronous label propagation communities over
+    the UNDIRECTED link graph (Raghavan et al. 2007, made
+    deterministic): every node starts as its own label; each iteration
+    every node adopts the most frequent label among its neighbours,
+    ties broken by the SMALLEST label, isolated nodes keep their own.
+    Synchronous updates + min tie-break make the result a pure
+    function of the graph — no seed, no visit order, no partitioning
+    dependence (the classic async/random-tie LPA is none of those).
+
+    Scale shape: per iteration ONE join keyed on the edge endpoint,
+    one (node, label) count agg (map-side combinable) and one per-node
+    argmax window (keys are single nodes — balanced); localCheckpoint
+    truncates lineage per iteration exactly like the CC/PageRank
+    loops. Fixed iteration count is the honest contract at 10^12
+    edges — convergence detection would add a count() barrier per
+    round for no ranking benefit.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    src, dst = F.col(src_col), F.col(dst_col)
+    dir_e = edges.select(src.alias("a"), dst.alias("b"))
+    und = dir_e.union(
+        dir_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for _ in range(iterations):
+        neigh = (
+            und.join(labels, und.b == labels.node)
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").cast("bigint").alias("label"))

@@ -249,3 +249,51 @@ class TestHits:
         with pytest.raises(ValueError, match="iterations"):
             hits(spark.createDataFrame([(1, 2)], ["src", "dst"]),
                  iterations=0)
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r.node: r.label for r in
+                label_propagation(df, **kw).collect()}
+
+    def test_two_cliques_with_bridge(self, spark):
+        # clique {1,2,3}, clique {10,11,12}, one bridge 3-10
+        tri = lambda a, b, c: [(a, b), (b, c), (a, c)]  # noqa: E731
+        got = self._run(spark, tri(1, 2, 3) + tri(10, 11, 12) + [(3, 10)])
+        assert got[1] == got[2] == got[3] == 1
+        assert got[10] == got[11] == got[12]
+        # the second clique converges to its own min-dominated label
+        assert got[10] != got[1]
+
+    def test_star_adopts_center_neighbors_min(self, spark):
+        # star: center 5 with leaves 1..4; leaves see only label(5),
+        # center sees leaf labels -> min tie-break picks 1
+        got = self._run(spark, [(5, k) for k in (1, 2, 3, 4)], iterations=1)
+        assert got[5] == 1
+        assert got[1] == got[2] == got[3] == got[4] == 5
+
+    def test_deterministic_vs_partitioning(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import (
+            label_propagation,
+        )
+
+        edges = [(i, (i * 7 + 13) % 50) for i in range(50) if i != (i * 7 + 13) % 50]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        a = sorted(map(tuple, label_propagation(df).collect()))
+        b = sorted(map(tuple,
+                       label_propagation(df.repartition(17)).collect()))
+        assert a == b
+
+    def test_bad_iterations_raise(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.links import (
+            label_propagation,
+        )
+
+        with pytest.raises(ValueError, match="iterations"):
+            label_propagation(
+                spark.createDataFrame([(1, 2)], ["src", "dst"]), iterations=0)
