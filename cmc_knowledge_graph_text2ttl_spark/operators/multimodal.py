@@ -1824,6 +1824,11 @@ def _compose_anim(
     div (sa·255 + da·(255-sa))) so every engine/test replays it
     bit-for-bit. Dispose applies AFTER the frame is emitted (APNG
     semantics; WebP only uses 0/1)."""
+    # allocation guard BEFORE the canvas exists: a corrupt header can
+    # request a multi-GB buffer whose C-level allocation is not even
+    # signal-interruptible (same 64M-pixel limit as the GIF decoder)
+    if not 0 < cw * chh <= 64_000_000:
+        raise ValueError(f"animation canvas {cw}x{chh} out of range")
     canvas = bytearray(cw * chh * 4)
     out: List[bytes] = []
     for x, y, fw, fh, rgba, dispose, blend in frames:
@@ -2067,7 +2072,8 @@ def sample_frames(
             for mid, raw in zip(pdf[id_col], pdf[blob_col]):
                 try:
                     sw, sh, frames = dec(bytes(raw))
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, zlib.error):
+                    # zlib.error: APNG/PNG frame streams surface it raw
                     continue
                 total = len(frames)
                 if total <= n_frames:

@@ -1754,6 +1754,32 @@ class TestAnimFrames:
         assert got[("w", 0, 0)] == 5.0 and got[("w", 0, 2)] == 7.0
         assert not any(k[0] == "junk" for k in got)
 
+    def test_corrupt_apng_rows_skip_not_kill(self, spark):
+        # a cut inside the zlib stream raises zlib.error from the PNG
+        # layer; sample_frames' skip path must contain it (a single
+        # truncated APNG in a crawl batch must never kill the task)
+        good = mm.encode_apng(4, 4, [
+            (0, 0, 4, 4, self._solid(4, 4, (1, 2, 3, 255)), 0, 0),
+            (0, 0, 4, 4, self._solid(4, 4, (9, 8, 7, 255)), 0, 0)])
+        zl = bytearray(good)
+        zl[good.find(b"IDAT") + 9] ^= 0xA5
+        df = spark.createDataFrame(
+            [("ok", bytearray(good)), ("cut", bytearray(good[:40])),
+             ("zl", bytearray(bytes(zl)))],
+            "media_id string, blob binary")
+        assert {r.media_id for r in mm.sample_frames(df).collect()} == {"ok"}
+
+    def test_huge_canvas_header_raises_fast(self):
+        # flipped IHDR width must hit the compose-canvas guard, not a
+        # 66 GB allocation
+        good = mm.encode_apng(8, 6, [
+            (0, 0, 8, 6, self._solid(8, 6, (1, 1, 1, 255)), 0, 0),
+            (0, 0, 8, 6, self._solid(8, 6, (2, 2, 2, 255)), 0, 0)])
+        bad = bytearray(good)
+        bad[16] ^= 0xA5  # IHDR width MSB
+        with pytest.raises(ValueError):
+            mm.decode_apng_frames(bytes(bad))
+
     def test_frame_rect_outside_canvas_raises(self):
         apng = mm.encode_apng(4, 2, [
             (0, 0, 4, 2, self._solid(4, 2, (1, 1, 1, 255)), 0, 0),

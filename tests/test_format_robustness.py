@@ -137,3 +137,56 @@ class TestAllocationGuards:
         struct.pack_into("<i", blob, 18, 2_000_000_000)
         with pytest.raises(ValueError, match="out of range"):
             mm.decode_bmp(bytes(blob))
+
+
+def _anim_fixtures():
+    from cmc_knowledge_graph_text2ttl_spark.operators.vp8l import (
+        encode_webp_anim,
+    )
+
+    solid = lambda w, h, px: bytes(px) * (w * h)  # noqa: E731
+    return [
+        ("apng", lambda: mm.encode_apng(8, 6, [
+            (0, 0, 8, 6, solid(8, 6, (200, 10, 20, 255)), 0, 0),
+            (2, 1, 4, 3, solid(4, 3, (5, 180, 30, 128)), 1, 1),
+            (0, 0, 8, 6, solid(8, 6, (1, 2, 250, 255)), 2, 0),
+        ])),
+        ("webp_anim", lambda: encode_webp_anim(8, 4, [
+            (0, 0, 8, 4, solid(8, 4, (40, 50, 60)), 3, 0, 0),
+            (2, 2, 4, 2, solid(4, 2, (200, 100, 0)), 3, 1, 1),
+        ])),
+        ("aiff", lambda: mm.encode_aiff(
+            2, 44100, [((i * 37) % 4001) - 2000 for i in range(64)], 16)),
+        ("avi_dib", lambda: mm.encode_avi_rgb(
+            5, 3, [bytes((i * 11) % 256 for i in range(45))])),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,builder", _anim_fixtures(), ids=[f[0] for f in _anim_fixtures()]
+)
+def test_round5_codecs_raise_cleanly(name, builder):
+    """Truncation + byte-flip grid over the round-5 additions: APNG,
+    animated WebP, AIFF, uncompressed-DIB AVI. Every variant must
+    decode or raise ValueError/NotImplementedError (zlib.error allowed
+    — contained by every caller) — never hang or escape with a
+    struct/Index error."""
+    import zlib
+
+    decoders = {
+        "apng": mm.decode_apng_frames,
+        "webp_anim": mm.decode_webp_anim_frames,
+        "aiff": mm.decode_aiff,
+        "avi_dib": mm.decode_avi_frames,
+    }
+    blob = builder()
+    dec = decoders[name]
+    out = dec(blob)
+    assert out[0] > 0  # pristine blob decodes
+    for variant in _sweep(blob, step=5):
+        try:
+            dec(variant)
+        except (ValueError, NotImplementedError) as ex:
+            assert str(ex)
+        except Exception as ex:
+            assert isinstance(ex, zlib.error), (name, type(ex), ex)
