@@ -1507,6 +1507,19 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_text_segments(spark, sf_dir):
+    """TextTiling-style topic segmentation under the gate: 20-token
+    blocks, md5-bucket bags, integer squared-cosine gap scores and the
+    bounded-neighbourhood depth rule — the oracle replays every stage
+    (tokenize → block counts → adjacent-block dot/norm join → sim2 →
+    lag/lead depth window) bit-for-bit on the raw corpus."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.textstats import (
+        text_tiling,
+    )
+
+    return text_tiling(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_links_communities(spark, sf_dir):
     """Deterministic label-propagation communities under the gate:
     the links_pagerank edge formula symmetrized to an undirected
@@ -3774,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "text_segments": q_text_segments,            # TextTiling sim2 depth
         "links_communities": q_links_communities,    # deterministic LPA
         "media_gps_scrub": q_media_gps_scrub,        # GPS EXIF PII strip
         "links_hostgraph": q_links_hostgraph,        # domain-graph collapse
@@ -3822,10 +3836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp3": q_media_mp3,                 # Xing/VBRI VBR duration
         "corpus_shards": q_corpus_shards,         # two-level digest
         "pdf_table_cells": q_pdf_table_cells,     # AESV2 rotation
-        "media_frames": q_media_frames,           # sample_frames dispatch
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
         # ---- 50-entry driver window ends here --------------------------
+        "media_frames": q_media_frames,           # sample_frames dispatch
         "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
         "media_exif": q_media_exif,
         "web_ingest": q_web_ingest,
@@ -5393,6 +5407,56 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "text_segments": r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT id, CAST(i - 1 AS INTEGER) AS pos, toks[CAST(i AS INTEGER)] AS tok,
+         length(toks) AS n
+  FROM t, LATERAL unnest(generate_series(1, length(toks))) s(i)
+), ft AS (
+  SELECT id, pos, tok FROM tok WHERE pos < n - (n % 20)
+), c AS (
+  SELECT id, CAST(pos // 20 AS INTEGER) AS block,
+         CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER)
+           AS bucket,
+         COUNT(*) AS c
+  FROM ft GROUP BY 1, 2, 3
+), norms AS (
+  SELECT id, block, SUM(c * c) AS nsq FROM c GROUP BY id, block
+), dots AS (
+  SELECT a.id, a.block + 1 AS gap, SUM(a.c * b.c) AS dot
+  FROM c a JOIN c b
+    ON a.id = b.id AND b.block = a.block + 1 AND a.bucket = b.bucket
+  GROUP BY a.id, a.block + 1
+), gaps AS (
+  SELECT na.id, na.gap, COALESCE(d.dot, 0) AS dot, na.na, nb.nb
+  FROM (SELECT id, block + 1 AS gap, nsq AS na FROM norms) na
+  JOIN (SELECT id, block AS gap, nsq AS nb FROM norms) nb USING (id, gap)
+  LEFT JOIN dots d USING (id, gap)
+), scored AS (
+  SELECT id, CAST(gap AS INTEGER) AS gap_idx,
+         CAST(gap * 20 AS INTEGER) AS gap_token,
+         (dot * dot * 10000) // (na * nb) AS sim2
+  FROM gaps
+), win AS (
+  SELECT id, gap_idx, gap_token, sim2,
+         greatest(COALESCE(lag(sim2, 1) OVER w, sim2),
+                  COALESCE(lag(sim2, 2) OVER w, sim2)) AS lp,
+         greatest(COALESCE(lead(sim2, 1) OVER w, sim2),
+                  COALESCE(lead(sim2, 2) OVER w, sim2)) AS rp
+  FROM scored WINDOW w AS (PARTITION BY id ORDER BY gap_idx)
+)
+SELECT id, gap_idx, gap_token, CAST(sim2 AS BIGINT) AS sim2,
+       CAST(greatest(lp - sim2, 0) + greatest(rp - sim2, 0) AS BIGINT)
+         AS depth,
+       greatest(lp - sim2, 0) + greatest(rp - sim2, 0) >= 2000
+         AS is_boundary
+FROM win
+""",
         "links_communities": _lpa_sql(iters=3),
         "media_gps_scrub": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -416,3 +416,120 @@ def ngram_novelty(
             F.expr("(n_unique * 100) DIV n_grams"), F.lit(100)
         ).cast("int").alias("novelty_pct"),
     )
+
+
+def text_tiling(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 20,
+    n_buckets: int = 64,
+    radius: int = 2,
+    depth_threshold: int = 2000,
+):
+    """(id, gap_idx, gap_token, sim2, depth, is_boundary) — TextTiling-
+    style topic segmentation (Hearst 1997) made integer- and
+    engine-exact: the document is cut into fixed ``block_tokens``
+    blocks (tail partial block dropped), each block becomes a bag of
+    md5-bucketed token counts, and every inter-block gap gets a
+    lexical-cohesion score. Instead of cosine (whose sqrt is not
+    bit-portable) the score is the SQUARED cosine scaled to integers:
+
+        sim2 = (dot² · 10000) div (|A|²·|B|²)      ∈ [0, 10000]
+
+    — monotone in cosine, so the depth logic is unchanged. Depth at a
+    gap is the classic two-sided valley measure with a bounded
+    neighbourhood (``radius`` gaps each side, the streaming-friendly
+    variant of Hearst's hill-climb):
+
+        depth = max(0, L - s) + max(0, R - s)
+
+    with L/R the neighbourhood maxima; a gap is a boundary when depth
+    ≥ ``depth_threshold`` (default 0.2 in sim² units).
+
+    Scale shape: one posexplode (linear), one (id, block, bucket)
+    count agg, one adjacent-block equijoin on (id, bucket), one per-id
+    gap window for L/R — everything map-side-combinable or keyed on
+    the doc id; no arrays cross the shuffle.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .dedup import md5_int
+
+    if block_tokens < 1 or n_buckets < 1 or radius < 1:
+        raise ValueError("block_tokens, n_buckets and radius must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    tok_rows = base.select(
+        "id", F.posexplode("toks").alias("pos", "tok"), F.size("toks").alias("n")
+    ).filter(F.col("pos") < (F.col("n") - F.col("n") % block_tokens))
+    counts = (
+        tok_rows.select(
+            "id",
+            (F.col("pos") / block_tokens).cast("int").alias("block"),
+            (md5_int(F.col("tok")) % n_buckets).cast("int").alias("bucket"),
+        )
+        .groupBy("id", "block", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = counts.groupBy("id", "block").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nsq")
+    )
+    a = counts.select(
+        "id", (F.col("block") + 1).alias("gap"), "bucket", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        "id", F.col("block").alias("gap"), "bucket", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, ["id", "gap", "bucket"])
+        .groupBy("id", "gap")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select("id", (F.col("block") + 1).alias("gap"),
+                      F.col("nsq").alias("na"))
+    nb = norms.select("id", F.col("block").alias("gap"),
+                      F.col("nsq").alias("nb"))
+    gaps = (
+        na.join(nb, ["id", "gap"])  # inner: gap exists only between blocks
+        .join(dots, ["id", "gap"], "left")
+        .select(
+            "id",
+            "gap",
+            F.coalesce("dot", F.lit(0)).alias("dot"),
+            "na",
+            "nb",
+        )
+        .select(
+            "id",
+            F.col("gap").cast("int").alias("gap_idx"),
+            (F.col("gap") * block_tokens).cast("int").alias("gap_token"),
+            F.expr("(dot * dot * 10000) DIV (na * nb)").alias("sim2"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("gap_idx")
+    lefts = [F.lag("sim2", k).over(w) for k in range(1, radius + 1)]
+    rights = [F.lead("sim2", k).over(w) for k in range(1, radius + 1)]
+    s = F.col("sim2")
+    left_peak = F.greatest(*(F.coalesce(c, s) for c in lefts)) if len(
+        lefts
+    ) > 1 else F.coalesce(lefts[0], s)
+    right_peak = F.greatest(*(F.coalesce(c, s) for c in rights)) if len(
+        rights
+    ) > 1 else F.coalesce(rights[0], s)
+    depth = (
+        F.greatest(left_peak - s, F.lit(0))
+        + F.greatest(right_peak - s, F.lit(0))
+    )
+    return gaps.select(
+        "id",
+        "gap_idx",
+        "gap_token",
+        F.col("sim2").cast("bigint").alias("sim2"),
+        depth.cast("bigint").alias("depth"),
+        (depth >= depth_threshold).alias("is_boundary"),
+    )

@@ -2687,3 +2687,49 @@ class TestBpeLearn:
             textstats.learn_bpe_merges(docs, n_merges=0)
         with pytest.raises(ValueError):
             textstats.learn_bpe_merges(docs, min_pair_count=0)
+
+
+class TestTextTiling:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return textstats.text_tiling(df, **kw)
+
+    def test_topic_shift_is_the_only_boundary(self, spark):
+        a = "apple banana cherry date elder " * 3
+        b = "zinc yttrium xenon wolfram vanadium " * 3
+        out = self._run(spark, [(1, (a + b).strip())],
+                        block_tokens=5).orderBy("gap_idx").collect()
+        assert [r.is_boundary for r in out] == [
+            False, False, True, False, False]
+        shift = out[2]
+        assert (shift.gap_token, shift.sim2, shift.depth) == (15, 0, 20000)
+        # cohesive gaps: identical blocks -> perfect squared cosine
+        assert all(r.sim2 == 10000 for i, r in enumerate(out) if i != 2)
+
+    def test_uniform_doc_has_no_boundaries(self, spark):
+        out = self._run(spark, [(1, "w1 w2 w3 w4 " * 12)],
+                        block_tokens=4).collect()
+        assert out and not any(r.is_boundary for r in out)
+
+    def test_short_doc_yields_no_gaps(self, spark):
+        out = self._run(spark, [(1, "only five words in here")],
+                        block_tokens=20).collect()
+        assert out == []
+
+    def test_tail_partial_block_dropped(self, spark):
+        # 11 tokens at w=4 -> 2 full blocks, 1 gap; the 3-token tail
+        # never forms a block
+        out = self._run(spark, [(1, " ".join(f"t{i}" for i in range(11)))],
+                        block_tokens=4).collect()
+        assert len(out) == 1 and out[0].gap_token == 4
+
+    def test_partition_invariance(self, spark, docs):
+        a = sorted(map(tuple, textstats.text_tiling(docs).collect()))
+        b = sorted(map(tuple,
+                       textstats.text_tiling(docs.repartition(13)).collect()))
+        assert a == b
+
+    def test_bad_params_raise(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="block_tokens"):
+            textstats.text_tiling(df, block_tokens=0)
