@@ -1507,6 +1507,20 @@ def q_crawl_frontier(spark, sf_dir):
     return RC.crawl_frontier(delta, ranks)
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Table profiling under the gate: the tall (column, metric,
+    value) QA table over the documents corpus — exact counts, nulls,
+    distincts, min/max as strings; the oracle restates every metric
+    with plain SQL aggregates."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.profile import (
+        profile_table,
+    )
+
+    return profile_table(
+        _docs(spark, sf_dir).select("doc_id", "text"), ["doc_id", "text"]
+    )
+
+
 def q_text_segments(spark, sf_dir):
     """TextTiling-style topic segmentation under the gate: 20-token
     blocks, md5-bucket bags, integer squared-cosine gap scores and the
@@ -3787,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
+        "corpus_profile": q_corpus_profile,          # tall QA metric table
         "text_segments": q_text_segments,            # TextTiling sim2 depth
         "links_communities": q_links_communities,    # deterministic LPA
         "media_gps_scrub": q_media_gps_scrub,        # GPS EXIF PII strip
@@ -3828,7 +3843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "office_extract": q_office_extract,       # RK flag-bit fix
         "media_dhash": q_media_dhash,             # ch==2 + webp + hot cluster
         "media_near_dup": q_media_near_dup,       # max_bucket cap
-        "media_clusters": q_media_clusters,       # star-edge path
         "audio_fingerprint": q_audio_fingerprint,  # shared _banded_pairs
         "text_pii": q_text_pii,                   # digit-counting phone re
         "corpus_safety": q_corpus_safety,         # phone re + exact host
@@ -3839,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
         # ---- 50-entry driver window ends here --------------------------
+        "media_clusters": q_media_clusters,       # star-edge path
         "media_frames": q_media_frames,           # sample_frames dispatch
         "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
         "media_exif": q_media_exif,
@@ -5407,6 +5422,27 @@ SELECT f.url, f.status,
 FROM f LEFT JOIN r5 r ON r.node = f.gnode
 """,
         ),
+        "corpus_profile": """
+SELECT 'doc_id' AS column, 'count' AS metric,
+       CAST(COUNT(*) AS VARCHAR) AS value FROM documents
+UNION ALL SELECT 'doc_id', 'nulls',
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
+       FROM documents
+UNION ALL SELECT 'doc_id', 'distinct',
+       CAST(COUNT(DISTINCT doc_id) AS VARCHAR) FROM documents
+UNION ALL SELECT 'doc_id', 'min', CAST(MIN(doc_id) AS VARCHAR)
+       FROM documents
+UNION ALL SELECT 'doc_id', 'max', CAST(MAX(doc_id) AS VARCHAR)
+       FROM documents
+UNION ALL SELECT 'text', 'count', CAST(COUNT(*) AS VARCHAR) FROM documents
+UNION ALL SELECT 'text', 'nulls',
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
+       FROM documents
+UNION ALL SELECT 'text', 'distinct',
+       CAST(COUNT(DISTINCT text) AS VARCHAR) FROM documents
+UNION ALL SELECT 'text', 'min', MIN(text) FROM documents
+UNION ALL SELECT 'text', 'max', MAX(text) FROM documents
+""",
         "text_segments": r"""
 WITH t AS (
   SELECT doc_id AS id,

@@ -2733,3 +2733,47 @@ class TestTextTiling:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="block_tokens"):
             textstats.text_tiling(df, block_tokens=0)
+
+
+class TestProfileTable:
+    def test_metrics(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.profile import (
+            profile_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b"), (4, "a")], "id bigint, s string")
+        got = {(r.column, r.metric): r.value
+               for r in profile_table(df).collect()}
+        assert got[("id", "count")] == "4" and got[("id", "nulls")] == "0"
+        assert got[("id", "distinct")] == "4"
+        assert (got[("id", "min")], got[("id", "max")]) == ("1", "4")
+        assert got[("s", "nulls")] == "1" and got[("s", "distinct")] == "2"
+        assert (got[("s", "min")], got[("s", "max")]) == ("a", "b")
+
+    def test_all_null_column_and_subset(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.profile import (
+            profile_table,
+        )
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None)],
+            StructType([StructField("id", LongType()),
+                        StructField("s", StringType())]))
+        got = {(r.column, r.metric): r.value
+               for r in profile_table(df, columns=["s"]).collect()}
+        assert got[("s", "min")] is None and got[("s", "distinct")] == "0"
+        assert set(c for c, _ in got) == {"s"}
+
+    def test_non_portable_type_rejected(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.profile import (
+            profile_table,
+        )
+
+        df = spark.createDataFrame([(1.5,)], "x double")
+        with pytest.raises(ValueError, match="non-portable"):
+            profile_table(df)
+        with pytest.raises(ValueError, match="no such column"):
+            profile_table(df.selectExpr("CAST(x AS STRING) AS s"), ["zz"])
