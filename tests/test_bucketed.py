@@ -100,3 +100,48 @@ class TestBucketedJoin:
         df = spark.range(3)
         with pytest.raises(ValueError):
             bk.write_bucketed(df, "t_x", "id", 0)
+
+
+class TestCompaction:
+    def test_file_count_rows_and_uniformity(self, spark, tmp_path):
+        from cmc_knowledge_graph_text2ttl_spark.sources.compaction import (
+            compact_parquet,
+            read_compacted,
+        )
+
+        # skewed input: one host owns half the rows, written as many
+        # tiny fragments (the incremental-writer pathology)
+        rows = [(f"http://hot.example/p{i}" if i % 2 == 0
+                 else f"http://h{i % 37}.example/p{i}", i)
+                for i in range(4000)]
+        df = spark.createDataFrame(rows, ["url", "v"]).repartition(64)
+        src = str(tmp_path / "frag")
+        df.write.parquet(src)
+        frag = spark.read.parquet(src)
+
+        out = str(tmp_path / "compact")
+        n = compact_parquet(frag, out, target_rows_per_file=500)
+        assert n == 8
+
+        import glob
+        files = glob.glob(out + "/part-*.parquet")
+        assert len(files) == n
+        back = read_compacted(spark, out)
+        assert back.count() == 4000
+        assert sorted(r.v for r in back.collect()) == list(range(4000))
+        # uniformity: despite the hot-host skew, md5-range partitioning
+        # keeps every file within 2x of the target
+        import pyarrow.parquet as pq
+        sizes = sorted(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert sizes[0] > 0 and sizes[-1] <= 1000
+
+    def test_explicit_n_files_and_validation(self, spark, tmp_path):
+        from cmc_knowledge_graph_text2ttl_spark.sources.compaction import (
+            compact_parquet,
+        )
+
+        df = spark.createDataFrame([("u1", 1), ("u2", 2)], ["url", "v"])
+        out = str(tmp_path / "two")
+        assert compact_parquet(df, out, n_files=2) == 2
+        with pytest.raises(ValueError, match="target_rows_per_file"):
+            compact_parquet(df, out, target_rows_per_file=0)
