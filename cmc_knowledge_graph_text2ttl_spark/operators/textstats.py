@@ -475,6 +475,10 @@ def text_tiling(
         )
         .groupBy("id", "block", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers (norms + both join sides): persist so the
+        # token explode + count over the full corpus runs ONCE — the
+        # same discipline as the minhash/ExactSubstr scans
+        .persist()
     )
     norms = counts.groupBy("id", "block").agg(
         F.sum(F.col("c") * F.col("c")).alias("nsq")
