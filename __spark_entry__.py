@@ -1467,6 +1467,23 @@ def q_corpus_span_dedup(spark, sf_dir):
     return span_dedup(docs.select("doc_id", text2.alias("text")))
 
 
+def _synth_edges(spark, sf_dir):
+    """THE shared formula-derived edge fixture (doc d links to
+    (d*7 + k*13) mod N for k = 1..(d%3)+1) used by every graph gate
+    (pagerank, hits, communities, hostgraph, frontier) and mirrored by
+    _EDGE_SQL in the oracles — change them TOGETHER."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("k"),
+    ).select(
+        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
+    )
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Recrawl-frontier capstone under one gate: the crawl_delta
     fixture (%4 arithmetic: changed/gone/spawned/unchanged) composed
@@ -1491,15 +1508,7 @@ def q_crawl_frontier(spark, sf_dir):
         F.col("text").alias("content"),
     )
     delta = RC.crawl_delta(old, survived.union(spawned))
-    n = docs.count()
-    edges = docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
-        ).alias("k"),
-    ).select(
-        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
-    )
+    edges = _synth_edges(spark, sf_dir)
     ranks = LK.pagerank(edges, iterations=5).select(
         F.concat(F.lit("doc://"), F.col("node").cast("string")).alias("url"),
         "rank",
@@ -1545,15 +1554,7 @@ def q_links_communities(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
-    edges = docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
-        ).alias("k"),
-    ).select(
-        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
-    )
+    edges = _synth_edges(spark, sf_dir)
     return label_propagation(edges, iterations=3)
 
 
@@ -1588,7 +1589,9 @@ def q_media_gps_scrub(spark, sf_dir):
             yield pd.DataFrame({"media_id": ids, "blob": blobs})
 
     media = docs.mapInPandas(gen, schema="media_id string, blob binary")
-    scrubbed = MM.scrub_exif_gps(media)
+    # three consumers (flag select, re-scrub, EXIF re-parse): persist or
+    # the per-row encode+scrub runs three times per gate run
+    scrubbed = MM.scrub_exif_gps(media).persist()
     again = MM.scrub_exif_gps(scrubbed.select("media_id", "blob")).select(
         "media_id", F.col("had_gps").alias("had_gps_after")
     )
@@ -1611,22 +1614,15 @@ def q_links_hostgraph(spark, sf_dir):
     the oracle replays the same aggregation closed-form."""
     from cmc_knowledge_graph_text2ttl_spark.operators.links import host_graph
 
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    e = docs.select(
-        F.col("doc_id").alias("s"),
-        F.explode(
-            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
-        ).alias("k"),
-    ).select("s", ((F.col("s") * 7 + F.col("k") * 13) % n).alias("d"))
+    e = _synth_edges(spark, sf_dir)
     edges = e.select(
         F.concat(
-            F.lit("http://h"), (F.col("s") % 7).cast("string"),
-            F.lit(".x/p"), F.col("s").cast("string"),
+            F.lit("http://h"), (F.col("src") % 7).cast("string"),
+            F.lit(".x/p"), F.col("src").cast("string"),
         ).alias("src"),
         F.concat(
-            F.lit("http://h"), (F.col("d") % 7).cast("string"),
-            F.lit(".x/p"), F.col("d").cast("string"),
+            F.lit("http://h"), (F.col("dst") % 7).cast("string"),
+            F.lit(".x/p"), F.col("dst").cast("string"),
         ).alias("dst"),
     )
     return host_graph(edges)
@@ -2574,15 +2570,7 @@ def q_links_pagerank(spark, sf_dir):
     from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
-    edges = docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
-        ).alias("k"),
-    ).select(
-        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
-    )
+    edges = _synth_edges(spark, sf_dir)
     return LK.pagerank(edges, iterations=5).select(
         F.col("node").cast("bigint").alias("node"), "rank"
     )
@@ -2597,15 +2585,7 @@ def q_links_hits(spark, sf_dir):
     from cmc_knowledge_graph_text2ttl_spark.operators import links as LK
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
-    edges = docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int"))
-        ).alias("k"),
-    ).select(
-        "src", ((F.col("src") * 7 + F.col("k") * 13) % n).alias("dst")
-    )
+    edges = _synth_edges(spark, sf_dir)
     return LK.hits(edges, iterations=5).select(
         F.col("node").cast("bigint").alias("node"), "hub", "authority"
     )
@@ -4012,13 +3992,8 @@ def _lpa_sql(iters: int = 3) -> str:
     """Unrolled synchronous label propagation (min tie-break): one
     count+argmax CTE pair per iteration over the symmetrized edge
     set — same materialized-CTE discipline as _pagerank_sql."""
-    parts = ["""
-WITH e AS MATERIALIZED (
-  SELECT doc_id AS src,
-         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
-  FROM documents,
-       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) t(k)
-), und AS MATERIALIZED (
+    parts = [f"""
+WITH e AS MATERIALIZED ({_EDGE_SQL}), und AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     SELECT src AS a, dst AS b FROM e
     UNION ALL
@@ -4378,6 +4353,32 @@ FROM ww
 """
 
 
+_QUALITY_URLS_SQL = """SELECT doc_id AS id,
+    CASE WHEN doc_id % 7 = 3
+         THEN '10.' || CAST(doc_id % 9 AS VARCHAR) || '.2.3'
+         ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.site'
+              || CAST(doc_id % 5 AS VARCHAR) || '.example' END AS host,
+    CASE WHEN doc_id % 11 = 5 THEN '/casino' ELSE '' END
+      || repeat('/seg', CAST(doc_id % 16 AS INTEGER))
+      || CASE WHEN doc_id % 13 = 7 THEN '/' || repeat('z', 2100)
+              ELSE '' END AS path,
+    CASE WHEN doc_id % 12 > 0
+         THEN '?' || substr(repeat('&p=1', CAST(doc_id % 12 AS INTEGER)), 2)
+         ELSE '' END AS query,
+    doc_id % 7 = 3 AS is_ip,
+    doc_id % 11 = 5 AS bad,
+    CAST(doc_id % 12 AS INTEGER) AS np,
+    CAST((CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) + doc_id % 16 +
+         (CASE WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END) AS INTEGER) AS depth
+  FROM documents"""
+
+
+_EDGE_SQL = """SELECT doc_id AS src,
+         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents,
+       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) t(k)"""
+
+
 def _pagerank_sql(
     iters: int = 5,
     scale: int = 1_000_000,
@@ -4392,12 +4393,7 @@ def _pagerank_sql(
     final ``r{iters}`` rank table."""
     teleport = (100 - damping) * scale // 100
     parts = [f"""
-WITH e AS MATERIALIZED (
-  SELECT doc_id AS src,
-         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
-  FROM documents,
-       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) AS t(k)
-), nodes AS MATERIALIZED (
+WITH e AS MATERIALIZED ({_EDGE_SQL}), nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e
 ), outdeg AS MATERIALIZED (
   SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src
@@ -4426,12 +4422,7 @@ def _hits_sql(iters: int = 5, scale: int = 1_000_000) -> str:
     materialized-CTE discipline as _pagerank_sql); the per-step max is
     a scalar subquery so each normalization sees its own raw sums."""
     parts = [f"""
-WITH e AS MATERIALIZED (
-  SELECT doc_id AS src,
-         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
-  FROM documents,
-       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) AS t(k)
-), nodes AS MATERIALIZED (
+WITH e AS MATERIALIZED ({_EDGE_SQL}), nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e
 ), h0 AS (SELECT node, CAST({scale} AS BIGINT) AS s FROM nodes)"""]
     for i in range(1, iters + 1):
@@ -5503,16 +5494,11 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        'X' || CAST(doc_id % 4 AS VARCHAR) AS model
 FROM documents
 """,
-        "links_hostgraph": """
-WITH e AS (
-  SELECT doc_id AS s,
-         (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS d
-  FROM documents,
-       LATERAL unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INTEGER))) t(k)
-), h AS (
-  SELECT 'h' || CAST(s % 7 AS VARCHAR) || '.x' AS src_host,
-         'h' || CAST(d % 7 AS VARCHAR) || '.x' AS dst_host,
-         s
+        "links_hostgraph": f"""
+WITH e AS ({_EDGE_SQL}), h AS (
+  SELECT 'h' || CAST(src % 7 AS VARCHAR) || '.x' AS src_host,
+         'h' || CAST(dst % 7 AS VARCHAR) || '.x' AS dst_host,
+         src AS s
   FROM e
 )
 SELECT src_host, dst_host,
@@ -5606,26 +5592,9 @@ SELECT doc_id AS id,
 FROM documents
 """,
         "text_normalize": _text_normalize_sql(),
-        "url_quality": """
+        "url_quality": f"""
 WITH u AS (
-  SELECT doc_id AS id,
-    CASE WHEN doc_id % 7 = 3
-         THEN '10.' || CAST(doc_id % 9 AS VARCHAR) || '.2.3'
-         ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.site'
-              || CAST(doc_id % 5 AS VARCHAR) || '.example' END AS host,
-    CASE WHEN doc_id % 11 = 5 THEN '/casino' ELSE '' END
-      || repeat('/seg', CAST(doc_id % 16 AS INTEGER))
-      || CASE WHEN doc_id % 13 = 7 THEN '/' || repeat('z', 2100)
-              ELSE '' END AS path,
-    CASE WHEN doc_id % 12 > 0
-         THEN '?' || substr(repeat('&p=1', CAST(doc_id % 12 AS INTEGER)), 2)
-         ELSE '' END AS query,
-    doc_id % 7 = 3 AS is_ip,
-    doc_id % 11 = 5 AS bad,
-    CAST(doc_id % 12 AS INTEGER) AS np,
-    CAST((CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) + doc_id % 16 +
-         (CASE WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END) AS INTEGER) AS depth
-  FROM documents
+  {_QUALITY_URLS_SQL}
 ), v AS (
   SELECT id, 'http://' || host || path || query AS url,
          host, is_ip, bad, np, depth
@@ -5653,26 +5622,9 @@ SELECT id, url, host, url_len, n_params, path_depth, host_digit_pct,
          CASE WHEN too_long THEN 'too_long' END) AS reasons
 FROM s
 """,
-        "crawl_host_stats": """
+        "crawl_host_stats": f"""
 WITH u AS (
-  SELECT doc_id AS id,
-    CASE WHEN doc_id % 7 = 3
-         THEN '10.' || CAST(doc_id % 9 AS VARCHAR) || '.2.3'
-         ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.site'
-              || CAST(doc_id % 5 AS VARCHAR) || '.example' END AS host,
-    CASE WHEN doc_id % 11 = 5 THEN '/casino' ELSE '' END
-      || repeat('/seg', CAST(doc_id % 16 AS INTEGER))
-      || CASE WHEN doc_id % 13 = 7 THEN '/' || repeat('z', 2100)
-              ELSE '' END AS path,
-    CASE WHEN doc_id % 12 > 0
-         THEN '?' || substr(repeat('&p=1', CAST(doc_id % 12 AS INTEGER)), 2)
-         ELSE '' END AS query,
-    doc_id % 7 = 3 AS is_ip,
-    doc_id % 11 = 5 AS bad,
-    CAST(doc_id % 12 AS INTEGER) AS np,
-    CAST((CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) + doc_id % 16 +
-         (CASE WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END) AS INTEGER) AS depth
-  FROM documents
+  {_QUALITY_URLS_SQL}
 ), s AS (
   SELECT id, 'http://' || host || path || query AS url, host,
          is_ip, bad, np, depth

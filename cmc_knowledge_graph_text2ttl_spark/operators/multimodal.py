@@ -395,7 +395,9 @@ def encode_jpeg_exif(
             + b"".join(gentries)
             + b"\x00\x00\x00\x00"
         )
-    fixed.sort()
+    # TIFF6 requires entries ascending by TAG — sorting the packed
+    # little-endian bytes puts 0x8825 before 0x8769 (low byte first)
+    fixed.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
     tiff = (
         b"II*\x00"
         + struct.pack("<I", 8)
@@ -418,35 +420,48 @@ def encode_jpeg_exif(
     return b"\xff\xd8" + app1 + sof0 + b"\xff\xd9"
 
 
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                   9: 4, 10: 8, 11: 4, 12: 8}
+
+
 def strip_gps_tiff(tiff: bytes) -> Tuple[bytes, bool]:
     """(cleaned TIFF bytes, had_gps): remove every GPSInfo pointer
-    entry (tag 0x8825) from IFD0 — the entry table shrinks, the
-    next-IFD pointer moves up, and 12 zero bytes of padding keep EVERY
-    absolute offset in the file valid (out-of-line values, ExifIFD and
-    the now-orphaned GPS IFD bytes stay in place; readers only reach
-    data through entries, so the orphan is inert). Deterministic:
-    same input → same output bytes."""
+    entry (tag 0x8825) from IFD0 AND zero the GPS IFD it points at —
+    the entry table, its next pointer, and every out-of-line value a
+    GPS entry references — so the coordinates are gone from the BYTES,
+    not merely unlinked (an unlinked IFD is trivially recoverable by
+    any forensic scanner). The IFD0 table shrinks, the next-IFD
+    pointer moves up, and 12 zero bytes of padding keep every other
+    absolute offset valid. File length never changes; same input →
+    same output bytes.
+
+    Refuses to rewrite (returns the input with had_gps=False) when the
+    structure is not safely rewritable: more than 512 IFD0 entries or
+    a truncated entry table — a partial rewrite would destroy
+    legitimate metadata."""
     try:
         end = "<" if tiff[:2] == b"II" else ">"
         (ifd_off,) = struct.unpack(end + "I", tiff[4:8])
         (n,) = struct.unpack(end + "H", tiff[ifd_off : ifd_off + 2])
+        if n > 512:
+            return (tiff, False)  # refuse: cap would drop legit entries
         keep: List[bytes] = []
-        had = False
-        for k in range(min(n, 512)):
+        gps_offs: List[int] = []
+        for k in range(n):
             e = tiff[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
             if len(e) < 12:
-                break
+                return (tiff, False)  # refuse: truncated entry table
             (tag,) = struct.unpack(end + "H", e[:2])
             if tag == 0x8825:
-                had = True
+                gps_offs.append(struct.unpack(end + "I", e[8:12])[0])
             else:
                 keep.append(e)
-        if not had:
+        if not gps_offs:
             return (tiff, False)
         dropped = n - len(keep)
         next_ptr_off = ifd_off + 2 + 12 * n
         next_ptr = tiff[next_ptr_off : next_ptr_off + 4]
-        out = (
+        out = bytearray(
             tiff[:ifd_off]
             + struct.pack(end + "H", len(keep))
             + b"".join(keep)
@@ -454,7 +469,30 @@ def strip_gps_tiff(tiff: bytes) -> Tuple[bytes, bool]:
             + b"\x00" * (12 * dropped)
             + tiff[next_ptr_off + 4 :]
         )
-        return (out, True)
+
+        def zero(lo: int, ln: int) -> None:
+            lo = max(0, lo)
+            hi = min(len(out), lo + max(0, ln))
+            out[lo:hi] = b"\x00" * (hi - lo)
+
+        for goff in gps_offs:
+            if goff + 2 > len(out):
+                continue
+            (gn,) = struct.unpack(end + "H", bytes(out[goff : goff + 2]))
+            gn = min(gn, 512)
+            # zero out-of-line GPS values first (entry table still readable)
+            for k in range(gn):
+                ge = bytes(out[goff + 2 + 12 * k : goff + 14 + 12 * k])
+                if len(ge) < 12:
+                    break
+                _gtag, gtype, gcount = struct.unpack(end + "HHI", ge[:8])
+                size = _TIFF_TYPE_SIZE.get(gtype, 1) * gcount
+                if size > 4:
+                    (voff,) = struct.unpack(end + "I", ge[8:12])
+                    zero(voff, size)
+            # then the GPS IFD itself (count + entries + next pointer)
+            zero(goff, 2 + 12 * gn + 4)
+        return (bytes(out), True)
     except (struct.error, IndexError):
         return (tiff, False)
 
@@ -2284,7 +2322,12 @@ def _decode_aiff_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
         pos += 8 + clen + (clen & 1)
     if channels is None or payload is None:
         raise ValueError("AIFF missing COMM or SSND")
-    if channels < 1 or bits not in (8, 16, 24, 32):
+    if rate <= 0 or n_frames < 0 or channels < 1:
+        # a byte-flipped 80-bit rate field decodes to <= 0; letting it
+        # through would feed plausible-looking garbage durations into
+        # audio_features instead of the error column
+        raise ValueError(f"AIFF has invalid COMM (rate={rate})")
+    if bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"AIFF {bits}-bit not supported")
     step = bits // 8
     total = n_frames * channels

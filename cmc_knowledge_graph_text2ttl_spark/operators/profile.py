@@ -43,6 +43,11 @@ def profile_table(
     for c in cols:
         if c not in schema:
             raise ValueError(f"no such column: {c}")
+        if not c.replace("_", "").isalnum():
+            raise ValueError(
+                f"column name {c!r} is not spliceable into the stack() "
+                "expression; rename to [A-Za-z0-9_]+ first"
+            )
         if schema[c] not in _PORTABLE:
             raise ValueError(
                 f"column {c} has non-portable type {schema[c]}; "

@@ -280,7 +280,12 @@ def url_quality(
         / F.length(host),
     ).otherwise(F.lit(0)).cast("int")
     is_ip_host = host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
-    bad_re = "(" + "|".join(badwords) + ")"
+    import re as _re
+
+    # real UT1-derived lists contain dots and other metachars — escape
+    # each term or one '(' entry fails every task with a pattern error
+    bad_re = "(" + "|".join(_re.escape(w) for w in badwords) + ")"
+
     has_badword = F.lower(u).rlike(bad_re)
     reasons = F.array_compact(
         F.array(

@@ -1828,6 +1828,36 @@ class TestExifGpsScrub:
         again, had2 = mm.strip_gps_tiff(cleaned)
         assert not had2 and again == cleaned
 
+    def test_gps_payload_bytes_are_zeroed_not_orphaned(self):
+        # review finding: unlinking the GPS IFD is not scrubbing — the
+        # coordinate bytes must be GONE from the output
+        j = self._jpeg(gps=("N", "E"))
+        start = j.find(b"Exif\x00\x00") + 6
+        tiff = j[start:j.find(b"\xff\xc0")]
+        cleaned, had = mm.strip_gps_tiff(tiff)
+        assert had
+        # the GPS IFD held two ASCII entries with refs 'N' and 'E'; the
+        # GPS tag ids (1 and 3 as 16-bit LE at entry starts) and the
+        # ref bytes inside the old IFD region must now be zero
+        # the GPS IFD is the 30-byte tail of the fixture TIFF
+        # (count + two 12-byte entries + next pointer); it held the
+        # tag ids and 'N'/'E' refs — all must be zero now
+        assert b"N" in tiff[-30:] and b"E" in tiff[-30:]
+        assert cleaned[-30:] == b"\x00" * 30
+        assert len(cleaned) == len(tiff)
+
+    def test_oversized_ifd_refused_not_mangled(self):
+        # >512 entries: refuse the rewrite instead of dropping legit tags
+        entries = b"".join(
+            __import__("struct").pack("<HHI", 0x9000 + k, 4, 1) + b"\x00" * 4
+            for k in range(513)
+        )
+        import struct as st
+        tiff = (b"II*\x00" + st.pack("<I", 8) + st.pack("<H", 513)
+                + entries + b"\x00" * 4)
+        out, had = mm.strip_gps_tiff(tiff)
+        assert not had and out == tiff
+
     def test_malformed_tiff_passthrough(self):
         out, had = mm.strip_gps_tiff(b"II*\x00\x08\x00")
         assert not had and out == b"II*\x00\x08\x00"
@@ -1918,6 +1948,15 @@ class TestAiff:
         for f in ("n_channels", "sample_rate", "n_samples",
                   "duration_ms", "mean_abs", "peak_abs", "zero_crossings"):
             assert getattr(got["aiff"], f) == getattr(got["wav"], f)
+
+    def test_negative_rate_from_flipped_f80_raises(self):
+        a = mm.encode_aiff(1, 8000, [1, 2, 3, 4], 16)
+        # flip the sign bit of the 80-bit extended rate field
+        i = a.find(b"COMM") + 8 + 8
+        bad = bytearray(a)
+        bad[i] ^= 0x80
+        with pytest.raises(ValueError, match="invalid COMM"):
+            mm.decode_aiff(bytes(bad))
 
     def test_truncated_raises_value_error(self):
         with pytest.raises(ValueError):

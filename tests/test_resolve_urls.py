@@ -169,6 +169,20 @@ class TestUrlQuality:
         assert not got[3].keep  # ip_host is not threshold-gated
 
 
+    def test_badwords_with_metachars_are_escaped(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.urls import url_quality
+
+        df = spark.createDataFrame(
+            [(1, "http://sex.com/x"), (2, "http://sexXcom.example/y"),
+             (3, "http://ok.example/(paren)")],
+            ["doc_id", "url"])
+        got = {r.id: r for r in url_quality(
+            df, badwords=("sex.com", "bad(")).collect()}
+        assert got[1].has_badword
+        assert not got[2].has_badword     # '.' must not match 'X'
+        assert not got[3].has_badword     # '(' entry must not crash
+
+
 class TestHostStats:
     def test_per_host_aggregates(self, spark):
         from cmc_knowledge_graph_text2ttl_spark.operators.urls import host_stats
