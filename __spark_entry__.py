@@ -1667,6 +1667,73 @@ def q_crawl_schedule(spark, sf_dir):
     return polite_schedule(urls, 20, crawl_delays(robots))
 
 
+def q_page_refresh(spark, sf_dir):
+    """Meta-refresh soft redirects under the gate: docs %3==0 carry a
+    relative-target tag (resolved RFC 3986 against the page URL),
+    %3==1 a reversed-attribute absolute zero-delay tag (the cloaking
+    marker), %3==2 no tag at all — the oracle restates everything
+    closed-form."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.pagemeta import (
+        extract_meta_refresh,
+    )
+
+    did = F.col("doc_id")
+    url = F.concat(F.lit("http://h"), (did % 7).cast("string"),
+                   F.lit(".example/dir/p"), did.cast("string"))
+    html = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<html><meta http-equiv="refresh" content="'),
+                (did % 30).cast("string"),
+                F.lit(';url=../next/t'), did.cast("string"),
+                F.lit('"></html>'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<html><META content='0; URL=http://target"),
+                (did % 5).cast("string"),
+                F.lit(".example/' http-equiv=refresh></html>"),
+            ),
+        )
+        .otherwise(F.lit("<html><p>no redirect</p></html>"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), html.cast("binary").alias("html")
+    )
+    return extract_meta_refresh(pages)
+
+
+def q_robots_sitemap_discovery(spark, sf_dir):
+    """robots.txt Sitemap: discovery under the gate: hosts h0..h6,
+    even ones declare two sitemaps among group rules (RFC 9309 global
+    scope — a pure multiline column regex), odd ones none."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    hosts = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 7).cast("int").alias("k")
+    ).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string")).alias("host"),
+        F.when(
+            F.col("k") % 2 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\n"
+                      "Sitemap: https://h"),
+                F.col("k").cast("string"),
+                F.lit(".example/sitemap1.xml\nsitemap: https://h"),
+                F.col("k").cast("string"),
+                F.lit(".example/sitemap2.xml"),
+            ),
+        ).otherwise(F.lit("User-agent: *\nAllow: /")).alias("robots_txt"),
+    )
+    return robots_sitemaps(robots)
+
+
 def q_crawl_change_rates(spark, sf_dir):
     """Per-URL change-rate estimation under the gate: a 4-generation
     digest history where doc d changes at generation j (j=1..3) iff
@@ -3787,6 +3854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gps_scrub": q_media_gps_scrub,        # GPS EXIF PII strip
         "links_hostgraph": q_links_hostgraph,        # domain-graph collapse
         "crawl_schedule": q_crawl_schedule,          # Crawl-delay politeness
+        "page_refresh": q_page_refresh,              # meta-refresh redirects
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,  # RFC 9309 Sitemap:
         "crawl_change_rates": q_crawl_change_rates,  # Cho-style recrawl tiers
         "corpus_textprep": q_corpus_textprep,      # normalize+moji+pii+c4
         "text_novelty": q_text_novelty,              # corpus-unique gram share
@@ -3820,19 +3889,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_topk": q_skew_topk,                 # de-arrayed projection
         "text_pack_manifests": q_text_pack_manifests,  # de-arrayed spans
         "emb_hashed": q_emb_hashed,               # de-arrayed embedding
-        "office_extract": q_office_extract,       # RK flag-bit fix
         "media_dhash": q_media_dhash,             # ch==2 + webp + hot cluster
         "media_near_dup": q_media_near_dup,       # max_bucket cap
         "audio_fingerprint": q_audio_fingerprint,  # shared _banded_pairs
         "text_pii": q_text_pii,                   # digit-counting phone re
         "corpus_safety": q_corpus_safety,         # phone re + exact host
         "crawl_blocklist": q_crawl_blocklist,     # exact-host branch gated
-        "media_mp3": q_media_mp3,                 # Xing/VBRI VBR duration
         "corpus_shards": q_corpus_shards,         # two-level digest
         "pdf_table_cells": q_pdf_table_cells,     # AESV2 rotation
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
         # ---- 50-entry driver window ends here --------------------------
+        "media_mp3": q_media_mp3,                 # Xing/VBRI VBR duration
+        "office_extract": q_office_extract,       # RK flag-bit fix
         "media_clusters": q_media_clusters,       # star-edge path
         "media_frames": q_media_frames,           # sample_frames dispatch
         "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
@@ -5532,6 +5601,28 @@ WITH b AS (
 SELECT url, host, batch_id, pos_in_batch, delay_ms,
        CAST(batch_id * delay_ms AS BIGINT) AS not_before_ms
 FROM b
+""",
+        "page_refresh": """
+SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/dir/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 30
+                 WHEN doc_id % 3 = 1 THEN 0 END AS INTEGER)
+         AS refresh_delay_s,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example/next/t' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 3 = 1
+            THEN 'http://target' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example/' END AS refresh_url
+FROM documents
+""",
+        "robots_sitemap_discovery": """
+WITH k AS (SELECT DISTINCT doc_id % 7 AS k FROM documents)
+SELECT 'h' || CAST(k AS VARCHAR) AS host,
+       'https://h' || CAST(k AS VARCHAR) || '.example/sitemap'
+         || CAST(s AS VARCHAR) || '.xml' AS sitemap_url
+FROM k, (VALUES (1), (2)) v(s)
+WHERE k % 2 = 0
 """,
         "crawl_change_rates": """
 WITH c AS (

@@ -188,3 +188,46 @@ def extract_page_meta(
         (robots.contains("nofollow") | is_none).alias("nofollow"),
         lang.alias("lang"),
     )
+
+
+def extract_meta_refresh(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, refresh_delay_s, refresh_url) — ``<meta http-equiv=
+    "refresh" content="N;url=target">`` soft redirects, the crawl
+    signal that reclassifies a page as an alias of its target (and a
+    classic cloaking/spam marker when the delay is 0). Both attribute
+    orders and quote styles via the shared _attr_pair machinery;
+    relative targets resolve against the page URL (RFC 3986, the
+    links_resolve machinery). Pages without the tag keep NULLs —
+    the op is a left-enrichment, never a filter.
+
+    Pure column expressions end to end."""
+    from .columns import html_string
+    from .urls import resolve_url_col
+
+    html = html_string(df, html_col)
+    content = _first(
+        html, _attr_pair("meta", "http-equiv", "refresh", "content")
+    )
+    delay = F.nullif(
+        F.regexp_extract(F.coalesce(content, F.lit("")), r"^\s*([0-9]+)", 1),
+        F.lit(""),
+    ).cast("int")
+    raw_target = F.nullif(
+        F.regexp_extract(
+            F.coalesce(content, F.lit("")),
+            r"(?i)url\s*=\s*[\"']?([^\"'\s;]+)",
+            1,
+        ),
+        F.lit(""),
+    )
+    resolved = F.when(
+        raw_target.isNotNull(),
+        resolve_url_col(F.col(url_col), raw_target),
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        delay.alias("refresh_delay_s"),
+        resolved.alias("refresh_url"),
+    )

@@ -242,3 +242,24 @@ def crawl_delays(
     return robots_df.select(host_col, text_col).mapInPandas(
         run, schema="host string, delay_ms long"
     )
+
+
+def robots_sitemaps(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap_url) — ``Sitemap:`` declarations from robots.txt
+    (RFC 9309 §2.3: they are global, not group-scoped, so this is a
+    pure multiline column regex — no group parser, no UDF). One row
+    per declaration; hosts without any yield no rows. Feeds
+    sitemaps.parse_sitemaps for the discovery loop."""
+    urls = F.expr(
+        rf"regexp_extract_all({text_col}, '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)"
+    )
+    return (
+        robots_df.select(
+            F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+        )
+        .filter(F.col("sitemap_url") != "")
+    )

@@ -148,3 +148,55 @@ class TestQuotedValuesWithGt:
                 '</head></html>')
         r = pm.extract_page_meta(_df(spark, html)).collect()[0]
         assert r.description is None
+
+
+class TestMetaRefresh:
+    def _run(self, spark, rows):
+        from cmc_knowledge_graph_text2ttl_spark.operators.pagemeta import (
+            extract_meta_refresh,
+        )
+
+        df = spark.createDataFrame(rows, ["url", "html"])
+        return {r.url: r for r in extract_meta_refresh(df).collect()}
+
+    def test_forms_and_resolution(self, spark):
+        got = self._run(spark, [
+            ("http://a/x",
+             '<html><meta http-equiv="refresh" content="5;url=/new/p">'),
+            ("http://b/y",
+             "<META content='0; URL=http://t.example/' http-equiv=refresh>"),
+            ("http://c/z", "<meta name='other' content='5;url=/no'>"),
+            ("http://d/w", '<meta http-equiv="refresh" content="30">'),
+        ])
+        assert (got["http://a/x"].refresh_delay_s,
+                got["http://a/x"].refresh_url) == (5, "http://a/new/p")
+        assert (got["http://b/y"].refresh_delay_s,
+                got["http://b/y"].refresh_url) == (0, "http://t.example/")
+        assert got["http://c/z"].refresh_url is None
+        assert (got["http://d/w"].refresh_delay_s,
+                got["http://d/w"].refresh_url) == (30, None)
+
+    def test_relative_with_dot_segments(self, spark):
+        got = self._run(spark, [
+            ("http://a/dir/page",
+             '<meta http-equiv=refresh content="1;url=../other">'),
+        ])
+        assert got["http://a/dir/page"].refresh_url == "http://a/other"
+
+
+class TestRobotsSitemaps:
+    def test_declarations_extracted(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.robots import (
+            robots_sitemaps,
+        )
+
+        df = spark.createDataFrame([
+            ("a", "User-agent: *\nDisallow: /x\n"
+                  "Sitemap: https://a/s1.xml\nsitemap: https://a/s2.xml"),
+            ("b", "User-agent: *\nAllow: /"),
+            ("c", "  SITEMAP:\thttps://c/map.xml"),
+        ], ["host", "robots_txt"])
+        got = sorted((r.host, r.sitemap_url)
+                     for r in robots_sitemaps(df).collect())
+        assert got == [("a", "https://a/s1.xml"), ("a", "https://a/s2.xml"),
+                       ("c", "https://c/map.xml")]
