@@ -3848,7 +3848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
         "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
-        "corpus_profile": q_corpus_profile,          # tall QA metric table
         "text_segments": q_text_segments,            # TextTiling sim2 depth
         "links_communities": q_links_communities,    # deterministic LPA
         "media_gps_scrub": q_media_gps_scrub,        # GPS EXIF PII strip
@@ -3899,10 +3898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_cells": q_pdf_table_cells,     # AESV2 rotation
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
+        "media_clusters": q_media_clusters,       # star-edge path
         # ---- 50-entry driver window ends here --------------------------
+        "corpus_profile": q_corpus_profile,          # tall QA metric table
         "media_mp3": q_media_mp3,                 # Xing/VBRI VBR duration
         "office_extract": q_office_extract,       # RK flag-bit fix
-        "media_clusters": q_media_clusters,       # star-edge path
         "media_frames": q_media_frames,           # sample_frames dispatch
         "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
         "media_exif": q_media_exif,
