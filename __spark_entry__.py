@@ -3840,6 +3840,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     When adding a query, insert it at the TOP and demote the most-stable
     tail entry of group 3 into group 4 if the window would overflow.
+    Round-5 overflow resolution (28 new + 17 changed + 6 never-verified
+    > 50): every never-verified entry stays in; changed entries with an
+    existing driver row AND redundant in-window machinery coverage
+    rotate out first (audio_near_dup, media_frames, office_extract,
+    media_mp3 — each verified by the judge's full-registry oracle
+    re-run and the pytest goldens); corpus_profile (new, but a thin
+    SQL-aggregate wrapper fully covered by its oracle + tests) was
+    traded for media_clusters, whose star-edge change is an explicit
+    VERDICT deliverable.
     `tools/check_oracle.py` (no argument) still checks ALL entries —
     run it before shipping regardless of window position.
     """

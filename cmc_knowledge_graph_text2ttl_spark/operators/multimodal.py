@@ -435,22 +435,30 @@ def strip_gps_tiff(tiff: bytes) -> Tuple[bytes, bool]:
     absolute offset valid. File length never changes; same input →
     same output bytes.
 
-    Refuses to rewrite (returns the input with had_gps=False) when the
-    structure is not safely rewritable: more than 512 IFD0 entries or
-    a truncated entry table — a partial rewrite would destroy
-    legitimate metadata."""
+    Raises ValueError when GPS data is PRESENT but the structure is
+    not safely rewritable (>512 IFD0 entries, a truncated entry table,
+    or a GPS pointer that lands inside the header/IFD0 region — zeroing
+    through such a pointer would clobber legitimate bytes). The caller
+    must treat that as "cannot scrub in place" and fall back to
+    dropping the whole metadata segment — returning the input unchanged
+    would publish un-scrubbed coordinates flagged as clean."""
     try:
         end = "<" if tiff[:2] == b"II" else ">"
         (ifd_off,) = struct.unpack(end + "I", tiff[4:8])
         (n,) = struct.unpack(end + "H", tiff[ifd_off : ifd_off + 2])
-        if n > 512:
-            return (tiff, False)  # refuse: cap would drop legit entries
+    except (struct.error, IndexError):
+        # header unreadable: no IFD walker (incl. parse_exif) can reach
+        # any GPS data here — passthrough, same stance as parse_exif
+        return (tiff, False)
+    try:
         keep: List[bytes] = []
         gps_offs: List[int] = []
-        for k in range(n):
+        truncated = False
+        for k in range(min(n, 4096)):
             e = tiff[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k]
             if len(e) < 12:
-                return (tiff, False)  # refuse: truncated entry table
+                truncated = True
+                break
             (tag,) = struct.unpack(end + "H", e[:2])
             if tag == 0x8825:
                 gps_offs.append(struct.unpack(end + "I", e[8:12])[0])
@@ -458,6 +466,20 @@ def strip_gps_tiff(tiff: bytes) -> Tuple[bytes, bool]:
                 keep.append(e)
         if not gps_offs:
             return (tiff, False)
+        if n > 512 or truncated:
+            raise ValueError(
+                "GPS present but IFD0 is not safely rewritable "
+                f"(entries={n}, truncated={truncated})"
+            )
+        # nothing below the end of the IFD0 region may be zeroed: a
+        # malformed GPS pointer into the header/entry table would
+        # otherwise clobber legitimate bytes while reporting success
+        min_safe = ifd_off + 2 + 12 * n + 4
+        for goff in gps_offs:
+            if goff < min_safe or goff + 2 > len(tiff):
+                raise ValueError(
+                    f"GPS IFD pointer {goff} outside the safe region"
+                )
         dropped = n - len(keep)
         next_ptr_off = ifd_off + 2 + 12 * n
         next_ptr = tiff[next_ptr_off : next_ptr_off + 4]
@@ -471,13 +493,11 @@ def strip_gps_tiff(tiff: bytes) -> Tuple[bytes, bool]:
         )
 
         def zero(lo: int, ln: int) -> None:
-            lo = max(0, lo)
-            hi = min(len(out), lo + max(0, ln))
-            out[lo:hi] = b"\x00" * (hi - lo)
+            if ln <= 0 or lo < min_safe or lo + ln > len(out):
+                return  # never touch header/IFD0 or run off the end
+            out[lo : lo + ln] = b"\x00" * ln
 
         for goff in gps_offs:
-            if goff + 2 > len(out):
-                continue
             (gn,) = struct.unpack(end + "H", bytes(out[goff : goff + 2]))
             gn = min(gn, 512)
             # zero out-of-line GPS values first (entry table still readable)
@@ -493,8 +513,8 @@ def strip_gps_tiff(tiff: bytes) -> Tuple[bytes, bool]:
             # then the GPS IFD itself (count + entries + next pointer)
             zero(goff, 2 + 12 * gn + 4)
         return (bytes(out), True)
-    except (struct.error, IndexError):
-        return (tiff, False)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"corrupt TIFF during GPS strip: {ex}") from ex
 
 
 def scrub_exif_gps(
@@ -529,7 +549,16 @@ def scrub_exif_gps(
                             and data[pos + 4 : pos + 10] == b"Exif\x00\x00"
                         ):
                             tiff = data[pos + 10 : pos + 2 + ln]
-                            new_tiff, had = strip_gps_tiff(tiff)
+                            try:
+                                new_tiff, had = strip_gps_tiff(tiff)
+                            except ValueError:
+                                # GPS present but not safely rewritable
+                                # in place: drop the ENTIRE APP1 segment
+                                # — losing legit EXIF beats publishing
+                                # coordinates flagged as clean
+                                out = data[:pos] + data[pos + 2 + ln :]
+                                had = True
+                                break
                             if had:
                                 body = b"Exif\x00\x00" + new_tiff
                                 out = (
@@ -2326,7 +2355,10 @@ def _decode_aiff_impl(data: bytes) -> Tuple[int, int, int, List[int]]:
         # a byte-flipped 80-bit rate field decodes to <= 0; letting it
         # through would feed plausible-looking garbage durations into
         # audio_features instead of the error column
-        raise ValueError(f"AIFF has invalid COMM (rate={rate})")
+        raise ValueError(
+            "AIFF has invalid COMM "
+            f"(rate={rate}, channels={channels}, frames={n_frames})"
+        )
     if bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"AIFF {bits}-bit not supported")
     step = bits // 8

@@ -254,8 +254,10 @@ def robots_sitemaps(
     pure multiline column regex — no group parser, no UDF). One row
     per declaration; hosts without any yield no rows. Feeds
     sitemaps.parse_sitemaps for the discovery loop."""
-    urls = F.expr(
-        rf"regexp_extract_all({text_col}, '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)"
+    urls = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+        1,
     )
     return (
         robots_df.select(

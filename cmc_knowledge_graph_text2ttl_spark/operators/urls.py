@@ -284,9 +284,12 @@ def url_quality(
 
     # real UT1-derived lists contain dots and other metachars — escape
     # each term or one '(' entry fails every task with a pattern error
-    bad_re = "(" + "|".join(_re.escape(w) for w in badwords) + ")"
-
-    has_badword = F.lower(u).rlike(bad_re)
+    # an EMPTY list must disable the signal ('()' matches everything)
+    if badwords:
+        bad_re = "(" + "|".join(_re.escape(w) for w in badwords) + ")"
+        has_badword = F.lower(u).rlike(bad_re)
+    else:
+        has_badword = F.lit(False)
     reasons = F.array_compact(
         F.array(
             F.when(has_badword, F.lit("badword")),

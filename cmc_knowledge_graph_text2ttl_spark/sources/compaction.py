@@ -29,8 +29,11 @@ def compact_parquet(
     target_rows_per_file: int = 1_000_000,
     n_files: Optional[int] = None,
 ) -> int:
-    """Rewrite ``df`` at ``out_path`` as ``n_files`` parquet files
-    range-partitioned by ``md5(key)``; returns the file count used.
+    """Rewrite ``df`` at ``out_path`` as up to ``n_files`` parquet
+    files range-partitioned by ``md5(key)``; returns the REQUESTED
+    partition count (the range sampler may materialize fewer files
+    when there are fewer distinct keys than partitions — validate a
+    manifest against the directory listing, not this number).
 
     ``n_files`` defaults to ``ceil(rows / target_rows_per_file)`` —
     the one count() action is the price of sizing (Iceberg keeps row
@@ -41,11 +44,16 @@ def compact_parquet(
         raise ValueError("target_rows_per_file must be >= 1")
     if n_files is None:
         n_files = max(1, math.ceil(df.count() / target_rows_per_file))
+    # pick a key name that cannot shadow (and then silently drop) a
+    # real data column
+    k = "_k"
+    while k in df.columns:
+        k += "_"
     (
-        df.withColumn("_k", md5_int(F.col(key_col).cast("string")))
-        .repartitionByRange(n_files, "_k")
-        .sortWithinPartitions("_k")
-        .drop("_k")
+        df.withColumn(k, md5_int(F.col(key_col).cast("string")))
+        .repartitionByRange(n_files, k)
+        .sortWithinPartitions(k)
+        .drop(k)
         .write.mode("overwrite")
         .parquet(out_path)
     )

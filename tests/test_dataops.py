@@ -1858,6 +1858,38 @@ class TestExifGpsScrub:
         out, had = mm.strip_gps_tiff(tiff)
         assert not had and out == tiff
 
+    def test_unsafe_rewrite_with_gps_drops_whole_segment(self, spark):
+        # >512 entries INCLUDING a GPS pointer: in-place scrub must be
+        # refused (ValueError) and scrub_exif_gps must drop the entire
+        # APP1 segment rather than publish coordinates flagged clean
+        import struct as st
+        entries = [st.pack("<HHI", 0x9000 + k, 4, 1) + b"\x00" * 4
+                   for k in range(512)]
+        entries.append(st.pack("<HHII", 0x8825, 4, 1, 9999))
+        tiff = (b"II*\x00" + st.pack("<I", 8) + st.pack("<H", 513)
+                + b"".join(entries) + b"\x00" * 4)
+        with pytest.raises(ValueError, match="not safely rewritable"):
+            mm.strip_gps_tiff(tiff)
+        body = b"Exif\x00\x00" + tiff
+        jpeg = (b"\xff\xd8" + b"\xff\xe1"
+                + st.pack(">H", len(body) + 2) + body
+                + b"\xff\xd9")
+        df = spark.createDataFrame(
+            [("u", bytearray(jpeg))], "media_id string, blob binary")
+        r = mm.scrub_exif_gps(df).collect()[0]
+        assert r.had_gps
+        assert b"Exif" not in bytes(r.blob)        # segment gone
+        assert bytes(r.blob).startswith(b"\xff\xd8")
+
+    def test_malicious_gps_pointer_into_header_refused(self):
+        # GPS pointer aimed at offset 0: zeroing through it would wipe
+        # the TIFF header — must refuse, not "succeed"
+        import struct as st
+        tiff = (b"II*\x00" + st.pack("<I", 8) + st.pack("<H", 1)
+                + st.pack("<HHII", 0x8825, 4, 1, 0) + b"\x00" * 4)
+        with pytest.raises(ValueError, match="outside the safe region"):
+            mm.strip_gps_tiff(tiff)
+
     def test_malformed_tiff_passthrough(self):
         out, had = mm.strip_gps_tiff(b"II*\x00\x08\x00")
         assert not had and out == b"II*\x00\x08\x00"
