@@ -1667,6 +1667,40 @@ def q_crawl_schedule(spark, sf_dir):
     return polite_schedule(urls, 20, crawl_delays(robots))
 
 
+def q_entity_link_anchors(spark, sf_dir):
+    """Anchor-text entity linking under the gate: link targets receive
+    entity evidence from what OTHER pages call them — anchors rotate
+    through case variants, two more surfaces, an unlinkable term and
+    an empty string by id arithmetic; the dictionary links the three
+    known drugs case-insensitively and the oracle replays the
+    count → link → per-(target, entity) aggregation with the same
+    max-struct top-anchor rule."""
+    from cmc_knowledge_graph_text2ttl_spark.operators.linking import (
+        link_anchor_entities,
+    )
+
+    did = F.col("doc_id")
+    anchor = (
+        F.when(did % 6 == 0, F.lit("Aspirin"))
+        .when(did % 6 == 1, F.lit("aspirin"))
+        .when(did % 6 == 2, F.lit("Ibuprofen"))
+        .when(did % 6 == 3, F.lit("Paracetamol"))
+        .when(did % 6 == 4, F.lit("junk term"))
+        .otherwise(F.lit(""))
+    )
+    links = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://s"), did.cast("string")).alias("src"),
+        F.concat(F.lit("http://t"), (did % 40).cast("string")).alias("dst"),
+        anchor.alias("anchor"),
+    )
+    dictionary = [
+        ("Aspirin", "ex:aspirin"),
+        ("Ibuprofen", "ex:ibu"),
+        ("Paracetamol", "ex:para"),
+    ]
+    return link_anchor_entities(links, dictionary)
+
+
 def q_page_refresh(spark, sf_dir):
     """Meta-refresh soft redirects under the gate: docs %3==0 carry a
     relative-target tag (resolved RFC 3986 against the page URL),
@@ -3862,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gps_scrub": q_media_gps_scrub,        # GPS EXIF PII strip
         "links_hostgraph": q_links_hostgraph,        # domain-graph collapse
         "crawl_schedule": q_crawl_schedule,          # Crawl-delay politeness
+        "entity_link_anchors": q_entity_link_anchors,  # anchors → entities
         "page_refresh": q_page_refresh,              # meta-refresh redirects
         "robots_sitemap_discovery": q_robots_sitemap_discovery,  # RFC 9309 Sitemap:
         "crawl_change_rates": q_crawl_change_rates,  # Cho-style recrawl tiers
@@ -3902,13 +3937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,  # shared _banded_pairs
         "text_pii": q_text_pii,                   # digit-counting phone re
         "corpus_safety": q_corpus_safety,         # phone re + exact host
-        "crawl_blocklist": q_crawl_blocklist,     # exact-host branch gated
         "corpus_shards": q_corpus_shards,         # two-level digest
         "pdf_table_cells": q_pdf_table_cells,     # AESV2 rotation
         # -- group 4: exactly ONE driver row so far (round-robin the
         #    least-verified tail of the registry through the window) -----
         "media_clusters": q_media_clusters,       # star-edge path
         # ---- 50-entry driver window ends here --------------------------
+        "crawl_blocklist": q_crawl_blocklist,     # exact-host branch gated
         "corpus_profile": q_corpus_profile,          # tall QA metric table
         "media_mp3": q_media_mp3,                 # Xing/VBRI VBR duration
         "office_extract": q_office_extract,       # RK flag-bit fix
@@ -5610,6 +5645,41 @@ WITH b AS (
 SELECT url, host, batch_id, pos_in_batch, delay_ms,
        CAST(batch_id * delay_ms AS BIGINT) AS not_before_ms
 FROM b
+""",
+        "entity_link_anchors": """
+WITH l AS (
+  SELECT 'http://t' || CAST(doc_id % 40 AS VARCHAR) AS dst,
+         CASE doc_id % 6
+           WHEN 0 THEN 'Aspirin' WHEN 1 THEN 'aspirin'
+           WHEN 2 THEN 'Ibuprofen' WHEN 3 THEN 'Paracetamol'
+           WHEN 4 THEN 'junk term' ELSE '' END AS anchor
+  FROM documents
+), pa AS (
+  SELECT dst, anchor, COUNT(*) AS n
+  FROM l WHERE anchor <> '' GROUP BY dst, anchor
+), lk AS (
+  SELECT dst, anchor, n,
+         CASE lower(anchor)
+           WHEN 'aspirin' THEN 'ex:aspirin'
+           WHEN 'ibuprofen' THEN 'ex:ibu'
+           WHEN 'paracetamol' THEN 'ex:para' END AS iri
+  FROM pa
+), agg AS (
+  SELECT dst, iri, SUM(n) AS n_links, COUNT(*) AS n_anchors
+  FROM lk WHERE iri IS NOT NULL GROUP BY dst, iri
+), tops AS (
+  SELECT dst, iri, anchor,
+         row_number() OVER (
+           PARTITION BY dst, iri ORDER BY n DESC, anchor DESC
+         ) AS rn
+  FROM lk WHERE iri IS NOT NULL
+)
+SELECT a.dst, a.iri AS canonical_iri,
+       CAST(a.n_links AS BIGINT) AS n_links,
+       CAST(a.n_anchors AS BIGINT) AS n_anchors,
+       t.anchor AS top_anchor
+FROM agg a JOIN tops t
+  ON t.dst = a.dst AND t.iri = a.iri AND t.rn = 1
 """,
         "page_refresh": """
 SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/dir/p'

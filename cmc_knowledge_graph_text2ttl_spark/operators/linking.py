@@ -221,3 +221,50 @@ def embedding_link(
     if threshold is not None:
         best = best.filter(F.col("cosine") >= threshold)
     return best
+
+
+def link_anchor_entities(
+    links: DataFrame,
+    dictionary: List[Tuple[str, str]],
+    ignore_case: bool = True,
+) -> DataFrame:
+    """(dst, canonical_iri, n_links, n_anchors, top_anchor) — entity
+    evidence for a TARGET page mined from the anchor texts other pages
+    use for it (the classic KG-from-web-graph enrichment: anchors are
+    crowd-sourced entity mentions, and they describe the target, not
+    the source). Anchors are linked against the broadcast dictionary
+    (same exact-tier semantics as :func:`link_exact`, lowercased key
+    with original-case priority); unlinked anchors drop out.
+
+    ``top_anchor`` is the most-linked surface form for that (target,
+    entity), ties broken by the lexicographically LARGEST anchor via a
+    max-struct — deterministic, partition-independent, one extra
+    map-side aggregate (no window).
+
+    Scale shape: one (dst, anchor) count agg (map-side combinable), a
+    broadcast dictionary join, one (dst, iri) agg. Anchor text never
+    exceeds the aggregate keys; page bodies are never touched.
+    """
+    per_anchor = (
+        links.where(F.length("anchor") > 0)
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    linked = link_exact(
+        per_anchor, dictionary, mention_col="anchor", ignore_case=ignore_case
+    ).where(F.col("canonical_iri").isNotNull())
+    return (
+        linked.groupBy("dst", "canonical_iri")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_links"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.max(F.struct(F.col("n"), F.col("anchor"))).alias("_top"),
+        )
+        .select(
+            "dst",
+            "canonical_iri",
+            "n_links",
+            "n_anchors",
+            F.col("_top.anchor").alias("top_anchor"),
+        )
+    )

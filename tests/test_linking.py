@@ -287,3 +287,55 @@ class TestEmbeddingLinking:
         # top-1 is an aggregate (map-side combinable), not a window
         assert "Window" not in plan
         assert df.count() == 20
+
+
+class TestAnchorEntities:
+    DICT = [("Aspirin", "ex:aspirin"), ("Ibuprofen", "ex:ibu")]
+
+    def _run(self, spark, rows, **kw):
+        from cmc_knowledge_graph_text2ttl_spark.operators.linking import (
+            link_anchor_entities,
+        )
+
+        df = spark.createDataFrame(rows, ["src", "dst", "anchor"])
+        return {(r.dst, r.canonical_iri): r
+                for r in link_anchor_entities(df, self.DICT, **kw).collect()}
+
+    def test_aggregation_and_case_fold(self, spark):
+        rows = [
+            ("s1", "t1", "Aspirin"), ("s2", "t1", "aspirin"),
+            ("s3", "t1", "ASPIRIN"), ("s4", "t1", "Ibuprofen"),
+            ("s5", "t1", "not a drug"), ("s6", "t1", ""),
+            ("s7", "t2", "aspirin"),
+        ]
+        got = self._run(spark, rows)
+        a = got[("t1", "ex:aspirin")]
+        # three case variants -> 3 links over 3 distinct anchors
+        assert (a.n_links, a.n_anchors) == (3, 3)
+        assert got[("t1", "ex:ibu")].n_links == 1
+        assert ("t1", None) not in got          # unlinked anchors drop
+        assert got[("t2", "ex:aspirin")].n_links == 1
+
+    def test_top_anchor_majority_then_tiebreak(self, spark):
+        rows = ([("s%d" % i, "t", "Aspirin") for i in range(3)]
+                + [("x%d" % i, "t", "aspirin") for i in range(2)])
+        got = self._run(spark, rows)
+        assert got[("t", "ex:aspirin")].top_anchor == "Aspirin"  # 3 > 2
+        rows2 = [("a", "t", "Aspirin"), ("b", "t", "aspirin")]
+        got2 = self._run(spark, rows2)
+        # tie at 1 each -> lexicographically largest surface wins
+        assert got2[("t", "ex:aspirin")].top_anchor == "aspirin"
+
+    def test_partition_invariance(self, spark):
+        from cmc_knowledge_graph_text2ttl_spark.operators.linking import (
+            link_anchor_entities,
+        )
+
+        rows = [(f"s{i}", f"t{i % 9}",
+                 ["Aspirin", "aspirin", "Ibuprofen", "junk"][i % 4])
+                for i in range(200)]
+        df = spark.createDataFrame(rows, ["src", "dst", "anchor"])
+        a = sorted(map(tuple, link_anchor_entities(df, self.DICT).collect()))
+        b = sorted(map(tuple, link_anchor_entities(
+            df.repartition(17), self.DICT).collect()))
+        assert a == b
