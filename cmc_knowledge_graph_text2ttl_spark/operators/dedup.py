@@ -231,9 +231,10 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     rpb = n_hashes // bands
-    # One shingle pass feeds BOTH the signatures and the verify join —
-    # persisting it halves the dominant cost of this operator.
-    sh = shingles(df, text_col, id_col, shingle_n).persist()
+    # The shingle explode feeds ONLY the signature aggregation (the
+    # verify phase below works on per-doc shingle-set arrays, never the
+    # exploded multiset) — one streaming pass, nothing persisted.
+    sh = shingles(df, text_col, id_col, shingle_n)
     hx = sh.select("id", md5_int(F.col("shingle")).alias("x"))
     sig = hx.groupBy("id").agg(
         *[
@@ -248,6 +249,10 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select("id", *band_cols)
+    # `buckets` (n_docs x bands tiny rows) is consumed three times below
+    # (bucket sizes + both sides of the candidate self-join); persisting it
+    # keeps the corpus-scan + 16-min-agg signature tower to ONE execution
+    # instead of two (the plan otherwise duplicates the whole subtree).
     buckets = banded.select(
         "id",
         F.explode(
@@ -255,7 +260,7 @@ def minhash_lsh_pairs(
                 F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
             ])
         ).alias("bucket"),
-    )
+    ).persist()
     sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     buckets = buckets.join(
         sizes.filter(F.col("bsz") <= max_bucket).select("bucket"), "bucket"
@@ -268,29 +273,73 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
-        sh.unpersist()
         return cand
     cand = cand.persist()  # consumed twice below (id set + pair join)
-    # Verification cost must scale with the CANDIDATES, not the corpus:
-    # restrict the shingle table to candidate ids first (broadcast
-    # semi-join), then intersect within that small slice. Without this the
-    # (id, shingle) equijoin shuffles the full corpus shingle multiset.
+    # Verification cost must scale with the CANDIDATE PAIRS, not with
+    # pairs x shingles: the old shape (cand ⋈ shingles(id_a) ⋈
+    # shingles(id_b, shingle) → groupBy) materialized |cand| x |doc
+    # shingles| rows across two shuffles — ~9e8 intermediate rows at 50k
+    # docs on a homogeneous corpus, quadratic in corpus size. Instead,
+    # attach each candidate doc's shingle SET as an array (recomputed
+    # in-row from the text — same transform as shingles(), zero shuffle)
+    # via two broadcast joins, and compute |A∩B| per pair with
+    # array_intersect inside codegen: per-pair O(|A|+|B|), no fan-out.
+    # The broadcast is bounded by the candidate-doc set — the same bound
+    # the previous broadcast(cand_ids) semi-join already assumed, and at
+    # web scale the max_bucket cap keeps candidates sparse.
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), "id").persist()
-    sizes_doc = sh_cand.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh_cand.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh_cand.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pos = _positions(F.length(text_col) - shingle_n + 1)
+    shset = F.array_distinct(
+        F.transform(pos, lambda i: F.col(text_col).substr(i, F.lit(shingle_n)))
+    )
+    arrs = (
+        df.select(F.col(id_col).alias("id"), shset.alias("shset"))
+        .join(F.broadcast(cand_ids), "id")
+        .select("id", "shset", F.size("shset").alias("sz"))
+    )
+    a = arrs.select(
+        F.col("id").alias("id_a"), F.col("shset").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    b = arrs.select(
+        F.col("id").alias("id_b"), F.col("shset").alias("set_b"), F.col("sz").alias("sz_b")
+    )
+    pruned = (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        # exact-safe size prune (set-similarity length filter): true
+        # J = I/(szA+szB-I) <= min(sz)/max(sz), and double division is
+        # monotonic, so pairs failing this could never pass the final
+        # filter — intersections are skipped for them entirely. This
+        # filter references only join-side columns, so it pushes into the
+        # broadcast join condition and runs BEFORE the intersection.
+        .filter(
+            F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b") >= F.lit(threshold)
+        )
+    )
+    # `+ floor(rand()*0)` is identically zero — the nondeterministic term
+    # is a pushdown BARRIER, not logic: without it Catalyst substitutes
+    # `inter` into the downstream filters and pushes them into the join
+    # condition, where array_intersect is then evaluated 3-4x per
+    # candidate pair (measured 3.5x slower end to end). rand() keeps the
+    # projection non-collapsible/non-pushable at the cost of one RNG call
+    # per row; the value of `inter` is unchanged.
+    barrier = F.floor(F.rand() * F.lit(0.0)).cast("int")
+    with_inter = pruned.select(
+        "id_a",
+        "id_b",
+        "sz_a",
+        "sz_b",
+        (F.size(F.array_intersect("set_a", "set_b")) + barrier).alias("inter"),
     )
     out = (
-        inter.join(sizes_doc.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes_doc.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        with_inter
+        # parity with the former inner equijoin: pairs sharing no
+        # shingle never appeared in it, whatever the threshold
+        .filter(F.col("inter") > 0)
         .withColumn(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
