@@ -300,13 +300,22 @@ def learn_bpe_merges(
     semantics in Spark and DuckDB, which the oracle unrolls iteration
     by iteration).
 
-    Scale shape: one corpus pass builds the word counts (explode +
-    map-side-combined aggregate); each iteration is a pair explode over
-    the vocabulary table, a combinable (lhs, rhs) aggregate, and a
-    TakeOrdered(1) argmax — the driver holds ONE winning pair per
-    iteration (bounded bookkeeping, same contract as the k-means
-    centroid loop), and a localCheckpoint per iteration truncates the
-    replace-chain lineage like the PageRank loop does.
+    Scale shape: the corpus-sized part — building the word-count table —
+    stays a distributed explode + map-side-combined aggregate; the table
+    itself is vocabulary-sized, and the greedy merge loop runs on a ONE-
+    TIME collect() of it with the classic incremental pair-count
+    algorithm (subtract a rewritten word's old adjacent pairs, add its
+    new ones). That makes learning O(1) Spark jobs regardless of
+    ``n_merges``: the previous shape launched a pair-explode aggregation
+    + TakeOrdered(1) + an eager localCheckpoint PER MERGE (~3 jobs x
+    n_merges — days of pure scheduler latency at a real tokenizer's 30k+
+    merges, independent of data size). The collect is the same
+    vocabulary-fits-on-the-driver premise the per-iteration loop already
+    rested on (it localCheckpointed the full table every round); word
+    pair selection (count desc, lhs asc, rhs asc over ASCII symbols) and
+    the left-to-right non-overlapping single-pass merge are replicated
+    exactly, and a parity test pins the driver loop to an independent
+    per-iteration recount at n_merges=64.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -323,46 +332,63 @@ def learn_bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    wc = words.select(
-        F.regexp_replace(F.col("word"), "(.)", "|$1|").alias("repr"), "cnt"
-    ).localCheckpoint(eager=True)
     spark = df.sparkSession
+    # ONE action: the vocabulary-sized word-count table. Everything below
+    # is driver-local and launches no further jobs.
+    vocab = [[tuple(r["word"]), r["cnt"]] for r in words.collect()]
+
+    from collections import Counter, defaultdict
+
+    pair_counts: Counter = Counter()
+    occ: defaultdict = defaultdict(set)  # pair -> indices of words containing it
+    for idx, (syms, cnt) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += cnt
+            occ[p].add(idx)
+
     merges = []
     for rank in range(1, n_merges + 1):
-        syms = F.split(
-            F.expr("substring(repr, 2, length(repr) - 2)"), r"\|\|"
-        )
-        pairs = wc.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(syms, 1, F.size(syms) - 1).alias("lhs"),
-                    F.slice(syms, 2, F.size(syms) - 1).alias("rhs"),
-                )
-            ).alias("p"),
-            "cnt",
-        )
-        top = (
-            pairs.groupBy(
-                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
-            )
-            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
-            .where(F.col("pair_count") >= min_pair_count)
-            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        best = None
+        for p, c in pair_counts.items():
+            if c < min_pair_count:
+                continue
+            # maximize count, then SMALLEST (lhs, rhs) — identical to the
+            # former orderBy(desc(count), asc(lhs), asc(rhs)): symbols are
+            # [a-z0-9]+ so Python's code-point order == Spark's UTF8 order
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None:
             break
-        lhs, rhs, c = top[0].lhs, top[0].rhs, top[0].pair_count
+        (lhs, rhs), c = best
+        merged = lhs + rhs
         merges.append((rank, lhs, rhs, c))
-        wc = wc.select(
-            F.replace(
-                F.col("repr"),
-                F.lit(f"|{lhs}||{rhs}|"),
-                F.lit(f"|{lhs}{rhs}|"),
-            ).alias("repr"),
-            "cnt",
-        ).localCheckpoint(eager=True)
+        for idx in list(occ[(lhs, rhs)]):
+            syms, cnt = vocab[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                occ[p].discard(idx)
+            # left-to-right non-overlapping single pass — exactly the
+            # semantics of replace('|a||b|' -> '|ab|') on the delimited
+            # form ('a a a a' pairs to 'aa aa', never 'aa a a')
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_syms = tuple(out)
+            vocab[idx][0] = new_syms
+            for i in range(len(new_syms) - 1):
+                p = (new_syms[i], new_syms[i + 1])
+                pair_counts[p] += cnt
+                occ[p].add(idx)
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, pair_count bigint",

@@ -2759,6 +2759,74 @@ class TestBpeLearn:
         with pytest.raises(ValueError):
             textstats.learn_bpe_merges(docs, min_pair_count=0)
 
+    @staticmethod
+    def _naive_per_iteration(texts, n_merges, min_pair_count=2):
+        """Independent reference: FULL pair recount every iteration (the
+        shape of the former per-merge Spark loop), no incremental
+        bookkeeping — pins the driver-side incremental algorithm."""
+        import re
+        from collections import Counter
+
+        wc = Counter()
+        for t in texts:
+            for w in re.sub(r"[^a-z0-9 ]", " ", (t or "").lower()).split():
+                wc[w] += 1
+        vocab = [[tuple(w), c] for w, c in wc.items()]
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = Counter()
+            for syms, c in vocab:
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += c
+            eligible = [(p, c) for p, c in counts.items() if c >= min_pair_count]
+            if not eligible:
+                break
+            (lhs, rhs), c = min(eligible, key=lambda pc: (-pc[1], pc[0]))
+            merges.append((rank, lhs, rhs, c))
+            for entry in vocab:
+                syms = entry[0]
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                entry[0] = tuple(out)
+        return merges
+
+    def test_parity_with_per_iteration_recount_64_merges(self, spark, docs):
+        texts = [r.text for r in docs.select("text").collect()]
+        expect = self._naive_per_iteration(texts, n_merges=64)
+        got = [
+            (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+            for r in textstats.learn_bpe_merges(docs, n_merges=64)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert len(got) == 64
+        assert got == expect
+
+    def test_constant_spark_jobs_regardless_of_n_merges(self, spark, docs):
+        # learning must be O(1) Spark jobs: only the word-count collect
+        # launches work, however many merges are requested
+        sc = spark.sparkContext
+        counts = {}
+        for n in (2, 32):
+            group = f"bpe-jobs-{n}"
+            sc.setJobGroup(group, "bpe job-count probe")
+            try:
+                textstats.learn_bpe_merges(docs, n_merges=n).collect()
+            finally:
+                sc.setJobGroup(None, None)
+            counts[n] = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert counts[2] == counts[32] <= 4
+
 
 class TestTextTiling:
     def _run(self, spark, rows, **kw):
