@@ -625,28 +625,54 @@ def embedding_near_dup_pairs(
     bucket = F.concat_ws(
         "", *[F.when(proj(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
     )
-    b = emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
-    cand = (
-        b.alias("a").join(b.alias("b"), "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # One projection computes bucket, the double-cast vector and the norm
+    # per VECTOR (O(N·dim)); the previous shape re-joined the vectors by
+    # id after a pair-distinct and recomputed both norms per PAIR
+    # (O(pairs·dim), quadratic within buckets). Each id carries exactly
+    # one bucket row, so every in-bucket pair meets exactly once and the
+    # old pair-level distinct was redundant. The per-pair double-op
+    # sequence is unchanged (pre-cast array feeds the identical fold), so
+    # cosines are bit-identical. The self-join is salted the same way as
+    # semdedup's: few hot sign-pattern buckets would otherwise pin the
+    # quadratic work to a handful of reduce tasks.
+    prep = emb.select(
+        F.col(id_col).alias("id"),
+        bucket.alias("bucket"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
     )
-    withv = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    pairs = (
-        cand.join(withv.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
-        .join(withv.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+    pair_salts = max(1, emb.sparkSession.sparkContext.defaultParallelism)
+    a = prep.select(
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("vd").alias("va"),
+        F.col("nrm").alias("na"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(pair_salts))
+        .cast("int")
+        .alias("s"),
+    )
+    b = prep.select(
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("vd").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(pair_salts - 1))).alias("s"),
     )
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda a, b_: a.cast("double") * b_.cast("double")),
+        F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
     return (
-        pairs.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        a.join(b, ["bucket", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -728,28 +754,55 @@ def semdedup(
     eligible = withsim.join(
         F.broadcast(ok_cells.select("cell_id")), "cell_id"
     )
-    a = eligible.select(
-        "cell_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+    # Hoist the per-VECTOR work out of the per-PAIR loop: the float ->
+    # double cast and the norm are O(N·dim) here but were O(pairs·dim)
+    # when recomputed inside the pair expressions (pairs is quadratic in
+    # cell size). The double-op sequence per pair is unchanged — the
+    # pre-cast array feeds the identical zip_with/aggregate fold, so
+    # every cosine is bit-identical to the previous form.
+    prep = eligible.select(
+        "cell_id",
+        "id",
+        F.transform(F.col("v"), lambda x: x.cast("double")).alias("vd"),
+        F.sqrt(
+            F.aggregate(
+                F.col("v"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
     )
-    b = eligible.select(
-        "cell_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    # The self-join key has only n_cells distinct values — unsalted, the
+    # whole quadratic pair workload lands on n_cells reduce tasks however
+    # many cores exist. Salting by a DETERMINISTIC hash of the id (guide
+    # rule: never rand-derived keys) spreads each cell over `pair_salts`
+    # partitions: the a-side carries its own salt, the b-side is
+    # replicated across all salts, so every in-cell pair still meets
+    # exactly once and the pair set is unchanged.
+    pair_salts = max(1, emb.sparkSession.sparkContext.defaultParallelism)
+    a = prep.select(
+        "cell_id",
+        F.col("id").alias("id_a"),
+        F.col("vd").alias("va"),
+        F.col("nrm").alias("na"),
+        F.pmod(F.xxhash64("id"), F.lit(pair_salts)).cast("int").alias("s"),
+    )
+    b = prep.select(
+        "cell_id",
+        F.col("id").alias("id_b"),
+        F.col("vd").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(pair_salts - 1))).alias("s"),
     )
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
     pairs = (
-        a.join(b, "cell_id")
+        a.join(b, ["cell_id", "s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", dot / (norm(F.col("va")) * norm(F.col("vb")))
-        )
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
