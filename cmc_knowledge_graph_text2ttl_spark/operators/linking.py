@@ -172,16 +172,7 @@ def embedding_link(
     from .traindata import embed_documents
 
     de = embed_documents(docs, text_col, id_col, dim)
-    ee = embed_documents(entities, entity_text_col, entity_id_col, dim).select(
-        F.col("id").alias("entity_id"), F.col("embedding").alias("e_emb")
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    ee = embed_documents(entities, entity_text_col, entity_id_col, dim)
 
     def norm(a):
         return F.sqrt(
@@ -191,16 +182,31 @@ def embedding_link(
             )
         )
 
+    # Hoist the per-ROW work out of the doc×entity loop: norms and the
+    # int->double casts are O(N·dim) here but were O(N·E·dim) when
+    # recomputed inside the cross-join expressions (three aggregate
+    # folds per PAIR). And because ``dim`` is a static parameter, the
+    # per-pair dot unrolls into a codegen'd left-associative Add chain —
+    # the identical ((0+x0)+x1)+... fold order as the old
+    # zip_with/aggregate, so every cosine is bit-identical, without the
+    # interpreted higher-order-function machinery per pair (the dots are
+    # integer-valued anyway: exact in doubles in any order).
+    dprep = de.select(
+        "id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+        norm(F.col("embedding")).alias("dn"),
+    ).filter(F.col("dn") > 0)
+    eprep = ee.select(
+        F.col("id").alias("entity_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ve"),
+        norm(F.col("embedding")).alias("en"),
+    ).filter(F.col("en") > 0)
+    dot_expr = F.lit(0.0)
+    for i in range(dim):
+        dot_expr = dot_expr + F.col("vd")[i] * F.col("ve")[i]
     cand = (
-        de.filter(norm(F.col("embedding")) > 0)
-        .crossJoin(
-            F.broadcast(ee.filter(norm(F.col("e_emb")) > 0))
-        )
-        .withColumn(
-            "cosine",
-            dot(F.col("embedding"), F.col("e_emb"))
-            / (norm(F.col("embedding")) * norm(F.col("e_emb"))),
-        )
+        dprep.crossJoin(F.broadcast(eprep))
+        .withColumn("cosine", dot_expr / (F.col("dn") * F.col("en")))
     )
     best = (
         cand.groupBy("id")
