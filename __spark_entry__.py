@@ -2797,20 +2797,27 @@ def q_warc_read(spark, sf_dir):
             )
             for d, t in zip(pdf["doc_id"].astype(int), pdf["text"])
         ]
-        g = int(pdf["seg"].iloc[0])
+        g = int(pdf["seg"].iloc[0]) % 8
         data = W.build_warc(recs, compress=g >= 4, chunked=g % 4 >= 2)
         return pd.DataFrame(
             {
-                "seg": [g],
+                "seg": [int(pdf["seg"].iloc[0])],
                 "ext": [".warc.gz" if g >= 4 else ".warc"],
                 "data": [data],
             }
         )
 
+    # Segment count scales with the session's parallelism (a multiple of
+    # 8 so (doc_id % n_seg) % 8 == doc_id % 8: every document keeps the
+    # SAME storage variant and byte-identical payload whatever n_seg is
+    # — only the file fan-out changes). With the historical fixed 8
+    # files, both the build and the one-task-per-file read-back ran on
+    # 8 cores however many exist.
+    n_seg = 8 * max(1, _par(spark) // 8)
     segs = (
         _docs(spark, sf_dir)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-        .withColumn("seg", F.col("doc_id") % 8)
+        .withColumn("seg", F.col("doc_id") % n_seg)
         .groupBy("seg")
         .applyInPandas(build_segment, "seg long, ext string, data binary")
         .collect()
@@ -2862,16 +2869,24 @@ def q_web_ingest(spark, sf_dir):
             else:
                 body = ODF.make_odt([(2, w[6]), f"{w[7]} {d}"])
             recs.append((f"doc://{d}", f"2024-02-{1 + d % 27:02d}T00:00:00Z", body))
-        g = int(pdf["seg"].iloc[0])
+        g = int(pdf["seg"].iloc[0]) % 6
         data = W.build_warc(recs, compress=g >= 3, chunked=g % 3 == 2)
         return pd.DataFrame(
-            {"seg": [g], "ext": [".warc.gz" if g >= 3 else ".warc"], "data": [data]}
+            {
+                "seg": [int(pdf["seg"].iloc[0])],
+                "ext": [".warc.gz" if g >= 3 else ".warc"],
+                "data": [data],
+            }
         )
 
+    # parallelism-scaled segment fan-out, variant preserved per doc:
+    # (doc_id % 6m) % 6 == doc_id % 6 — same bytes per record, more
+    # files for the build AND the one-task-per-file read-back
+    n_seg = 6 * max(1, _par(spark) // 6)
     segs = (
         _docs(spark, sf_dir)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-        .withColumn("seg", F.col("doc_id") % 6)
+        .withColumn("seg", F.col("doc_id") % n_seg)
         .groupBy("seg")
         .applyInPandas(build_segment, "seg long, ext string, data binary")
         .collect()

@@ -81,10 +81,29 @@ def assign_cells(
     partition-local after the broadcast join), so the shuffle carries N
     rows. Ties break to the lowest cell_id (deterministic).
     """
-    joined = emb.crossJoin(F.broadcast(centroids))
-    sim = _dot(F.col(vec_col), F.col("centroid")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("centroid"))
+    # Hoist the per-row work out of the N x n_cells loop: the vector
+    # norm and float->double casts are computed once per vector (and
+    # once per centroid) instead of once per (vector, centroid) pair.
+    # The pre-cast arrays feed the identical zip_with/aggregate fold, so
+    # every similarity is bit-identical to the previous per-pair form.
+    cd = centroids.select(
+        "cell_id",
+        F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("_cd"),
+        _norm(F.col("centroid")).alias("_cn"),
     )
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vd"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    joined = base.crossJoin(F.broadcast(cd))
+    dot = F.aggregate(
+        F.zip_with("_vd", "_cd", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = dot / (F.col("_vn") * F.col("_cn"))
     best = (
         joined.withColumn("sim", sim)
         .groupBy(id_col)
@@ -178,7 +197,10 @@ def ivf_topk(
     to amortize the index across queries (the production shape: the
     assignment is a materialized, cell-partitioned table)."""
     if centroids is None:
-        centroids = make_centroids(emb, n_cells, vec_col, id_col)
+        # n_cells tiny rows consumed by TWO actions (the probe collect
+        # below and the main query): persisting stops the seed-sort +
+        # assign + per-dim refine tower from running twice
+        centroids = make_centroids(emb, n_cells, vec_col, id_col).persist()
     if assigned is None:
         assigned = assign_cells(emb, centroids, vec_col, id_col)
     probe_cells = [
