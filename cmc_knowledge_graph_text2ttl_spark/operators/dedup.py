@@ -794,6 +794,11 @@ def semdedup(
         F.col("nrm").alias("nb"),
         F.explode(F.sequence(F.lit(0), F.lit(pair_salts - 1))).alias("s"),
     )
+    # NOTE: an unrolled getItem add-chain dot (the shape that wins in
+    # embedding_link, where cosine feeds an aggregate directly) was
+    # MEASURED 9x SLOWER here — the cosine>=threshold filter gets
+    # substituted into the pair-join condition and the giant expression
+    # defeats codegen — so the dot stays a zip_with/aggregate fold.
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
