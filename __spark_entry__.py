@@ -3898,13 +3898,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SQL-aggregate wrapper fully covered by its oracle + tests) was
     traded for media_clusters, whose star-edge change is an explicit
     VERDICT deliverable.
+
+    Round-6 (optimization round) resolution: group 2 = the ten queries
+    whose operator or fixture was rewritten for performance this round
+    (MinHash verify, SemDeDup/near-dup pair joins, IVF assign, BPE
+    driver loop, embedding linking, PDF AES KDF, WARC fan-out) — all
+    proven bit-identical locally, promoted so the driver re-proves
+    them; group 3 = corpus_profile, the ONE registry entry that had
+    never appeared in any CORRECTNESS_r*.json (restores the "every
+    entry at least once" promise). Seven stable r5 entries rotate out,
+    each with its machinery still covered by an in-window sibling:
+    media_frames_webp (ANMF/VP8L shared with media_frames_apng +
+    media_webp), sitemap_parse (shared with robots_sitemap_discovery),
+    jsonld_triples / feed_parse (thin parsers with their own goldens),
+    skew_collect (skew.py covered by skew_topk), crawl_batches
+    (recrawl machinery covered by crawl_delta/crawl_schedule/
+    crawl_change_rates), crawl_host_stats (column aggs, sibling
+    url_quality).
     `tools/check_oracle.py` (no argument) still checks ALL entries —
     run it before shipping regardless of window position.
     """
     return {
-        # -- group 1: new this round (r5) --------------------------------
+        # -- group 2 (r6): operator or fixture CHANGED this optimization round
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "emb_semdedup": q_emb_semdedup,              # SemDeDup clusters
+        "emb_near_dup": q_emb_near_dup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_bpe_learn": q_text_bpe_learn,          # BPE merge learning
+        "entity_link_embedding": q_entity_link_embedding,  # embedding tier
+        "pdf_table_cells": q_pdf_table_cells,     # AESV2 rotation
+        "warc_read": q_warc_read,
+        "web_ingest": q_web_ingest,
+        # -- group 3 (r6): never in any driver CORRECTNESS window until now
+        "corpus_profile": q_corpus_profile,          # tall QA metric table
+        # -- retained r5 window entries (unchanged, one driver row each)
         "media_frames_apng": q_media_frames_apng,    # APNG compositor decode
-        "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
         "crawl_frontier": q_crawl_frontier,          # delta × PageRank capstone
         "text_segments": q_text_segments,            # TextTiling sim2 depth
         "links_communities": q_links_communities,    # deterministic LPA
@@ -3920,30 +3949,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mojibake": q_text_mojibake,            # latin-1 UTF-8 repair
         "text_normalize": q_text_normalize,          # 7-rule cleanup chain
         "url_quality": q_url_quality,                # FineWeb URL verdict
-        "crawl_host_stats": q_crawl_host_stats,      # host reputation aggs
         "dedup_substring": q_dedup_substring,        # ExactSubstr removal
-        "text_bpe_learn": q_text_bpe_learn,          # BPE merge learning
         "text_ccnet_buckets": q_text_ccnet_buckets,  # CCNet ppl terciles
         "corpus_mixture": q_corpus_mixture,          # token-budget mixing
-        "emb_semdedup": q_emb_semdedup,              # SemDeDup clusters
         "corpus_bm25": q_corpus_bm25,                # integer BM25 top-k
         "corpus_quality_clf": q_corpus_quality_clf,  # weak-label NB scorer
         "corpus_dsir": q_corpus_dsir,                # DSIR importance slice
         "media_frames_mjpeg": q_media_frames_mjpeg,  # real MJPEG-AVI decode
         "media_webp": q_media_webp,                  # VP8L lossless decode
         "corpus_span_dedup": q_corpus_span_dedup,    # C4 3-sentence dedup
-        "entity_link_embedding": q_entity_link_embedding,  # embedding tier
         "links_hits": q_links_hits,                  # hubs/authorities
         "text_subword": q_text_subword,              # BPE-apply counts
-        # -- group 2: never in any CORRECTNESS_r*.json yet ---------------
         "media_audio": q_media_audio,
         "crawl_delta": q_crawl_delta,
-        "crawl_batches": q_crawl_batches,
-        "sitemap_parse": q_sitemap_parse,
-        "jsonld_triples": q_jsonld_triples,
-        "feed_parse": q_feed_parse,
-        # -- group 3: operator or gate fixture CHANGED this round (r5) ---
-        "skew_collect": q_skew_collect,           # de-arrayed projection
         "skew_topk": q_skew_topk,                 # de-arrayed projection
         "text_pack_manifests": q_text_pack_manifests,  # de-arrayed spans
         "emb_hashed": q_emb_hashed,               # de-arrayed embedding
@@ -3953,28 +3971,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,                   # digit-counting phone re
         "corpus_safety": q_corpus_safety,         # phone re + exact host
         "corpus_shards": q_corpus_shards,         # two-level digest
-        "pdf_table_cells": q_pdf_table_cells,     # AESV2 rotation
-        # -- group 4: exactly ONE driver row so far (round-robin the
-        #    least-verified tail of the registry through the window) -----
         "media_clusters": q_media_clusters,       # star-edge path
-        # ---- 50-entry driver window ends here --------------------------
+        # -- former window members rotated out in r6 (each driver-green in r5,
+        #    machinery redundantly covered by an in-window sibling + pytest)
+        "media_frames_webp": q_media_frames_webp,    # ANMF + VP8L frames
+        "sitemap_parse": q_sitemap_parse,
+        "jsonld_triples": q_jsonld_triples,
+        "feed_parse": q_feed_parse,
+        "skew_collect": q_skew_collect,           # de-arrayed projection
+        "crawl_batches": q_crawl_batches,
+        "crawl_host_stats": q_crawl_host_stats,      # host reputation aggs
+        # -- stable tail (driver-verified in prior rounds; judge oracle + goldens)
         "crawl_blocklist": q_crawl_blocklist,     # exact-host branch gated
-        "corpus_profile": q_corpus_profile,          # tall QA metric table
         "media_mp3": q_media_mp3,                 # Xing/VBRI VBR duration
         "office_extract": q_office_extract,       # RK flag-bit fix
         "media_frames": q_media_frames,           # sample_frames dispatch
         "audio_near_dup": q_audio_near_dup,       # shared _banded_pairs
         "media_exif": q_media_exif,
-        "web_ingest": q_web_ingest,
         "corpus_c4": q_corpus_c4,
         "media_mp4": q_media_mp4,
         "archive_read": q_archive_read,
         "media_id3": q_media_id3,
         "links_resolve": q_links_resolve,
-        "warc_read": q_warc_read,
         "media_jpeg": q_media_jpeg,
         "media_gif": q_media_gif,
-        # one driver row, rotate through the window next round:
         "links_extract": q_links_extract,
         "links_pagerank": q_links_pagerank,
         "links_anchors": q_links_anchors,
@@ -3986,19 +4006,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified": q_corpus_stratified,
         "text_surprisal": q_text_surprisal,
         "text_pack": q_text_pack,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessions": q_events_sessions,
         "kg_tagdim": q_kg_tagdim,
         "kg_match_list": q_kg_match_list,
         "kg_exec_echo_log": q_kg_exec_echo_log,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_verbatim": q_dedup_verbatim,
         "corpus_report": q_corpus_report,
         "text_chunks": q_text_chunks,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "text_vocab": q_text_vocab,
-        # two or more driver rows:
         "html_extract_clean": q_html_extract_clean,
         "html_plain_text": q_html_plain_text,
         "boilerplate_strip": q_boilerplate_strip,
@@ -4011,7 +4028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_triples": q_kg_stream_triples,
         "ann_cosine_topk": q_ann_cosine_topk,
         "media_meta": q_media_meta,
-        "emb_near_dup": q_emb_near_dup,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_customers": q_tpch_top_customers,
         "tpch_first_order_per_customer": q_tpch_first_order_per_customer,
@@ -4020,7 +4036,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": q_tpch_rollup,
         "orders_without_lineitems": q_orders_without_lineitems,
         "events_json_props": q_events_json_props,
-        # -- long-stable, multiply driver-verified ------------------------
         "kg_mentions": q_kg_mentions,
         "kg_doc_stats": q_kg_doc_stats,
         "kg_best_workflow": q_kg_best_workflow,
@@ -4043,7 +4058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
