@@ -221,6 +221,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     verify: bool = True,
     max_bucket: int = 10_000,
+    broadcast_max_docs: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, optionally exact-verified.
 
@@ -228,6 +229,13 @@ def minhash_lsh_pairs(
     band of their signatures is identical. Buckets larger than
     `max_bucket` are dropped (boilerplate guard — at web scale one "empty
     page" bucket would otherwise create a quadratic blowup).
+
+    ``broadcast_max_docs``: the verify phase broadcasts the candidate
+    docs' shingle-set arrays (fast path — no shuffle carries arrays);
+    above this many candidate docs (~1.5 KB/doc of broadcast) it falls
+    back to shuffle joins so a degenerate corpus whose candidates span
+    most documents cannot OOM the driver. Results are identical either
+    way — only the join strategy changes.
     """
     assert n_hashes % bands == 0
     rpb = n_hashes // bands
@@ -291,14 +299,20 @@ def minhash_lsh_pairs(
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
-    )
+    ).persist()
+    # One cheap count (cand is persisted, so the work is reused by the
+    # pair join) decides the verify join strategy: broadcast while the
+    # candidate-doc array table is comfortably driver-sized, shuffle
+    # joins beyond that — same rows out of either plan.
+    n_cand_docs = cand_ids.count()
+    bcast = F.broadcast if n_cand_docs <= broadcast_max_docs else (lambda d: d)
     pos = _positions(F.length(text_col) - shingle_n + 1)
     shset = F.array_distinct(
         F.transform(pos, lambda i: F.col(text_col).substr(i, F.lit(shingle_n)))
     )
     arrs = (
         df.select(F.col(id_col).alias("id"), shset.alias("shset"))
-        .join(F.broadcast(cand_ids), "id")
+        .join(bcast(cand_ids), "id")
         .select("id", "shset", F.size("shset").alias("sz"))
     )
     a = arrs.select(
@@ -308,8 +322,8 @@ def minhash_lsh_pairs(
         F.col("id").alias("id_b"), F.col("shset").alias("set_b"), F.col("sz").alias("sz_b")
     )
     pruned = (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        cand.join(bcast(a), "id_a")
+        .join(bcast(b), "id_b")
         # exact-safe size prune (set-similarity length filter): true
         # J = I/(szA+szB-I) <= min(sz)/max(sz), and double division is
         # monotonic, so pairs failing this could never pass the final

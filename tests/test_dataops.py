@@ -429,6 +429,23 @@ class TestMinHashLSH:
         if exact:
             assert len(approx) / len(exact) >= 0.8
 
+    def test_shuffle_fallback_identical_to_broadcast(self, spark, docs):
+        # broadcast_max_docs=1 forces the shuffle-join verify path; the
+        # pair set and jaccards must be identical to the broadcast path
+        fast = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.minhash_lsh_pairs(
+                docs, n_hashes=16, bands=4, threshold=0.5
+            ).collect()
+        }
+        slow = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.minhash_lsh_pairs(
+                docs, n_hashes=16, bands=4, threshold=0.5, broadcast_max_docs=1
+            ).collect()
+        }
+        assert fast == slow and fast
+
     def test_signature_matches_python(self, spark):
         df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
         sig = dedup.minhash_signatures(df, n_hashes=4, shingle_n=5).first()
